@@ -1,0 +1,109 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source operators (SURVEY.md §2.1 S1–S3).
+  *
+  * The reference's extractors (extract/csv_extractor.py, db_extractor.py,
+  * api_extractor.py) each return one table; failures degrade to an empty
+  * table, never abort (api_extractor.py:27-28, main.py:46-74).
+  */
+object Sources {
+
+  /** S1 — CSV scan (csv_extractor.py:4-10). The reference reads with
+    * `na_filter=False`: empty cells stay "" and never become null. Spark's
+    * csv reader nulls empty strings, so when `naFilter = false` we restore
+    * "" on all string columns post-read (SURVEY §7.3.5).
+    */
+  def csv(spark: SparkSession, path: String, naFilter: Boolean = false,
+          options: Map[String, String] = Map.empty): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("encoding", "UTF-8")
+      .options(options)
+      .csv(path)
+    val named = standardizeColumns(df)
+    if (naFilter) named
+    else named.select(named.schema.fields.map { f =>
+      if (f.dataType == StringType) coalesce(col(f.name), lit("")).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
+
+  /** S2 — SQL/JDBC scan (db_extractor.py:6-14): arbitrary query pushed to the
+    * RDBMS; Spark parallelizes with partitioning options when provided.
+    * (Compiles against the DataSource V1 JDBC API; no live DB in the test
+    * container — the harness exercises the same projection semantics over
+    * parquet, see queries.Core "p1_projection".) */
+  def jdbc(spark: SparkSession, url: String, query: String,
+           props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .option("fetchsize", props.getOrElse("fetchsize", "10000"))
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  /** S3 — REST/JSON scan (api_extractor.py:6-28): the HTTP fetch is
+    * driver-side; this handles the body -> table semantics:
+    *  - `{"data": [...]}` envelope unwrapped (api_extractor.py:22-23)
+    *  - top-level JSON array -> rows (:24-25)
+    *  - single nested object -> one flattened row (json_normalize, :26)
+    *  - unparseable body -> empty table (:27-28)
+    */
+  def jsonBody(spark: SparkSession, body: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.json(spark.createDataset(Seq(body)))
+    if (raw.columns.contains("_corrupt_record") && raw.columns.length == 1)
+      return spark.emptyDataFrame
+    val unwrapped = raw.schema.fields.find(_.name == "data") match {
+      case Some(f) if f.dataType.isInstanceOf[ArrayType] =>
+        raw.select(explode(col("data")).as("row")).select("row.*")
+      case _ => raw
+    }
+    standardizeColumns(flattenStructs(unwrapped))
+  }
+
+  /** Driver-side HTTP GET mirroring api_extractor.py:12-19: headers +
+    * timeout, require a JSON content type, any failure -> empty table. */
+  def httpJson(spark: SparkSession, url: String,
+               headers: Map[String, String] = Map.empty,
+               timeoutSec: Int = 10): DataFrame =
+    try {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(timeoutSec)).build()
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutSec))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val ct = resp.headers().firstValue("content-type").orElse("")
+      if (resp.statusCode() != 200 || !ct.contains("application/json"))
+        spark.emptyDataFrame
+      else jsonBody(spark, resp.body())
+    } catch { case _: Exception => spark.emptyDataFrame }
+
+  /** Recursive struct flattening = pandas json_normalize
+    * (api_extractor.py:26): nested field a.b surfaces as column "a_b". */
+  def flattenStructs(df: DataFrame): DataFrame = {
+    def cols(schema: StructType, prefix: String): Seq[Column] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val name = path.replace(".", "_")
+        f.dataType match {
+          case st: StructType => cols(st, path)
+          case _ => Seq(col(s"`${path.replace(".", "`.`")}`").as(name))
+        }
+      }.toSeq
+    if (df.schema.fields.exists(_.dataType.isInstanceOf[StructType]))
+      df.select(cols(df.schema, ""): _*)
+    else df
+  }
+
+  /** P4 — header normalization applied after every extract (main.py:40,54,70). */
+  def standardizeColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(functions.normalizeName).toSeq: _*)
+}

@@ -1,0 +1,42 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink operators (SURVEY.md §2.2 K1–K4) over parquet paths (the harness's
+  * staging layer) and JDBC (the reference's DW).
+  */
+object Staging {
+
+  /** K1 — full-replace write (load_to_staging.py:4-5, if_exists="replace"):
+    * drop-and-recreate semantics. */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** K2 — append write (sync_dimensions_dw.py:43-49). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** K3 — transactional batched insert (core/dw_repository.py:8-23): Spark's
+    * JDBC writer batches per partition (`batchsize`); each partition's batch
+    * commits atomically, matching the reference's executemany-in-one-txn at
+    * partition granularity. Compile-only here (no DB in the container). */
+  def jdbcAppend(df: DataFrame, url: String, tableName: String,
+                 batchSize: Int = 1000,
+                 props: Map[String, String] = Map.empty): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    p.setProperty("batchsize", batchSize.toString)
+    df.write.mode("append").jdbc(url, tableName, p)
+  }
+
+  /** K4 — index DDL analogue (load_to_staging.py:7-16): no index concept in
+    * Spark; the physical equivalent is a sorted, optionally partitioned
+    * layout so downstream scans prune + skip via parquet min/max stats. */
+  def overwriteSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.sortWithinPartitions(sortCols.map(df(_)): _*)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.etl.{functions => F}
+
+/** Star-schema builders (SURVEY.md §2.4–2.6 composition): dimension
+  * construction with deterministic surrogate keys, the calendar dimension,
+  * and broadcast FK lookups with sentinel defaults.
+  *
+  * Scale notes: dimensions are bounded (they fit an executor) so surrogate
+  * keying via a global `row_number()` window (one-partition shuffle of the
+  * *dimension only*) is acceptable; the fact side never single-partitions.
+  * FK resolution broadcasts the dimension — the fact table never shuffles.
+  */
+object StarSchema {
+
+  /** Build a dimension: project, distinct, deterministic surrogate key by
+    * ordered row_number (reference relies on SQL Server IDENTITY insert
+    * order, sync_dimensions_dw.py:32-49; SURVEY §7.3.1). */
+  def buildDim(src: DataFrame, cols: Seq[String], orderCol: String,
+               keyName: String): DataFrame = {
+    val d = src.select(cols.map(col): _*).distinct()
+    d.withColumn(keyName, row_number().over(Window.orderBy(col(orderCol))))
+      .select((keyName +: cols).map(col): _*)
+  }
+
+  /** dim_fecha (build_dim_fecha, transform/clean_data.py:17-29 +
+    * main.py:160-190): union date columns from several sources, parse,
+    * null-drop, distinct, derive key + calendar parts. */
+  def buildDimFecha(dateCols: Seq[Column], sources: Seq[DataFrame]): DataFrame = {
+    require(dateCols.length == sources.length)
+    val frames = sources.zip(dateCols).map { case (df, c) =>
+      df.select(c.cast("timestamp").as("fecha"))
+    }
+    val all = frames.reduce(_.unionByName(_))
+      .na.drop(Seq("fecha")).distinct()
+    val withParts = F.dateParts(col("fecha")).foldLeft(
+      all.withColumn("fecha_key", F.fechaKey(col("fecha")))
+    ) { case (df, (name, c)) => df.withColumn(name, c) }
+    withParts.orderBy(col("fecha"))
+  }
+
+  /** J2 — generic parameterized key lookup (lookup_key, main.py:310-319):
+    * left-join `dim(dimJoin -> dimKey)` onto `fact(leftOn)`, attach `outCol`,
+    * default on miss. Dimension broadcast; fact unshuffled. */
+  def lookupKey(fact: DataFrame, dim: DataFrame, dimJoin: String,
+                dimKey: String, leftOn: String, outCol: String,
+                default: Any): DataFrame = {
+    val d = broadcast(
+      dim.select(col(dimJoin).as("__gjoin"), col(dimKey).as(outCol)).distinct())
+    fact.join(d, fact(leftOn) === d("__gjoin"), "left")
+      .drop("__gjoin")
+      .withColumn(outCol, coalesce(col(outCol), lit(default)))
+  }
+}
