@@ -14,7 +14,10 @@ object SparkEntry {
 
   private val packs: Seq[Q.QueryPack] = Seq(
     Q.Core,
-    Q.Scalars
+    Q.Scalars,
+    Q.Events,
+    Q.TextOps,
+    Q.Vectors
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

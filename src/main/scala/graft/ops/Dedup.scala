@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.etl.{functions => F}
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Everything is DataFrame ops over built-in
+  * expressions (xxhash64 / bitwise aggs) — no UDFs, no driver-side loops.
+  *
+  * Scale notes (100 TB): every variant is one scan + one shuffle keyed by a
+  * *bounded-cardinality* blocking key (band hash / simhash band / block
+  * bucket). Candidate pairs are generated inside buckets only — never a
+  * global cross join. Skew comes from giant duplicate clusters; buckets are
+  * salted-by-construction since identical docs share all bands and each
+  * band's bucket join is a self-equi-join Spark can spill.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text, keeping the smallest doc_id
+    * (deterministic survivor). `dropDuplicates` generalization (SURVEY A1)
+    * with an explicit, order-independent survivor rule. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Word n-gram shingles of the normalized text, distinct. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = split(F.normalizeText(lower(c)), " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature + banded LSH candidate pairs.
+    *
+    * numHashes independent min-hashes via seeded xxhash64 over the shingle
+    * set; signatures split into `bands` bands hashed to buckets; documents
+    * sharing any band bucket become a candidate pair. One explode + one
+    * group-by (signature build), one explode + self-join on (band, hash)
+    * (bucketing). Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    */
+  def minHashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                 shingleLen: Int = 3): DataFrame = {
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"), shingleLen)).as("sh"))
+    // 16 min-aggs in a single pass (map-side partial aggregation).
+    val hashAggs =
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh")).as(s"b$b")
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per document + near-dup pairs within `maxHamming`.
+    *
+    * SimHash: per token, xxhash64 bits vote +1/-1 per position; sign of the
+    * vote sum forms the fingerprint bit. Computed as 64 conditional sums in
+    * one aggregation pass, reassembled with shifts/ors. Candidates: split
+    * the fingerprint into 4 16-bit bands (pigeonhole: hamming<=3 pairs share
+    * at least one band), verify with bit_count(xor).
+    */
+  def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
+        .as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteAggs = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val votes = tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = votes.select(col("doc_id"), fp.as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+              col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard near-dup within deterministic blocks.
+    *
+    * Blocking: (lang, token-count bucket) — near-identical docs agree on
+    * both; pair generation is per-block, so cost is sum(block²), not n².
+    * Jaccard over distinct word sets via array_intersect; |union| computed
+    * as |a|+|b|-|inter| (cheaper than materializing the union).
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
+                   bucketTokens: Int = 10): DataFrame = {
+    val toks = array_distinct(split(F.normalizeText(lower(col("text"))), " "))
+    val prep = docs.select(
+      col("doc_id"), col("lang"), toks.as("toks"),
+      floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
+        .cast("long").as("bucket"))
+    val a = prep.as("a"); val b = prep.as("b")
+    a.join(b, col("a.lang") === col("b.lang") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          (size(col("a.toks")) + size(col("b.toks")) -
+           size(array_intersect(col("a.toks"), col("b.toks")))).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

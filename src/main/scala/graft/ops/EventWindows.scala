@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.dsum
+
+/** Event-time window operators over the harness `events` table (SURVEY.md
+  * §2.7). The reference is batch-only; these are written batch-first so the
+  * exact same transformations run under Structured Streaming (see
+  * graft.streaming.StreamOps, which lifts them over readStream with a
+  * watermark).
+  *
+  * Scale notes: tumbling/sliding aggregate map-side first (partial agg on
+  * (window, type)); sessionization shuffles once on user_id — the natural
+  * key — and each user's events sort within a partition, never globally.
+  */
+object EventWindows {
+
+  /** Tumbling event-time window aggregate: count + sum(value) per
+    * (window, event_type). */
+  def tumbling(events: DataFrame, sizeMin: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$sizeMin minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Sliding window (size/slide), same aggregate. Each event lands in
+    * size/slide windows. */
+  def sliding(events: DataFrame, sizeMin: Int, slideMin: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$sizeMin minutes", s"$slideMin minutes"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("total"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Batch sessionization: per-user sessions split on inactivity > gapMin.
+    * Deterministic tie-break on event_id. The streaming twin keeps the same
+    * (user, session) grouping via flatMapGroupsWithState. */
+  def sessionize(events: DataFrame, gapMin: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMin.toLong * 60L * 1000000L
+    // ts is TIMESTAMP_NTZ (ns-parquet ingest); unix_micros needs TIMESTAMP —
+    // the cast is an identity under the pinned UTC session TZ.
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    events
+      .withColumn("prev_us", lag(tsUs, 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             tsUs - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("first_ts"),
+           max(col("ts")).as("last_ts"),
+           (max(tsUs) - min(tsUs)).as("dur_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.ops.EventWindows
+
+/** Event-time window queries (SURVEY.md §2.7) over the events table.
+  * Oracles express Spark's epoch-aligned windows as explicit epoch-floor
+  * arithmetic (unambiguous — no reliance on DuckDB time_bucket origins).
+  */
+object Events extends QueryPack {
+
+  val queries: Map[String, QFn] = Map(
+    "ev_tumbling_window" -> ((s, dir) =>
+      EventWindows.tumbling(table(s, dir, "events"), sizeMin = 15)),
+
+    "ev_sliding_window" -> ((s, dir) =>
+      EventWindows.sliding(table(s, dir, "events"), sizeMin = 30, slideMin = 15)),
+
+    "ev_sessionize" -> ((s, dir) =>
+      EventWindows.sessionize(table(s, dir, "events"), gapMin = 30))
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Spark tumbling windows align to the epoch: start = floor(t/size)*size.
+    "ev_tumbling_window" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS win_start,
+        |  event_type, count(*) AS n,
+        |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Sliding size=30m slide=15m: each event belongs to 2 windows — the two
+    // consecutive 900s-aligned starts covering it (k in {0,1} selects the
+    // even/odd multiple of 900 congruence class).
+    "ev_sliding_window" ->
+      """WITH exploded AS (
+        |  SELECT make_timestamp(CAST(floor((epoch(ts) - k.k*900)/1800)*1800 + k.k*900 AS BIGINT)*1000000) AS win_start,
+        |    event_type, "value"
+        |  FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Sessionization: session boundary when gap > 30min (strict), per user,
+    // ties broken by event_id; session_id = running count of boundaries.
+    "ev_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

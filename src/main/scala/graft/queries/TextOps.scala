@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Text analysis + deduplication queries (SURVEY.md §2.9) over documents.
+  * MinHash-LSH and SimHash use seeded xxhash64 — not reproducible in DuckDB
+  * SQL, so those two are rows-only checked here and recall-tested in
+  * ScalaTest against the exact Jaccard oracle-checked variant.
+  */
+object TextOps extends QueryPack {
+
+  val queries: Map[String, QFn] = Map(
+    "tx_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(table(s, dir, "documents"))),
+    "tx_quality"     -> ((s, dir) => TextAnalysis.qualityScore(table(s, dir, "documents"))),
+    "tx_langid"      -> ((s, dir) => TextAnalysis.languageId(table(s, dir, "documents"))),
+    "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents"))),
+
+    "dd_exact"         -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)),
+    "dd_minhash_lsh"   -> ((s, dir) => Dedup.minHashLsh(table(s, dir, "documents"))),
+    "dd_simhash"       -> ((s, dir) => Dedup.simHash(table(s, dir, "documents")))
+  )
+
+  private val stop = "'the','a','of','and','to','in','is'"
+
+  val oracle: Map[String, String] = Map(
+    "tx_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len AS DOUBLE) / len(toks), 6) AS mean_tok_len,
+        |    round(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+        |    round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len, 6) AS alpha_ratio
+        |  FROM t)
+        |SELECT doc_id, len, n_tokens, mean_tok_len, stopword_ratio, alpha_ratio,
+        |  round(least(stopword_ratio * 4.0, 1.0) * 0.5 +
+        |        least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "tx_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('的','是','不','了','在'))) AS BIGINT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp_doc,
+        |  CASE WHEN len(toks) >= 5 THEN
+        |    list_aggregate(list_transform(range(1, len(toks) - 3),
+        |      i -> md5(array_to_string(toks[i:i+4], ' '))), 'min')
+        |  ELSE md5(norm) END AS fp_shingle
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dd_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks,
+        |    CAST(len(string_split_regex(text, '\s+')) // 10 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity}
+
+/** Similarity search + multimodal queries (SURVEY.md §2.9) over the
+  * embeddings/documents tables. Cosine oracles mirror Spark's sequential
+  * left-to-right double fold with DuckDB `list_reduce` (fold init 0.0 vs
+  * first-element seeding agree exactly for +), so the rounded values are
+  * bit-identical.
+  */
+object Vectors extends QueryPack {
+
+  val queries: Map[String, QFn] = Map(
+    // Exact brute-force top-k: bounded query set (vec_id % 100 == 0)
+    // broadcast against the full corpus.
+    "sim_brute_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
+    }),
+
+    // Approximate top-k via deterministic axis-sign LSH buckets.
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.signLshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+        signBits = 8)
+    }),
+
+    // Embedding-cosine near-dup pairs, blocked by label.
+    "sim_cosine_dedup" -> ((s, dir) =>
+      Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
+
+    // Multimodal metadata decode (stub decoder — deterministic arithmetic
+    // over the payload bytes, so it IS oracle-checkable).
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(table(s, dir, "documents")))
+  )
+
+  /** DuckDB twin of ops.Similarity.cosine — sequential double fold. */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (acc,v) -> acc+v)"
+  private def norm2(a: String): String =
+    s"list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v)"
+  private def cos(a: String, b: String): String =
+    s"round(${dot(a, b)} / sqrt(${norm2(a)}) / sqrt(${norm2(b)}), 6)"
+
+  /** DuckDB twin of ops.Similarity.signBucket (8 bits). */
+  private val bucket8: String =
+    (0 until 8).map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+
+  val oracle: Map[String, String] = Map(
+    "sim_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id)
+        |SELECT q_id, vec_id, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
+        |  FROM b e JOIN q USING (bucket) WHERE e.vec_id != q.q_id)
+        |SELECT q_id, vec_id, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "sim_cosine_dedup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ${cos("a.embedding", "b.embedding")} AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ${cos("a.embedding", "b.embedding")} >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // FakeDecoder's arithmetic, restated over UTF-8 byte length.
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 417 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
