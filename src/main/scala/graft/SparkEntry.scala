@@ -17,7 +17,8 @@ object SparkEntry {
     Q.Scalars,
     Q.Events,
     Q.TextOps,
-    Q.Vectors
+    Q.Vectors,
+    Q.Etl
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.etl.{functions => F, Harmonize, Sources, Staging, StarSchema}
+
+/** End-to-end ETL surface (SURVEY.md §2.1 S1/S3, §2.2 K1/K4, §2.8's
+  * harmonizer, and the reference's star-schema build composed as one
+  * pipeline). Sources that the harness cannot feed directly (CSV files, JSON
+  * bodies) are materialized from the parquet tables first, so every query
+  * stays oracle-checkable against the same inputs.
+  *
+  * Temp staging lives under java.io.tmpdir, keyed by scale-factor directory
+  * name so concurrent SFs never collide.
+  */
+object Etl extends QueryPack {
+
+  private def tmp(dir: String, name: String): String = {
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_stage$sf/$name"
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // S1 + K1: parquet -> CSV staging file -> CsvExtractor-equivalent read.
+    // Header normalization + inferSchema + the na_filter=false "" contract
+    // all exercised; explicit casts restore the parquet widths afterwards
+    // (schema-on-read infers the narrowest type).
+    "etl_csv_source" -> ((s, dir) => {
+      val path = tmp(dir, "nation_csv")
+      table(s, dir, "nation")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      Sources.csv(s, path)
+        .select(col("n_nationkey").cast("int"), col("n_name"),
+                col("n_regionkey").cast("int"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // S3: REST/JSON body with {"data": [...]} envelope + nested object ->
+    // flattened columns (json_normalize semantics). Body is built
+    // driver-side from the bounded region dim (5 rows).
+    "etl_json_source" -> ((s, dir) => {
+      val rows = table(s, dir, "region").orderBy(col("r_regionkey"))
+        .collect().map { r =>
+          val k = r.getAs[Int]("r_regionkey"); val n = r.getAs[String]("r_name")
+          s"""{"region_key":$k,"meta":{"name":"$n","chars":${n.length}}}"""
+        }
+      val body = rows.mkString("""{"data":[""", ",", "]}")
+      Sources.jsonBody(s, body)
+        .select(col("region_key").cast("int"), col("meta_name"),
+                col("meta_chars").cast("long"))
+        .orderBy(col("region_key"))
+    }),
+
+    // Harmonizer (add_block, main.py:208-269) + A6 union: customer and
+    // supplier arrive with different schemas; the spec renames-if-present /
+    // defaults-if-absent into one "party" block set, then unions.
+    "etl_harmonize_union" -> ((s, dir) => {
+      val spec = Harmonize.Spec(Seq(
+        Harmonize.Field("party_id", from = Seq("c_custkey", "s_suppkey"),
+          coerce = c => c.cast("long")),
+        Harmonize.Field("nombre", from = Seq("c_name", "s_name"),
+          coerce = F.normalizeText),
+        Harmonize.Field("saldo", from = Seq("c_acctbal", "s_acctbal"),
+          coerce = c => F.toDoubleOr(c, 0.0)),
+        Harmonize.Field("segmento", from = Seq("c_mktsegment"),
+          default = lit("-1")),
+        Harmonize.Field("kind")))
+      val blocks = Seq(
+        table(s, dir, "customer").withColumn("kind", lit("customer")),
+        table(s, dir, "supplier").withColumn("kind", lit("supplier")))
+        .map(Harmonize(_, spec))
+      Harmonize.unionBlocks(blocks).get
+        .orderBy(col("kind"), col("party_id"))
+    }),
+
+    // Full star build (main.py build_dimensions + build_fact + FK resolve):
+    // dim_cliente surrogate-keyed by row_number, dim_fecha from order dates
+    // with calendar parts, fact = orders with both FKs resolved via
+    // broadcast lookups and sentinel defaults for out-of-dim dates.
+    "etl_star_pipeline" -> ((s, dir) => {
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      val dimCliente = StarSchema.buildDim(customer,
+        Seq("c_custkey", "c_name"), orderCol = "c_custkey",
+        keyName = "id_cliente")
+      val dimFecha = StarSchema
+        .buildDimFecha(Seq(col("o_orderdate")), Seq(orders))
+        .withColumn("id_fecha", col("fecha_key"))
+      val fact0 = StarSchema.lookupKey(orders, dimCliente,
+        dimJoin = "c_custkey", dimKey = "id_cliente",
+        leftOn = "o_custkey", outCol = "id_cliente", default = -1)
+      val fact = StarSchema.lookupKey(
+        fact0.withColumn("fecha_key", F.fechaKey(col("o_orderdate"))),
+        dimFecha, dimJoin = "fecha_key", dimKey = "id_fecha",
+        leftOn = "fecha_key", outCol = "id_fecha", default = -1L)
+      fact.select(col("o_orderkey"), col("id_cliente").cast("long"),
+          col("id_fecha").cast("long"), col("o_totalprice").as("importe"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // K4: sorted staging write (the reference's CREATE INDEX analogue,
+    // load_to_staging.py:7-16) -> re-scan -> aggregate. Parquet min/max on
+    // the sort column makes the re-scan prunable.
+    "etl_staging_sorted" -> ((s, dir) => {
+      val path = tmp(dir, "lineitem_sorted")
+      Staging.overwriteSorted(
+        table(s, dir, "lineitem").filter(col("l_quantity") >= 30),
+        path, sortCols = Seq("l_orderkey"))
+      val back = s.read.parquet(path)
+      back.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_csv_source" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "etl_json_source" ->
+      """SELECT r_regionkey AS region_key, r_name AS meta_name,
+        |  CAST(length(r_name) AS BIGINT) AS meta_chars
+        |FROM region ORDER BY region_key""".stripMargin,
+
+    "etl_harmonize_union" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS party_id,
+        |    trim(regexp_replace(CAST(c_name AS VARCHAR), '\s+', ' ', 'g')) AS nombre,
+        |    coalesce(TRY_CAST(c_acctbal AS DOUBLE), 0.0) AS saldo,
+        |    c_mktsegment AS segmento, 'customer' AS kind
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey,
+        |    trim(regexp_replace(CAST(s_name AS VARCHAR), '\s+', ' ', 'g')),
+        |    coalesce(TRY_CAST(s_acctbal AS DOUBLE), 0.0), '-1', 'supplier'
+        |  FROM supplier) t
+        |ORDER BY kind, party_id""".stripMargin,
+
+    "etl_star_pipeline" ->
+      """WITH dim_cliente AS (
+        |  SELECT row_number() OVER (ORDER BY c_custkey) AS id_cliente, c_custkey
+        |  FROM (SELECT DISTINCT c_custkey, c_name FROM customer)),
+        |dim_fecha AS (
+        |  SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS id_fecha
+        |  FROM orders WHERE o_orderdate IS NOT NULL)
+        |SELECT o_orderkey,
+        |  CAST(coalesce(dc.id_cliente, -1) AS BIGINT) AS id_cliente,
+        |  CAST(coalesce(df.id_fecha, -1) AS BIGINT) AS id_fecha,
+        |  o_totalprice AS importe
+        |FROM orders o
+        |LEFT JOIN dim_cliente dc ON o.o_custkey = dc.c_custkey
+        |LEFT JOIN dim_fecha df
+        |  ON coalesce(CAST(strftime(o.o_orderdate, '%Y%m%d') AS BIGINT), -1) = df.id_fecha
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_staging_sorted" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |FROM lineitem WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

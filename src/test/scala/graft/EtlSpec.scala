@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{Harmonize, Sources, StarSchema}
+
+/** Harmonizer, sources, and star-schema builders (SURVEY.md §2.1, §2.8,
+  * §2.4–2.5) against reference-shaped fixtures: mixed id regimes, missing
+  * columns, empty CSV cells, accented headers. */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Harmonize: rename-if-present / default-if-absent ladder") {
+    val spec = Harmonize.Spec(Seq(
+      Harmonize.Field("cliente_id", from = Seq("idcliente", "cliente")),
+      Harmonize.Field("puntaje", from = Seq("rating"),
+        coerce = c => graft.etl.functions.toDoubleOr(c, 0.0),
+        default = lit(0.0)),
+      Harmonize.Field("texto", from = Seq("comentario"), default = lit(""))))
+    val a = Seq(("C007", "bad", "hola")).toDF("idcliente", "rating", "comentario")
+    val b = Seq(("382", 4.5)).toDF("cliente", "rating")
+    val out = Harmonize.unionBlocks(Seq(a, b).map(Harmonize(_, spec))).get
+    assert(out.columns.toSeq == Seq("cliente_id", "puntaje", "texto"))
+    val got = rows(out.orderBy("cliente_id")).map(r =>
+      (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(got == Seq(("382", 4.5, ""), ("C007", 0.0, "hola")))
+  }
+
+  test("Harmonize.unionBlocks: empty input -> None (empty-frame fallback)") {
+    assert(Harmonize.unionBlocks(Nil).isEmpty)
+  }
+
+  test("S1 CSV: na_filter=false keeps empty cells as \"\", headers normalize") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/d.csv"),
+      "IdCliente, Fecha Registro ,puntaje\nC007,2024-01-01,5\n,2024-01-02,3\n")
+    val df = Sources.csv(spark, dir)
+    assert(df.columns.toSeq == Seq("idcliente", "fecha_registro", "puntaje"))
+    val got = rows(df.orderBy("fecha_registro"))
+    assert(got(1).getAs[String]("idcliente") == "")   // not null
+    val nulled = Sources.csv(spark, dir, naFilter = true)
+    assert(rows(nulled.orderBy("fecha_registro"))(1)
+      .getAs[String]("idcliente") == null)
+  }
+
+  test("S3 jsonBody: envelope unwrap, nested flatten, corrupt -> empty") {
+    val env = Sources.jsonBody(spark,
+      """{"data":[{"id":1,"u":{"name":"ana","geo":{"city":"lima"}}},
+        |{"id":2,"u":{"name":"bo","geo":{"city":"oslo"}}}]}""".stripMargin)
+    assert(env.columns.sorted.toSeq == Seq("id", "u_geo_city", "u_name"))
+    assert(rows(env.orderBy("id")).map(_.getAs[String]("u_geo_city")) ==
+      Seq("lima", "oslo"))
+    val arr = Sources.jsonBody(spark, """[{"a":1},{"a":2}]""")
+    assert(arr.count() == 2)
+    val single = Sources.jsonBody(spark, """{"a":{"b":3}}""")
+    assert(rows(single).head.getAs[Long]("a_b") == 3L)
+    assert(Sources.jsonBody(spark, "not json at all").isEmpty)
+  }
+
+  test("buildDim: distinct + surrogate keys are 1..N in order") {
+    val src = Seq((30L, "c"), (10L, "a"), (20L, "b"), (10L, "a"))
+      .toDF("ck", "name")
+    val dim = StarSchema.buildDim(src, Seq("ck", "name"), "ck", "id")
+    val got = rows(dim.orderBy("id")).map(r => (r.getInt(0), r.getLong(1)))
+    assert(got == Seq((1, 10L), (2, 20L), (3, 30L)))
+  }
+
+  test("buildDimFecha: union, null-drop, distinct, calendar parts") {
+    val a = Seq(Some("2024-03-05 00:00:00"), None).toDF("f")
+    val b = Seq(Some("2024-03-05 00:00:00"), Some("2023-12-31 00:00:00")).toDF("f")
+    val dim = StarSchema.buildDimFecha(Seq(col("f"), col("f")), Seq(a, b))
+    val got = rows(dim)
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Long]("fecha_key")) == Seq(20231231L, 20240305L))
+    assert(got.last.getAs[String]("nombre_mes") == "March")
+  }
+
+  test("lookupKey: broadcast left join with sentinel on miss") {
+    val fact = Seq("ana", "zoe").toDF("fuente")
+    val dim = Seq(("ana", "F001")).toDF("nombre", "fuente_id")
+    val out = StarSchema.lookupKey(fact, dim, dimJoin = "nombre",
+      dimKey = "fuente_id", leftOn = "fuente", outCol = "fuente_id",
+      default = "-1")
+    val got = rows(out.orderBy("fuente")).map(_.getAs[String]("fuente_id"))
+    assert(got == Seq("F001", "-1"))
+  }
+}

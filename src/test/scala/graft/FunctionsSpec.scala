@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{functions => F}
+
+/** F1–F11 scalar semantics (SURVEY.md §2.6), edge cases drawn from the
+  * reference's dirty fixtures: whitespace runs, unparseable dates, empty
+  * strings vs nulls, out-of-range ids. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F1 normalize_text collapses runs, trims, casts; idempotent") {
+    val df = Seq("  a   b\t\nc  ", "x", "", "   ", "1  2").toDF("s")
+      .select(F.normalizeText($"s").as("n"))
+    assert(rows(df).map(_.getString(0)) == Seq("a b c", "x", "", "", "1 2"))
+    val twice = Seq("  a   b\t\nc  ").toDF("s")
+      .select(F.normalizeText(F.normalizeText($"s")).as("n"))
+    assert(rows(twice).head.getString(0) == "a b c")
+  }
+
+  test("F1 normalize_text on non-string input casts first") {
+    val df = Seq(42).toDF("i").select(F.normalizeText($"i").as("n"))
+    assert(rows(df).head.getString(0) == "42")
+  }
+
+  test("F2 parse_date coerces invalid to null (never throws)") {
+    val df = Seq("2024-03-01 10:00:00", "not-a-date", "2024-13-45 00:00:00")
+      .toDF("s")
+      .select(F.parseDate($"s", Seq("yyyy-MM-dd HH:mm:ss")).as("t"))
+    val got = rows(df)
+    assert(got.head.get(0) != null)
+    assert(got(1).get(0) == null && got(2).get(0) == null)
+  }
+
+  test("F2 parse_date multiple formats: first match wins") {
+    val df = Seq("01/02/2024", "2024-02-01").toDF("s")
+      .select(F.parseDate($"s", Seq("dd/MM/yyyy", "yyyy-MM-dd")).as("t"))
+    val got = rows(df).map(_.getAs[java.time.LocalDateTime](0).toLocalDate.toString)
+    assert(got == Seq("2024-02-01", "2024-02-01"))
+  }
+
+  test("F3 numeric coercion: invalid -> default") {
+    val df = Seq("1.5", "abc", null, "2").toDF("s")
+      .select(F.toDoubleOr($"s", 0.0).as("d"), F.toLongOr($"s", -1L).as("l"))
+    assert(rows(df).map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((1.5, 1L), (0.0, -1L), (0.0, -1L), (2.0, 2L)))
+  }
+
+  test("F4 business key zfill pads but never truncates") {
+    val df = Seq(1L, 42L, 123456L).toDF("id")
+      .select(F.businessKey("C", $"id", 3).as("bk"))
+    assert(rows(df).map(_.getString(0)) == Seq("C001", "C042", "C123456"))
+  }
+
+  test("F5 fecha_key yyyyMMdd, null -> -1") {
+    val df = Seq(Some("2024-03-05 08:00:00"), None).toDF("s")
+      .select(F.fechaKey($"s".cast("timestamp")).as("k"))
+    assert(rows(df).map(_.getLong(0)) == Seq(20240305L, -1L))
+  }
+
+  test("F6 date parts pin English month/day names") {
+    val df = Seq("2024-03-05 00:00:00").toDF("s")
+      .select($"s".cast("timestamp").as("t"))
+    val parts = F.dateParts(col("t")).foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    val r = rows(parts).head
+    assert(r.getAs[Int]("anio") == 2024 && r.getAs[Int]("mes") == 3 &&
+      r.getAs[Int]("dia") == 5 && r.getAs[Int]("trimestre") == 1 &&
+      r.getAs[String]("nombre_mes") == "March" &&
+      r.getAs[String]("nombre_dia") == "Tuesday")
+  }
+
+  test("F7 modulo remap stays in [1, max] over a key sweep") {
+    val df = (1L to 100L).toDF("id")
+      .select(F.moduloRemap($"id", lit(7L)).as("k"))
+    val got = rows(df).map(_.getLong(0))
+    assert(got.forall(k => k >= 1 && k <= 7))
+    assert(got.take(8) == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1L))
+  }
+
+  test("F8 truncate trims then cuts at n") {
+    val df = Seq("  hello world  ").toDF("s")
+      .select(F.truncateText($"s", 8).as("t"))
+    assert(rows(df).head.getString(0) == "hello wo")
+  }
+
+  test("F9 string sentinel: null -> -1, values stringified") {
+    val df = Seq(Some(7L), None).toDF("id")
+      .select(F.stringOr($"id", "-1").as("s"))
+    assert(rows(df).map(_.getString(0)) == Seq("7", "-1"))
+  }
+
+  test("F11 date-only cast drops time") {
+    val df = Seq("2024-03-05 23:59:59").toDF("s")
+      .select(F.toDateOnly($"s".cast("timestamp")).as("d"))
+    assert(rows(df).head.getDate(0).toString == "2024-03-05")
+  }
+
+  test("P4 normalizeName: strip/lower/spaces->underscore") {
+    assert(F.normalizeName("  Fecha  Registro ") == "fecha_registro")
+    assert(F.normalizeName("IdCliente") == "idcliente")
+    assert(F.normalizeName("a\tb") == "a_b")
+  }
+}

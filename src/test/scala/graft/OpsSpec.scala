@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+
+/** Extended operator surface (SURVEY.md §2.9): dedup recall against the
+  * exact-Jaccard oracle, similarity ranking, window/session semantics,
+  * multimodal plumbing. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank", "en"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river shore", "en"), // near dup of 1
+    (4L, "completely different text about astronomy and the moons of jupiter", "en"),
+    (5L, "el rapido zorro marron salta sobre el perro perezoso junto al rio", "es")
+  ).toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val got = rows(Dedup.exact(docs))
+    assert(got.length == 4)
+    val dup = got.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact + near dups, skips unrelated") {
+    val pairs = rows(Dedup.minHashLsh(docs))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))      // identical -> all bands collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs at hamming 0; threshold honored") {
+    // Short docs shift many bits per token swap, so near-dup recall is only
+    // guaranteed by the 4-band pigeonhole for hamming <= 3; assert that
+    // contract: the exact dup always surfaces, and every returned pair
+    // respects maxHamming.
+    val got = rows(Dedup.simHash(docs, maxHamming = 16))
+    val h = got.map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(h((1L, 2L)) == 0)
+    assert(h.values.forall(_ <= 16))
+    // A 1-token-in-40 change keeps most vote sums away from zero: the pair
+    // must survive banding + a loose threshold.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = Seq((10L, base, "en"), (11L, base.replace("tok7", "tok7x"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val nh = rows(Dedup.simHash(near, maxHamming = 24))
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
+    assert(nh((10L, 11L)) == 5) // deterministic: xxhash64 is seeded
+  }
+
+  test("ngram jaccard: identical = 1.0, near dup high, cross-lang blocked") {
+    val got = rows(Dedup.ngramJaccard(docs, threshold = 0.4))
+    val j = got.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.7 && j((1L, 3L)) < 1.0)
+    assert(!j.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  private lazy val vecs = Seq(
+    (1L, Array(1f, 0f, 0f, 0f), 0),
+    (2L, Array(0.9f, -0.1f, 0f, 0f), 0),  // close to 1, same sign-orthant
+    (3L, Array(0f, 1f, 0f, 0f), 0),       // orthogonal to 1
+    (4L, Array(-1f, 0f, 0f, 0f), 1)       // opposite of 1
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val self = vecs.select(round(Similarity.cosine($"embedding", $"embedding"), 6).as("c"))
+    assert(rows(self).forall(_.getDouble(0) == 1.0))
+    val q = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("q_id", "q_emb")
+    val c = vecs.crossJoin(q)
+      .select($"vec_id", round(Similarity.cosine($"q_emb", $"embedding"), 6).as("c"))
+    val m = rows(c).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(3L) == 0.0 && m(4L) == -1.0 && m(2L) > 0.99 && m(2L) < 1.0)
+  }
+
+  test("brute-force top-k ranks by similarity desc with id tie-break") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L), k = 2)
+    val got = rows(out).map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank")))
+    assert(got == Seq((2L, 1L), (3L, 2L)))
+  }
+
+  test("sign-LSH top-k only sees same-bucket candidates") {
+    val out = Similarity.signLshTopK(vecs, vecs.filter($"vec_id" === 1L),
+      k = 3, signBits = 4)
+    val cands = rows(out).map(_.getAs[Long]("vec_id")).toSet
+    assert(cands.contains(2L))    // same orthant
+    assert(!cands.contains(4L))   // opposite orthant -> different bucket
+  }
+
+  test("text analysis: token counts, quality bounds, langid, fingerprint") {
+    val ts = rows(TextAnalysis.tokenStats(docs)).map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("ws_tokens")).toMap
+    assert(ts(1L) == 13L)
+    val q = rows(TextAnalysis.qualityScore(docs))
+    assert(q.forall { r =>
+      val v = r.getAs[Double]("quality"); v >= 0.0 && v <= 1.0 })
+    val lid = rows(TextAnalysis.languageId(docs)).map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(lid(1L) == "en" && lid(5L) == "es")
+    val fp = rows(TextAnalysis.fingerprint(docs)).map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("fp_doc")).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  private lazy val events = Seq(
+    // user 100: two sessions split by a 45-min gap
+    (1L, "2024-01-01 10:00:00", 100L, "click", 1.0),
+    (2L, "2024-01-01 10:10:00", 100L, "view", 2.0),
+    (3L, "2024-01-01 10:55:00", 100L, "click", 3.0),
+    // user 200: one session
+    (4L, "2024-01-01 10:05:00", 200L, "view", 4.0)
+  ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+    .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+
+  test("sessionize splits on gap > threshold, aggregates per session") {
+    val got = rows(EventWindows.sessionize(events, gapMin = 30))
+    assert(got.length == 3)
+    val u100 = got.filter(_.getAs[Long]("user_id") == 100L)
+    assert(u100.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    assert(u100.head.getAs[Long]("dur_us") == 600L * 1000000L)
+  }
+
+  test("tumbling windows are epoch-aligned; counts and sums correct") {
+    val got = rows(EventWindows.tumbling(events, sizeMin = 15))
+    val m = got.map(r => (r.getAs[java.sql.Timestamp]("win_start").toString,
+      r.getAs[String]("event_type")) -> r.getAs[Long]("n")).toMap
+    assert(m(("2024-01-01 10:00:00.0", "click")) == 1L)
+    assert(m(("2024-01-01 10:45:00.0", "click")) == 1L)
+  }
+
+  test("sliding windows assign each event to size/slide windows") {
+    val got = rows(EventWindows.sliding(events, sizeMin = 30, slideMin = 15))
+    val n = got.map(_.getAs[Long]("n")).sum
+    assert(n == events.count() * 2)  // every event in exactly 2 windows
+  }
+
+  test("multimodal decode: deterministic stub metadata, schema stable") {
+    val d = Seq((1L, "abc"), (3L, "xy")).toDF("doc_id", "text")
+    val got = rows(Multimodal.decodeMeta(d))
+    assert(got.map(_.getAs[Long]("n_bytes")).toSeq == Seq(3L, 2L))
+    assert(got.map(_.getAs[String]("format")).toSeq == Seq("jpeg", "png"))
+    assert(got.forall(_.getAs[Long]("channels") == 3L))
+  }
+}
