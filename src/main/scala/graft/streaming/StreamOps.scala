@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface (SURVEY.md §2.7). The reference is batch-only
+  * (python pipeline.py, README.md:131-144); this lifts the same event-window
+  * transformations over unbounded input so one codebase serves both: the
+  * batch twins live in graft.ops.EventWindows and produce identical results
+  * on a bounded input (that equivalence is what OpsStreamSpec asserts).
+  *
+  * Scale notes: watermarked window aggregates keep state bounded (old windows
+  * evicted once the watermark passes); sessionization state is one small
+  * struct per active (user) key, dropped on timeout. Both shuffle once on
+  * their grouping key — same exchange shape as the batch plan.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregate over a stream, watermarked.
+    * Identical result columns to EventWindows.tumbling once the stream is
+    * drained (append mode emits a window when the watermark passes it). */
+  def tumbling(events: DataFrame, sizeMin: Int,
+               watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$sizeMin minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("total"))
+
+  /** Sliding-window twin of EventWindows.sliding. */
+  def sliding(events: DataFrame, sizeMin: Int, slideMin: Int,
+              watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$sizeMin minutes", s"$slideMin minutes"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n"), col("total"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+                          n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        first_ts: Timestamp, last_ts: Timestamp, dur_us: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a session
+    * when the inactivity gap passes (processing-time timeout closes
+    * stragglers; pass NoTimeout for bounded drains — e.g. AvailableNow —
+    * where waiting wall-clock minutes for stragglers would never let the
+    * query terminate). Batch twin: EventWindows.sessionize. */
+  def sessionize(events: Dataset[Event], gapMin: Int,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout()): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMin.toLong * 60L * 1000000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+
+    def us(t: Timestamp): Long = t.getTime * 1000L
+    def ts(u: Long): Timestamp = new Timestamp(u / 1000L)
+
+    events.groupByKey(_.user_id).flatMapGroupsWithState[SessionState, SessionOut](
+      OutputMode.Append(), timeout) {
+      case (userId, rows, state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator(SessionOut(userId, s.sessionId, s.n, ts(s.startUs),
+            ts(s.lastUs), s.lastUs - s.startUs))
+        } else {
+          // Order within the micro-batch (arbitrary arrival order).
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            cur match {
+              case Some(s) if t - s.lastUs <= gapUs =>
+                cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.sessionId, s.n, ts(s.startUs),
+                  ts(s.lastUs), s.lastUs - s.startUs)
+                cur = Some(SessionState(s.sessionId + 1, t, t, 1))
+              case None =>
+                cur = Some(SessionState(1, t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            if (useTimeout) state.setTimeoutDuration(s"$gapMin minutes")
+          }
+          closed.result().iterator
+        }
+    }
+  }
+
+  /** readStream twin of queries.table for a parquet directory of events —
+    * the file-source entry point a production deployment would start from. */
+  def readEventStream(spark: SparkSession, dir: String,
+                      schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Drain a streaming DataFrame into an in-memory table and return the
+    * result (test/dev harness; production would writeStream to a sink). */
+  def drainToTable(df: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (df.isStreaming) "append" else "append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.EventWindows
+import graft.streaming.StreamOps
+
+/** Batch/stream equivalence (SURVEY.md §2.7): the streaming operators must
+  * agree with their graft.ops.EventWindows batch twins on the same bounded
+  * input. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val eventData = Seq(
+    StreamOps.Event(1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.0),
+    StreamOps.Event(2L, ts("2024-01-01 10:10:00"), 100L, "view", 2.5),
+    StreamOps.Event(3L, ts("2024-01-01 10:55:00"), 100L, "click", 3.0),
+    StreamOps.Event(4L, ts("2024-01-01 10:05:00"), 200L, "view", 4.0))
+
+  test("streaming tumbling agg equals the batch twin on a drained stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(eventData: _*)
+    val agg = StreamOps.tumbling(mem.toDF(), sizeMin = 15)
+    val q = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = rows(spark.table("tumble_out")
+      .select($"win_start", $"event_type", $"n")
+      .orderBy($"win_start", $"event_type"))
+    val want = rows(EventWindows.tumbling(eventData.toDF(), sizeMin = 15)
+      .select($"win_start", $"event_type", $"n"))
+      .map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2)))
+    assert(got.map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2)))
+      == want)
+  }
+
+  test("streaming sessionize closes a session when the gap passes in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(eventData: _*)
+    val sess = StreamOps.sessionize(mem.toDS(), gapMin = 30,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = sess.toDF().writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Only user 100's first session closes inside the stream (50-min gap);
+    // open sessions await timeout and are not emitted by AvailableNow.
+    val got = rows(spark.table("sess_out"))
+    assert(got.length == 1)
+    val s = got.head
+    assert(s.getAs[Long]("user_id") == 100L &&
+      s.getAs[Long]("session_id") == 1L &&
+      s.getAs[Long]("n_events") == 2L &&
+      s.getAs[Long]("dur_us") == 600L * 1000000L)
+    // The batch twin agrees on that closed session.
+    val batch = rows(EventWindows.sessionize(
+      eventData.toDF().withColumn("ts", $"ts".cast("timestamp")), gapMin = 30))
+      .filter(r => r.getAs[Long]("user_id") == 100L &&
+                   r.getAs[Long]("session_id") == 1L)
+    assert(batch.head.getAs[Long]("n_events") == 2L)
+  }
+
+  test("file-source stream over the parquet events table drains correctly") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = graft.queries.table(spark, dir, "events")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    // Stage as µs-timestamp parquet (streaming file source can't take the
+    // ns-typed original without the legacy conf set at scan build time).
+    val staged = java.nio.file.Files.createTempDirectory("graft_evt").toString
+    batchDf.write.mode("overwrite").parquet(staged)
+    val stream = StreamOps.readEventStream(spark, staged,
+      spark.read.parquet(staged))
+    val agg = StreamOps.tumbling(stream, sizeMin = 60)
+    val q = agg.writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("file_out").agg(sum($"n")).first().getLong(0)
+    assert(streamed == batchDf.count())
+  }
+}
