@@ -47,8 +47,19 @@ object Dedup {
                  shingleLen: Int = 3): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"), shingleLen)).as("sh"))
+    // Shingles via index-explode (codegen'd slice/concat) rather than the
+    // interpreted transform(sequence(...)) lambda of `shingles`; duplicate
+    // shingles are harmless under the min aggregate, so no distinct pass.
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val long = base.filter(size(col("toks")) >= shingleLen)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (shingleLen - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(shingleLen))).as("sh"))
+    val short = base.filter(size(col("toks")) < shingleLen)
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("sh"))
+    val sh = long.unionByName(short)
     // 16 min-aggs in a single pass (map-side partial aggregation).
     val hashAggs =
       (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
@@ -110,24 +121,26 @@ object Dedup {
     *
     * Blocking: (lang, token-count bucket) — near-identical docs agree on
     * both; pair generation is per-block, so cost is sum(block²), not n².
-    * Jaccard over distinct word sets via array_intersect; |union| computed
-    * as |a|+|b|-|inter| (cheaper than materializing the union).
+    * Token sets are sorted ONCE per document; each candidate pair then costs
+    * a single codegen'd linear merge (functions.VectorExpressions
+    * .sortedIntersectCount) — no per-pair hash set. |union| = |a|+|b|-|∩|.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    bucketTokens: Int = 10): DataFrame = {
-    val toks = array_distinct(split(F.normalizeText(lower(col("text"))), " "))
+    import graft.functions.VectorExpressions.sortedIntersectCount
+    val toks = array_sort(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
     val prep = docs.select(
       col("doc_id"), col("lang"), toks.as("toks"),
       floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
         .cast("long").as("bucket"))
     val a = prep.as("a"); val b = prep.as("b")
+    val inter = sortedIntersectCount(col("a.toks"), col("b.toks"))
     a.join(b, col("a.lang") === col("b.lang") &&
               col("a.bucket") === col("b.bucket") &&
               col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          (size(col("a.toks")) + size(col("b.toks")) -
-           size(array_intersect(col("a.toks"), col("b.toks")))).cast("double"),
+        round(inter.cast("double") /
+          (size(col("a.toks")) + size(col("b.toks")) - inter).cast("double"),
           6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -21,26 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  import graft.functions.VectorExpressions.dotf
+
   /** Sequential-fold cosine similarity between two float-array columns,
-    * computed in double. Fold order is left-to-right — bit-reproducible and
-    * matching DuckDB's list reduction for oracle checks. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+    * computed in double via the codegen'd FloatVecDot expression (bit-
+    * identical to the zip_with/aggregate fold and to DuckDB's list_reduce
+    * twin, ~30x faster — see functions.VectorExpressions). */
+  def cosine(a: Column, b: Column): Column =
+    dotf(a, b) / sqrt(dotf(a, a)) / sqrt(dotf(b, b))
 
   /** Exact top-k cosine neighbors for each query vector. Similarity is
     * rounded to 6 decimals *before* ranking, with vec_id tie-break, so
-    * ranking is deterministic. */
+    * ranking is deterministic. Norms are precomputed once per row — the
+    * per-pair work is a single dot product. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb")))
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+      col("embedding").as("q_emb"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
       .join(q, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+        round(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -60,14 +64,17 @@ object Similarity {
   def signLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                   signBits: Int = 8): DataFrame = {
     val c = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"),
       signBucket(col("embedding"), signBits).as("bucket"))
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm"),
       signBucket(col("embedding"), signBits).as("bucket")))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+        round(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
+          .as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -78,12 +85,14 @@ object Similarity {
   /** Embedding-cosine near-dup pairs, blocked by `label` (bounded blocks ->
     * per-block self-join, cost sum(block²) not n²). */
   def cosineDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val p = embeddings.select(col("vec_id"), col("embedding"), col("label"))
+    val p = embeddings.select(col("vec_id"), col("embedding"), col("label"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
     val a = p.as("a"); val b = p.as("b")
     a.join(b, col("a.label") === col("b.label") &&
               col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("sim"))
+        round(dotf(col("a.embedding"), col("b.embedding"))
+          / col("a.nrm") / col("b.nrm"), 6).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan discipline (SURVEY.md §4, the 100 TB contract): predicates
+  * and projections must reach the parquet scan, bounded dimensions must
+  * broadcast, and hot paths must stay inside whole-stage codegen. These
+  * assertions pin the *plan shape*, so a regression (lost pushdown, a join
+  * falling back to shuffle, an interpreted lambda creeping in) fails fast —
+  * at sf0.001 the data is tiny but the plan is the same one a 1000-executor
+  * cluster would run. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q6: all four predicates push into the parquet scan") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"missing pushed filter on $c\n$pushed")
+  }
+
+  test("q6: scan reads only the referenced columns") {
+    val p = plan("q6_filter_agg")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("q2_star_join")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(800))
+    // the fact side never becomes a broadcast build side
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("grouped aggregation is partial (map-side) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(800))
+  }
+
+  test("left lookup join broadcasts the dim side") {
+    assert(plan("j1_left_lookup").contains("BroadcastHashJoin"))
+  }
+
+  test("similarity ops contain no interpreted higher-order lambdas") {
+    for (q <- Seq("sim_brute_topk", "sim_cosine_dedup", "dd_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("LambdaFunction") && !p.contains("zip_with"),
+        s"$q fell back to interpreted HOFs")
+    }
+  }
+
+  test("dedup joins are equi-joins on blocking keys, never cartesian") {
+    for (q <- Seq("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to cartesian")
+    }
+  }
+
+  test("fact-side scans stay columnar (vectorized parquet batches)") {
+    for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
+      val p = plan(q)
+      assert(p.contains("Batched: true"), s"$q lost vectorized scan")
+    }
+  }
+}
