@@ -18,7 +18,8 @@ object SparkEntry {
     Q.Events,
     Q.TextOps,
     Q.Vectors,
-    Q.Etl
+    Q.Etl,
+    Q.Analytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Analytic-surface queries beyond the reference's operator set: window
+  * functions, hierarchical rollup, and wide-table joins. The reference has
+  * no window/grouping-set machinery (SURVEY.md §2.5 note) — a user
+  * switching engines gets them from Spark for free; these queries pin the
+  * semantics and keep the plans honest.
+  */
+object Analytics extends QueryPack {
+
+  val queries: Map[String, QFn] = Map(
+    // Running (cumulative) total per customer in event order. Decimal-exact
+    // accumulation so partition-order evaluation matches the oracle.
+    "w1_running_total" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          round(sum($"o_totalprice".cast(DecimalType(30, 10))).over(w)
+            .cast(DoubleType), 2).as("running_total"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    }),
+
+    // Ranking family: rank / dense_rank / quartile per customer by spend.
+    "w2_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy($"o_custkey", $"rnk", $"o_orderkey")
+    }),
+
+    // lag/lead: days since a customer's previous order.
+    "w3_lag_gap" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate", lag($"o_orderdate", 1).over(w))
+            .cast("long").as("gap_days"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Hierarchical rollup over the star join: region -> nation -> total.
+    "r1_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(dsum($"l_extendedprice").as("revenue"), count(lit(1)).as("n"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    }),
+
+    // Wide-table join (part): promo revenue share per brand. The part dim
+    // broadcasts; the lineitem side carries only 3 columns.
+    "pt1_promo_share" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+        .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      val p = broadcast(table(s, dir, "part").select($"p_partkey", $"p_brand", $"p_type"))
+      li.join(p, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(
+          dsum(when($"p_type".startsWith("PROMO"),
+            $"l_extendedprice" * (lit(1) - $"l_discount")).otherwise(lit(0.0)))
+            .as("promo_rev"),
+          dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("total_rev"),
+          count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    }),
+
+    // Per-label embedding centroid, flattened to (label, dim, mean) — the
+    // posexplode keeps the result schema array-free (hash-comparable) and
+    // the aggregation decimal-exact.
+    "emb_centroid" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "embeddings")
+        .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+        .groupBy($"label", $"dim")
+        .agg(davg($"v").as("mean_v"), count(lit(1)).as("n"))
+        .filter($"dim" < 8)
+        .orderBy($"label", $"dim")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "w2_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "w3_lag_gap" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |    o_orderdate) AS BIGINT) AS gap_days
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "r1_rollup" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "pt1_promo_share" ->
+      """SELECT p_brand,
+        |  round(CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE), 2) AS promo_rev,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_rev,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Parallel unnests zip positionally in DuckDB — (dim, value) pairs.
+    "emb_centroid" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS mean_v,
+        |  count(*) AS n
+        |FROM e WHERE dim < 8 GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+  )
+}
