@@ -82,6 +82,52 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-style approximate top-k: a deterministic centroid subset
+    * partitions the corpus into Voronoi cells (assignment = argmax cosine,
+    * tie on centroid id); each query probes its `nprobe` nearest cells and
+    * ranks only their members. The scale path when both sides are large:
+    * assignment costs |corpus|·m dots against a BROADCAST centroid set, a
+    * probe costs ~nprobe/m of the corpus — with m ≈ √n the classic √n
+    * speedup, all in plain DataFrame ops.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(corpus.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("c_nrm")))
+    def nearest(df: DataFrame, idCol: String, embCol: String, nrmCol: String,
+                keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      df.crossJoin(cent)
+        .withColumn("c_sim",
+          round(dotf(col(embCol), col("c_emb")) / col(nrmCol) / col("c_nrm"), 6))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+        .drop("c_emb", "c_nrm", "c_sim", "c_rank")
+    }
+    val corpusAssigned = nearest(
+      corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm")),
+      "vec_id", "embedding", "nrm", keep = 1)
+    val queryProbes = nearest(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")),
+      "q_id", "q_emb", "q_nrm", keep = nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    queryProbes.join(corpusAssigned, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
+          .as("sim"))
+      // no distinct needed: each corpus vector lives in exactly one cell,
+      // so a (q_id, vec_id) candidate arises from at most one probe
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by `label` (bounded blocks ->
     * per-block self-join, cost sum(block²) not n²). */
   def cosineDedup(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation patterns (SURVEY.md §7.3.7 / the 100 TB checklist):
+  * salting spreads a hot key over `salt` sub-keys so no single task owns a
+  * whole heavy-hitter partition. AQE's skew-join handles *detected* skew at
+  * runtime; these are the explicit, plan-level variants for when the skew is
+  * known up front (a handful of mega-duplicate keys, a power-law group-by).
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) side scatters each row over a
+    * deterministic salt derived from its whole row hash; the small side
+    * replicates `salt` ways. Join semantics are identical to
+    * `big.join(small, key)` — every big row still meets every matching
+    * small row exactly once — but each hot key now spans `salt` tasks.
+    * Inner or left joins only (replication breaks right/full semantics). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int,
+                 how: String = "inner"): DataFrame = {
+    require(how == "inner" || how == "left",
+      s"salted join supports inner/left, got $how")
+    val bigCols = big.columns
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(bigCols.map(col): _*), lit(salt.toLong)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    b.join(s, Seq(key, "__salt"), how).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation for power-law group keys: partial
+    * aggregate on (key, salt), then final aggregate on key. `partial` maps
+    * each input aggregate column to its partial form; `merge` re-aggregates
+    * the partials. For algebraic aggregates (sum/count/min/max) the two
+    * phases compose exactly. */
+  def twoPhaseAgg(df: DataFrame, key: Seq[String], salt: Int,
+                  partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+    val phase1 = salted
+      .groupBy((key :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1.groupBy(key.map(col): _*).agg(merge.head, merge.tail: _*)
+  }
+}

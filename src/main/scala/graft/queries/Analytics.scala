@@ -87,6 +87,25 @@ object Analytics extends QueryPack {
         .orderBy($"p_brand")
     }),
 
+    // Salted two-phase aggregation over a power-law key (3 return flags
+    // across 600k rows): partial agg on (key, salt) caps any one task's
+    // share of a hot key; the final agg merges 3×salt tiny partials.
+    // Decimal partials make the two phases compose exactly.
+    "sk1_skew_agg" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      graft.ops.Skew.twoPhaseAgg(
+        table(s, dir, "lineitem").select($"l_returnflag", $"l_quantity"),
+        key = Seq("l_returnflag"), salt = 16,
+        partial = Seq(
+          sum($"l_quantity".cast(DecimalType(30, 10))).as("ps"),
+          count(lit(1)).as("pc")),
+        merge = Seq(
+          round(sum($"ps").cast(DoubleType), 2).as("sum_qty"),
+          sum($"pc").as("n")))
+        .orderBy($"l_returnflag")
+    }),
+
     // Per-label embedding centroid, flattened to (label, dim, mean) — the
     // posexplode keeps the result schema array-free (hash-comparable) and
     // the aggregation decimal-exact.
@@ -144,6 +163,12 @@ object Analytics extends QueryPack {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "sk1_skew_agg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Parallel unnests zip positionally in DuckDB — (dim, value) pairs.
     "emb_centroid" ->

@@ -26,6 +26,14 @@ object Vectors extends QueryPack {
         signBits = 8)
     }),
 
+    // Approximate top-k via IVF cells (deterministic centroid subset,
+    // nprobe=2) — the scale path when the query side is also large.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+        centroidEvery = 50, nprobe = 2)
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
@@ -66,6 +74,29 @@ object Vectors extends QueryPack {
         |scored AS (
         |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
         |  FROM b e JOIN q USING (bucket) WHERE e.vec_id != q.q_id)
+        |SELECT q_id, vec_id, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0),
+        |ca AS (
+        |  SELECT vec_id, embedding, c_id FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
+        |qp AS (
+        |  SELECT q_id, q_emb, c_id FROM (
+        |    SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c WHERE v.vec_id % 100 = 0) t WHERE rn <= 2),
+        |scored AS (
+        |  SELECT qp.q_id, ca.vec_id, ${cos("qp.q_emb", "ca.embedding")} AS sim
+        |  FROM qp JOIN ca USING (c_id) WHERE ca.vec_id != qp.q_id)
         |SELECT q_id, vec_id, sim, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored) t

@@ -91,6 +91,39 @@ class OpsSpec extends SparkSpec {
     assert(!cands.contains(4L))   // opposite orthant -> different bucket
   }
 
+  test("ivf top-k probes only assigned cells; exact on a probed cell") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L), k = 3,
+      centroidEvery = 2, nprobe = 1)
+    val got = rows(out).map(_.getAs[Long]("vec_id"))
+    assert(got.nonEmpty && !got.contains(1L))
+    // candidates all share the query's nearest centroid cell
+    assert(got.forall(v => Seq(2L, 3L, 4L).contains(v)))
+  }
+
+  test("salted join equals the plain join; salted agg equals plain agg") {
+    import graft.ops.Skew
+    val big = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "c", 30.0),
+      (3L, "d", 40.0)).toDF("k", "tag", "v")
+    val small = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "inner")
+      .select($"k", $"tag", $"name").orderBy($"k", $"tag")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 4)
+      .select($"k", $"tag", $"name").orderBy($"k", $"tag")
+    assert(rows(salted) == rows(plain))
+    val leftPlain = big.join(small, Seq("k"), "left")
+      .select($"k", $"tag", $"name").orderBy($"k", $"tag")
+    val leftSalted = Skew.saltedJoin(big, small, "k", salt = 4, how = "left")
+      .select($"k", $"tag", $"name").orderBy($"k", $"tag")
+    assert(rows(leftSalted) == rows(leftPlain))
+
+    val agg = Skew.twoPhaseAgg(big, Seq("k"), salt = 4,
+      partial = Seq(sum($"v").as("ps"), count(lit(1)).as("pc")),
+      merge = Seq(sum($"ps").as("total"), sum($"pc").as("n")))
+      .orderBy($"k")
+    assert(rows(agg).map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))) ==
+      Seq((1L, 30.0, 2L), (2L, 30.0, 1L), (3L, 40.0, 1L)))
+  }
+
   test("text analysis: token counts, quality bounds, langid, fingerprint") {
     val ts = rows(TextAnalysis.tokenStats(docs)).map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Long]("ws_tokens")).toMap
