@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.etl.{functions => F}
+
+/** Coercion-law property tests (SURVEY.md §5.2.3). ScalaCheck generates the
+  * inputs; each law is checked in ONE Spark round-trip over a generated
+  * column (a Spark job per sample would be prohibitively slow). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("normalize_text is idempotent and trims to single spaces") {
+    val ws = Gen.oneOf(" ", "\t", "\n", "  ", "a", "b", "Zü", "ñ", "0")
+    val strs = samples(Gen.listOf(ws).map(_.mkString), 500)
+    val df = strs.toDF("s").select(
+      F.normalizeText($"s").as("once"),
+      F.normalizeText(F.normalizeText($"s")).as("twice"))
+    rows(df).foreach { r =>
+      val once = r.getString(0)
+      assert(once == r.getString(1), s"not idempotent on ${r}")
+      assert(!once.contains("  ") && once == once.trim)
+      assert(!once.exists(c => c == '\t' || c == '\n'))
+    }
+  }
+
+  test("toDoubleOr round-trips valid doubles, defaults the rest") {
+    val ds = samples(Gen.chooseNum(-1e12, 1e12), 300)
+    val df = ds.map(_.toString).toDF("s")
+      .select($"s", F.toDoubleOr($"s", -999.0).as("d"))
+    rows(df).foreach { r =>
+      assert(r.getDouble(1) == r.getString(0).toDouble)
+    }
+    val junk = samples(Gen.alphaStr.suchThat(s => s.nonEmpty), 100)
+    val jdf = junk.toDF("s").select(F.toDoubleOr($"s", -999.0).as("d"))
+    rows(jdf).foreach(r => assert(r.getDouble(0) == -999.0))
+  }
+
+  test("businessKey zfill round-trips the numeric id for any width") {
+    val ids = samples(Gen.chooseNum(0L, 99999999L), 300)
+    val df = ids.toDF("id")
+      .select($"id", F.businessKey("C", $"id", 3).as("bk"))
+    rows(df).foreach { r =>
+      assert(r.getString(1).head == 'C')
+      assert(r.getString(1).drop(1).toLong == r.getLong(0))
+      assert(r.getString(1).length >= 4) // prefix + at least width 3
+    }
+  }
+
+  test("fechaKey round-trips dates and pins the sentinel") {
+    val days = samples(Gen.chooseNum(-20000, 20000), 400)
+    val df = days.toDF("d")
+      .select(date_add(lit("2000-01-01").cast("date"), $"d").cast("timestamp").as("ts"))
+      .select($"ts", F.fechaKey($"ts").as("k"))
+    rows(df).foreach { r =>
+      val expect = r.getTimestamp(0).toLocalDateTime.toLocalDate
+        .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE).toLong
+      assert(r.getLong(1) == expect)
+    }
+    assert(rows(Seq(1).toDF("x")
+      .select(F.fechaKey(lit(null).cast("timestamp")).as("k")))
+      .head.getLong(0) == -1L)
+  }
+
+  test("moduloRemap lands in [1, max] and is identity on in-range ids") {
+    val cases = samples(Gen.zip(Gen.chooseNum(1L, 100000L), Gen.chooseNum(1L, 500L)), 300)
+    val df = cases.toDF("id", "max")
+      .select($"id", $"max", F.moduloRemap($"id", $"max").as("k"))
+    rows(df).foreach { r =>
+      val (id, max, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(k >= 1 && k <= max, s"$id % $max -> $k out of range")
+      if (id <= max) assert(k == id)
+    }
+  }
+
+  test("dsum decimal aggregation is partition-order independent") {
+    val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
+    val one = vals.toDF("v").repartition(1)
+      .agg(graft.queries.dsum($"v").as("s"))
+    val many = vals.toDF("v").repartition(17)
+      .agg(graft.queries.dsum($"v").as("s"))
+    assert(rows(one).head.getDouble(0) == rows(many).head.getDouble(0))
+  }
+}
