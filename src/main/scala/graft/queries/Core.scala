@@ -147,6 +147,43 @@ object Core extends QueryPack {
         .orderBy($"id_fecha")
     }),
 
+    // J5: left semi join — customers having at least one urgent order.
+    "j5_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val urgent = table(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      table(s, dir, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // J6: left anti join — customers with no orders at all.
+    "j6_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders").select($"o_custkey")
+      table(s, dir, "customer")
+        .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // A8: intersect — nations present among both customers and suppliers.
+    "a8_intersect" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        .intersect(table(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    }),
+
+    // A9: except — order dates with no lineitem shipped that day.
+    "a9_except" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders").select(to_date($"o_orderdate").as("d"))
+        .except(table(s, dir, "lineitem").select(to_date($"l_shipdate").as("d")))
+        .orderBy($"d")
+    }),
+
     // A1: distinct rows over a projection (drop_duplicates, main.py:106-110).
     "a1_distinct" -> ((s, dir) => {
       import s.implicits._
@@ -293,6 +330,29 @@ object Core extends QueryPack {
         |SELECT coalesce(dim.fecha_key, -1) AS id_fecha, count(*) AS n
         |FROM fact LEFT JOIN dim ON fact.fecha_key = dim.fecha_key
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j5_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a8_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "a9_except" ->
+      """SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        |EXCEPT
+        |SELECT CAST(l_shipdate AS DATE) FROM lineitem
+        |ORDER BY d""".stripMargin,
 
     "a1_distinct" ->
       """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer

@@ -100,6 +100,24 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(v => Seq(2L, 3L, 4L).contains(v)))
   }
 
+  test("approximate ANN paths reach measurable recall@5 on real embeddings") {
+    val e = graft.queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 20 === 0)  // bounded query set
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      rows(df).map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, q, k = 5))
+    val lsh = pairs(Similarity.signLshTopK(e, q, k = 5, signBits = 4))
+    val ivf = pairs(Similarity.ivfTopK(e, q, k = 5, centroidEvery = 10, nprobe = 4))
+    val lshRecall = (lsh & exact).size.toDouble / exact.size
+    val ivfRecall = (ivf & exact).size.toDouble / exact.size
+    // Approximate results must be true subsets of the candidate space and
+    // recover a meaningful share of the exact neighbours on random-ish data.
+    assert(lsh.forall { case (a, b) => a != b })
+    assert(lshRecall > 0.05, s"sign-LSH recall@5 collapsed: $lshRecall")
+    assert(ivfRecall > 0.15, s"IVF recall@5 collapsed: $ivfRecall")
+    info(f"recall@5 — signLSH(4 bits): $lshRecall%.2f, IVF(nprobe=4): $ivfRecall%.2f")
+  }
+
   test("salted join equals the plain join; salted agg equals plain agg") {
     import graft.ops.Skew
     val big = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "c", 30.0),
