@@ -53,4 +53,39 @@ object Multimodal {
       .toDF()
       .orderBy(col("doc_id"))
   }
+
+  /** One sampled frame of a video-like payload. */
+  case class FrameMeta(doc_id: Long, frame_idx: Long, offset_bytes: Long,
+                       frame_hash: Long)
+
+  /** Frame sampling: every `stride`-th frame of each payload becomes a row
+    * (the explode shape a video pipeline needs — per-frame rows fan out of
+    * per-asset rows WITHOUT shuffling; frame decode itself is the stubbed
+    * part). Frame count/offsets are derived deterministically from payload
+    * length (fake container: 1 "frame" per 16 bytes). */
+  def frameSample(docs: DataFrame, stride: Int = 4): DataFrame = {
+    val nFrames = (length(col("payload")) / 16 + 1).cast("long")
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("payload"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 16L).as("offset_bytes"),
+        md5(concat_ws(":", col("doc_id"), col("frame_idx"))).as("frame_key"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Resize planning: compute target dimensions preserving aspect ratio with
+    * a max-side bound — pure column arithmetic over decoded metadata; the
+    * pixel work would live in the partition-wise decoder. */
+  def resizePlan(meta: DataFrame, maxSide: Int = 256): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / col("width"),
+      lit(maxSide.toDouble) / col("height"), lit(1.0))
+    meta.select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * scale).cast("long").as("out_w"),
+        floor(col("height") * scale).cast("long").as("out_h"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -41,7 +41,16 @@ object Vectors extends QueryPack {
     // Multimodal metadata decode (stub decoder — deterministic arithmetic
     // over the payload bytes, so it IS oracle-checkable).
     "mm_decode_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(table(s, dir, "documents")))
+      Multimodal.decodeMeta(table(s, dir, "documents"))),
+
+    // Frame sampling: per-asset rows fan out to per-frame rows, no shuffle.
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(table(s, dir, "documents"), stride = 4)),
+
+    // Resize planning over decoded metadata (aspect-preserving bound).
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(table(s, dir, "documents")), maxSide = 256))
   )
 
   /** DuckDB twin of ops.Similarity.cosine — sequential double fold. */
@@ -109,6 +118,32 @@ object Vectors extends QueryPack {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${cos("a.embedding", "b.embedding")} >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) // 16 + 1 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx,
+        |  CAST(unnest(generate_series(0, n_frames - 1, 4)) * 16 AS BIGINT) AS offset_bytes,
+        |  md5(doc_id || ':' || unnest(generate_series(0, n_frames - 1, 4))) AS frame_key
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+        |    CAST(64 + (octet_length(encode(text)) * 31) % 417 AS BIGINT) AS height
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, width, height,
+        |    least(256.0 / width, 256.0 / height, 1.0) AS scale
+        |  FROM m)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * scale) AS BIGINT) AS out_w,
+        |  CAST(floor(height * scale) AS BIGINT) AS out_h
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // FakeDecoder's arithmetic, restated over UTF-8 byte length.
     "mm_decode_meta" ->
