@@ -126,17 +126,19 @@ object Dedup {
     * .sortedIntersectCount) — no per-pair hash set. |union| = |a|+|b|-|∩|.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
-                   bucketTokens: Int = 10): DataFrame = {
+                   bucketTokens: Int = 10, chunks: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.sortedIntersectCount
     val toks = array_sort(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
     val prep = docs.select(
       col("doc_id"), col("lang"), toks.as("toks"),
       floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
         .cast("long").as("bucket"))
-    val a = prep.as("a"); val b = prep.as("b")
+    // A block is one (lang,bucket) key — a handful of fat keys would each
+    // pin a whole task, so the pair grid is chunked over chunks² sub-keys.
+    val (a, b, chunkCond) = Skew.chunkedSelfJoin(prep, "doc_id", chunks)
     val inter = sortedIntersectCount(col("a.toks"), col("b.toks"))
     a.join(b, col("a.lang") === col("b.lang") &&
-              col("a.bucket") === col("b.bucket") &&
+              col("a.bucket") === col("b.bucket") && chunkCond &&
               col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(inter.cast("double") /

@@ -29,6 +29,28 @@ object Skew {
     b.join(s, Seq(key, "__salt"), how).drop("__salt")
   }
 
+  /** Chunked self-join for blocked pair generation: when one blocking key
+    * owns a huge block, the naive self-join computes that whole block's
+    * pairs in ONE task. Chunking hashes each row to one of `chunks`
+    * sub-keys and replicates both sides so every (chunk_i, chunk_j)
+    * combination becomes its own join key — the block's pair grid spreads
+    * over chunks² tasks at the cost of chunks× row replication. Pair set is
+    * identical to the plain blocked self-join (each pair meets exactly once
+    * at key (chunk(x), chunk(y))).
+    *
+    * Returns (a, b, extraCond): alias the caller's block-key equalities with
+    * "a"/"b" and AND them with extraCond.
+    */
+  def chunkedSelfJoin(df: DataFrame, idCol: String, chunks: Int)
+      : (DataFrame, DataFrame, Column) = {
+    val ck = pmod(xxhash64(col(idCol)), lit(chunks.toLong)).cast("int")
+    val all = array((0 until chunks).map(lit): _*)
+    val a = df.withColumn("__ck", ck).withColumn("__cb", explode(all)).as("a")
+    val b = df.withColumn("__ck", ck).withColumn("__ca", explode(all)).as("b")
+    val cond = col("a.__ck") === col("b.__ca") && col("a.__cb") === col("b.__ck")
+    (a, b, cond)
+  }
+
   /** Two-phase (salted) aggregation for power-law group keys: partial
     * aggregate on (key, salt), then final aggregate on key. `partial` maps
     * each input aggregate column to its partial form; `merge` re-aggregates

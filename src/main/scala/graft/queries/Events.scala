@@ -16,7 +16,20 @@ object Events extends QueryPack {
       EventWindows.sliding(table(s, dir, "events"), sizeMin = 30, slideMin = 15)),
 
     "ev_sessionize" -> ((s, dir) =>
-      EventWindows.sessionize(table(s, dir, "events"), gapMin = 30))
+      EventWindows.sessionize(table(s, dir, "events"), gapMin = 30)),
+
+    // Semi-structured props: JSON field extraction + aggregation (the
+    // API-source JSON surface, S3 family, applied to an event stream).
+    "ev_props_json" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").try_cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -38,6 +51,14 @@ object Events extends QueryPack {
         |SELECT win_start, event_type, count(*) AS n,
         |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
         |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_props_json" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Sessionization: session boundary when gap > 30min (strict), per user,
     // ties broken by event_id; session_id = running count of boundaries.
