@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.etl.{functions => F}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -115,6 +116,50 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Duplicate-cluster resolution: connected components over near-dup pair
+    * edges via iterative min-label propagation (the post-pair step a real
+    * dedup pipeline needs — pick one survivor per cluster, drop the rest).
+    *
+    * Each iteration is one join + one min-aggregate; labels converge to the
+    * minimum doc_id reachable in each component (unique fixpoint, so the
+    * result is engine-independent — DuckDB's recursive-CTE closure computes
+    * the identical clustering). Iterations are bounded by the component
+    * diameter, and `localCheckpoint` truncates lineage each round so plans
+    * don't grow exponentially. At cluster scale swap for reliable
+    * `checkpoint` + the large-star/small-star formulation; the loop shape is
+    * the same.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    // Convergence: labels only ever decrease, so Σlabel strictly decreases
+    // iff any label changed — one scalar aggregate per round instead of a
+    // labels-vs-previous join. Decimal sum so huge id spaces can't overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = prevSum != null && s != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
   }
 
   /** Exact n-gram Jaccard near-dup within deterministic blocks.

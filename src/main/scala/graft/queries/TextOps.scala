@@ -19,7 +19,10 @@ object TextOps extends QueryPack {
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)),
     "dd_minhash_lsh"   -> ((s, dir) => Dedup.minHashLsh(table(s, dir, "documents"))),
-    "dd_simhash"       -> ((s, dir) => Dedup.simHash(table(s, dir, "documents")))
+    "dd_simhash"       -> ((s, dir) => Dedup.simHash(table(s, dir, "documents"))),
+    "dd_dup_clusters"  -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -82,6 +85,33 @@ object TextOps extends QueryPack {
     "dd_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // Same edge set as dd_ngram_jaccard; closure via recursive CTE. The
+    // min-reachable-id labeling is a unique fixpoint, so the iterative
+    // Spark propagation and the SQL transitive closure agree exactly.
+    "dd_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks,
+        |    CAST(len(string_split_regex(text, '\s+')) // 10 AS BIGINT) AS bucket
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, x.r FROM edges e JOIN reach x ON x.id = e.dst),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH t AS (

@@ -52,6 +52,18 @@ class OpsSpec extends SparkSpec {
     assert(nh((10L, 11L)) == 5) // deterministic: xxhash64 is seeded
   }
 
+  test("duplicate clusters: min-label connected components over pair edges") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = rows(Dedup.duplicateClusters(pairs))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_members")))
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),       // chain 1-2-3
+      (5L, 5L, 2L), (6L, 5L, 2L),                     // pair 5-6
+      (7L, 7L, 3L), (8L, 7L, 3L), (9L, 7L, 3L)))      // star 7-9-8
+  }
+
   test("ngram jaccard: identical = 1.0, near dup high, cross-lang blocked") {
     val got = rows(Dedup.ngramJaccard(docs, threshold = 0.4))
     val j = got.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
