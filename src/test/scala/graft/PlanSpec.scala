@@ -64,6 +64,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("rollup expands partially before the exchange") {
+    val p = plan("r1_rollup")
+    assert(p.contains("Expand"), "rollup lost its Expand node")
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("ivf centroid assignment is a broadcast product, not a shuffle") {
+    val p = plan("sim_ivf_topk")
+    // m centroids broadcast against the corpus: BroadcastNestedLoopJoin is
+    // the intended shape for the crossJoin; a shuffled CartesianProduct is not
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
