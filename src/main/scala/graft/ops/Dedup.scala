@@ -18,6 +18,15 @@ import graft.etl.{functions => F}
   */
 object Dedup {
 
+  /** Seeded 60-bit hash both engines can compute: low 15 hex chars of
+    * md5("seed:value") parsed base-16. DuckDB twin:
+    * `CAST('0x' || substr(md5(seed || ':' || v), 1, 15) AS BIGINT)`.
+    * A production deployment would swap in xxhash64 (≈4× faster, not
+    * SQL-reproducible) — the algorithms only need *some* fixed hash family. */
+  def seededHash(seed: Int, v: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), v)), 1, 15), 16, 10)
+      .cast("long")
+
   /** Exact dedup: one row per distinct text, keeping the smallest doc_id
     * (deterministic survivor). `dropDuplicates` generalization (SURVEY A1)
     * with an explicit, order-independent survivor rule. */
@@ -63,11 +72,11 @@ object Dedup {
     val sh = long.unionByName(short)
     // 16 min-aggs in a single pass (map-side partial aggregation).
     val hashAggs =
-      (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      (0 until numHashes).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
     val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh")).as(s"b$b")
+      struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bh")).as(s"b$b")
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
@@ -79,32 +88,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash per document + near-dup pairs within `maxHamming`.
+  /** 60-bit SimHash per document + near-dup pairs within `maxHamming`.
     *
-    * SimHash: per token, xxhash64 bits vote +1/-1 per position; sign of the
-    * vote sum forms the fingerprint bit. Computed as 64 conditional sums in
-    * one aggregation pass, reassembled with shifts/ors. Candidates: split
-    * the fingerprint into 4 16-bit bands (pigeonhole: hamming<=3 pairs share
-    * at least one band), verify with bit_count(xor).
+    * SimHash: per distinct token, the seeded-hash bits vote +1/-1 per
+    * position; sign of the vote sum forms the fingerprint bit. Computed as
+    * 60 conditional sums in one aggregation pass, reassembled with
+    * shifts/ors. Candidates: split the fingerprint into 4 15-bit bands
+    * (pigeonhole: hamming<=3 pairs share at least one band), verify with
+    * bit_count(xor). 60 bits (not 64) so the fingerprint stays inside a
+    * signed BIGINT for the DuckDB oracle twin.
     */
+  val SimHashBits = 60
   def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
         .as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteAggs = (0 until 64).map { j =>
+      .withColumn("h", seededHash(0, col("tok")))
+    val voteAggs = (0 until SimHashBits).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
         .as(s"v$j")
     }
     val votes = tok.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
-    val fp = (0 until 64).map { j =>
+    val fp = (0 until SimHashBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     val sigs = votes.select(col("doc_id"), fp.as("simhash"))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL)).as("bh"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.bh").as("bh"))

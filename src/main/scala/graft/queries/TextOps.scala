@@ -3,11 +3,76 @@ package graft.queries
 import graft.ops.{Dedup, TextAnalysis}
 
 /** Text analysis + deduplication queries (SURVEY.md §2.9) over documents.
-  * MinHash-LSH and SimHash use seeded xxhash64 — not reproducible in DuckDB
-  * SQL, so those two are rows-only checked here and recall-tested in
-  * ScalaTest against the exact Jaccard oracle-checked variant.
+  * MinHash-LSH and SimHash hash with Dedup.seededHash (md5-derived 60-bit),
+  * which DuckDB reproduces exactly — so even the randomized-algorithm
+  * queries are hash-checked, with the band/bucket SQL generated from the
+  * same parameters as the Spark plan.
   */
 object TextOps extends QueryPack {
+
+  /** DuckDB twin of Dedup.seededHash. */
+  private def mh(seed: Int, v: String): String =
+    s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
+
+  /** Shared shingle/token CTEs (3-gram shingles, index-exploded like the
+    * Spark side; short docs collapse to one whole-doc shingle). */
+  private val shingleCtes =
+    """t AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |lng AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+      |  FROM t WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS s FROM lng
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(toks, ' ') FROM t WHERE len(toks) < 3)""".stripMargin
+
+  private val minhashOracle: String = {
+    val minAggs = (0 until 16).map(i => s"min(${mh(i, "s")}) AS h$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val bh = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingleCtes,
+      |sig AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  $bandSelects)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val bits = graft.ops.Dedup.SimHashBits
+    val votes = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val fp = (0 until bits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+      |hashed AS (SELECT doc_id, ${mh(0, "tok")} AS h FROM tok),
+      |v AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id),
+      |sigs AS (SELECT doc_id, $fp AS simhash FROM v),
+      |banded AS (
+      |  $bandSelects)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   val queries: Map[String, QFn] = Map(
     "tx_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(table(s, dir, "documents"))),
@@ -28,6 +93,9 @@ object TextOps extends QueryPack {
   private val stop = "'the','a','of','and','to','in','is'"
 
   val oracle: Map[String, String] = Map(
+    "dd_minhash_lsh" -> minhashOracle,
+    "dd_simhash" -> simhashOracle,
+
     "tx_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,

@@ -49,7 +49,7 @@ class OpsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang")
     val nh = rows(Dedup.simHash(near, maxHamming = 24))
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Int]("hamming"))).toMap
-    assert(nh((10L, 11L)) == 5) // deterministic: xxhash64 is seeded
+    assert(nh((10L, 11L)) == 4) // deterministic: seededHash is md5-derived
   }
 
   test("duplicate clusters: min-label connected components over pair edges") {
