@@ -87,6 +87,22 @@ object Analytics extends QueryPack {
         .orderBy($"p_brand")
     }),
 
+    // Pivot: order revenue by nation × order-quarter, quarters to columns.
+    // Explicit pivot values keep the plan single-pass (no distinct-scan).
+    "pv1_pivot" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .pivot(quarter($"o_orderdate"), Seq(1, 2, 3, 4))
+        .agg(dsum($"o_totalprice"))
+        .withColumnsRenamed(Map("1" -> "q1", "2" -> "q2", "3" -> "q3", "4" -> "q4"))
+        .orderBy($"n_name")
+    }),
+
     // Salted two-phase aggregation over a power-law key (3 return flags
     // across 600k rows): partial agg on (key, salt) caps any one task's
     // share of a hot key; the final agg merges 3×salt tiny partials.
@@ -163,6 +179,17 @@ object Analytics extends QueryPack {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "pv1_pivot" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 1) AS DOUBLE), 2) AS q1,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 2) AS DOUBLE), 2) AS q2,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 3) AS DOUBLE), 2) AS q3,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 4) AS DOUBLE), 2) AS q4
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "sk1_skew_agg" ->
       """SELECT l_returnflag,
