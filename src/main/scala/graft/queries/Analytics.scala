@@ -87,6 +87,20 @@ object Analytics extends QueryPack {
         .orderBy($"p_brand")
     }),
 
+    // SQL entry surface + GROUPING SETS (finer than rollup/cube): the query
+    // text goes through Spark's parser over temp views — same Catalyst plan
+    // machinery as the DataFrame API. NULLS FIRST pinned explicitly (Spark
+    // defaults ASC NULLS FIRST, DuckDB NULLS LAST).
+    "gs1_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
     // Pivot: order revenue by nation × order-quarter, quarters to columns.
     // Explicit pivot values keep the plan single-pass (no distinct-scan).
     "pv1_pivot" -> ((s, dir) => {
@@ -179,6 +193,13 @@ object Analytics extends QueryPack {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "gs1_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "pv1_pivot" ->
       """SELECT n_name,

@@ -103,6 +103,18 @@ class OpsSpec extends SparkSpec {
     assert(!cands.contains(4L))   // opposite orthant -> different bucket
   }
 
+  test("native expressions register into SQL via GraftExtensions") {
+    graft.GraftExtensions.register(spark)
+    val dot = rows(spark.sql(
+      "SELECT float_vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d"))
+      .head.getDouble(0)
+    assert(dot == 11.0)
+    val ic = rows(spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c"))
+      .head.getInt(0)
+    assert(ic == 2)
+  }
+
   test("ivf top-k probes only assigned cells; exact on a probed cell") {
     val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1L), k = 3,
       centroidEvery = 2, nprobe = 1)
