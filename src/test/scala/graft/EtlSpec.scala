@@ -56,6 +56,21 @@ class EtlSpec extends SparkSpec {
     assert(Sources.jsonBody(spark, "not json at all").isEmpty)
   }
 
+  test("K1/K2/K4 staging writes: overwrite replaces, append adds, sorted lays out") {
+    import graft.etl.Staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val p = s"$dir/t"
+    Staging.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), p)
+    assert(spark.read.parquet(p).count() == 2)
+    Staging.overwrite(Seq((9L, "z")).toDF("id", "v"), p)   // replace semantics
+    assert(rows(spark.read.parquet(p)).map(_.getLong(0)) == Seq(9L))
+    Staging.append(Seq((10L, "y")).toDF("id", "v"), p)     // append semantics
+    assert(spark.read.parquet(p).count() == 2)
+    val ps = s"$dir/sorted"
+    Staging.overwriteSorted(Seq(3L, 1L, 2L).toDF("k"), ps, Seq("k"))
+    assert(spark.read.parquet(ps).count() == 3)
+  }
+
   test("buildDim: distinct + surrogate keys are 1..N in order") {
     val src = Seq((30L, "c"), (10L, "a"), (20L, "b"), (10L, "a"))
       .toDF("ck", "name")

@@ -220,4 +220,16 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[String]("format")).toSeq == Seq("jpeg", "png"))
     assert(got.forall(_.getAs[Long]("channels") == 3L))
   }
+
+  test("multimodal frame sample strides over fake frames; resize preserves ratio") {
+    val d = Seq((1L, "x" * 100)).toDF("doc_id", "text")   // 100 bytes -> 7 frames
+    val frames = rows(Multimodal.frameSample(d, stride = 2))
+    assert(frames.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(frames.map(_.getAs[Long]("offset_bytes")).toSeq == Seq(0L, 32L, 64L, 96L))
+    val meta = Seq((1L, 512L, 128L), (2L, 100L, 50L)).toDF("doc_id", "width", "height")
+    val plan = rows(Multimodal.resizePlan(meta, maxSide = 256))
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))).toMap
+    assert(plan(1L) == (256L, 64L))   // scaled down by 2, ratio kept
+    assert(plan(2L) == (100L, 50L))   // under the bound -> untouched
+  }
 }
