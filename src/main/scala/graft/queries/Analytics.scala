@@ -87,6 +87,20 @@ object Analytics extends QueryPack {
         .orderBy($"p_brand")
     }),
 
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` share the (n-1)*p linear-interpolation
+    // definition — verified bit-identical at 6 dp).
+    "st1_percentile" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // SQL entry surface + GROUPING SETS (finer than rollup/cube): the query
     // text goes through Spark's parser over temp views — same Catalyst plan
     // machinery as the DataFrame API. NULLS FIRST pinned explicitly (Spark
@@ -193,6 +207,13 @@ object Analytics extends QueryPack {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "st1_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "gs1_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

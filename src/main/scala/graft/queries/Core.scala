@@ -168,6 +168,22 @@ object Core extends QueryPack {
         .orderBy($"c_custkey")
     }),
 
+    // J7: null-safe equi-join (<=>) — nulled keys still pair up, unlike
+    // plain equality which drops them.
+    "j7_null_safe_join" -> ((s, dir) => {
+      import s.implicits._
+      val keyOrNull = (c: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =>
+        when(k % 7 === 0, lit(null).cast("int")).otherwise(c)
+      val cust = table(s, dir, "customer")
+        .select($"c_custkey", keyOrNull($"c_nationkey", $"c_custkey").as("nk"))
+      val supp = table(s, dir, "supplier")
+        .select($"s_suppkey", keyOrNull($"s_nationkey", $"s_suppkey").as("nk"))
+      cust.join(supp, cust("nk") <=> supp("nk"))
+        .groupBy(cust("nk").as("nk"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(asc_nulls_first("nk"))
+    }),
+
     // A8: intersect — nations present among both customers and suppliers.
     "a8_intersect" -> ((s, dir) => {
       import s.implicits._
@@ -341,6 +357,19 @@ object Core extends QueryPack {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "j7_null_safe_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS nk
+        |  FROM supplier)
+        |SELECT c.nk AS nk, count(*) AS n_pairs
+        |FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+        |GROUP BY 1 ORDER BY nk NULLS FIRST""".stripMargin,
 
     "a8_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
