@@ -130,6 +130,29 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Edit-distance near-dup pairs over a normalized prefix, within the same
+    * (lang, token-bucket) blocks as ngramJaccard. Levenshtein is the
+    * classic integer DP — exact in any engine — and the prefix cap bounds
+    * the O(len²) per-pair cost; a real pipeline runs this as the precise
+    * re-rank AFTER a cheap candidate filter (LSH/jaccard), never globally.
+    */
+  def editDistance(docs: DataFrame, maxDist: Int = 10, prefixLen: Int = 40,
+                   bucketTokens: Int = 10): DataFrame = {
+    val prefix = substring(F.normalizeText(lower(col("text"))), 1, prefixLen)
+    val prep = docs.select(
+      col("doc_id"), col("lang"), prefix.as("pfx"),
+      floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
+        .cast("long").as("bucket"))
+    val a = prep.as("a"); val b = prep.as("b")
+    a.join(b, col("a.lang") === col("b.lang") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Duplicate-cluster resolution: connected components over near-dup pair
     * edges via iterative min-label propagation (the post-pair step a real
     * dedup pipeline needs — pick one survivor per cluster, drop the rest).

@@ -87,7 +87,9 @@ object TextOps extends QueryPack {
     "dd_simhash"       -> ((s, dir) => Dedup.simHash(table(s, dir, "documents"))),
     "dd_dup_clusters"  -> ((s, dir) =>
       Dedup.duplicateClusters(
-        Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)))
+        Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5))),
+    "dd_edit_distance" -> ((s, dir) =>
+      Dedup.editDistance(table(s, dir, "documents"), maxDist = 10))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -95,6 +97,19 @@ object TextOps extends QueryPack {
   val oracle: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,
     "dd_simhash" -> simhashOracle,
+
+    "dd_edit_distance" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS pfx,
+        |    CAST(len(string_split_regex(text, '\s+')) // 10 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "tx_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
