@@ -110,6 +110,20 @@ object Scalars extends QueryPack {
         .orderBy($"s_suppkey")
     }),
 
+    // F12 (extension): date arithmetic family — truncation, end-of-month,
+    // clamped month addition, day-of-week. Spark add_months and DuckDB
+    // +INTERVAL share end-of-month clamping; dow normalized to 0=Sunday.
+    "f12_date_arith" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders").select($"o_orderdate").distinct()
+        .select($"o_orderdate",
+          date_trunc("month", $"o_orderdate").cast("date").as("mth"),
+          last_day($"o_orderdate").as("eom"),
+          add_months($"o_orderdate", 3).as("plus3"),
+          (dayofweek($"o_orderdate") - 1).cast("int").as("dow"))
+        .orderBy($"o_orderdate")
+    }),
+
     // F11 date-only cast before DW write.
     "f11_date_cast" -> ((s, dir) => {
       import s.implicits._
@@ -176,6 +190,15 @@ object Scalars extends QueryPack {
       """SELECT s_suppkey, '' AS comentario, '-1' AS cliente_id,
         |  CAST(0.0 AS DOUBLE) AS puntaje, CAST(NULL AS VARCHAR) AS sentimiento
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "f12_date_arith" ->
+      """SELECT o_orderdate,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+        |  CAST(last_day(o_orderdate) AS DATE) AS eom,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3,
+        |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
+        |FROM (SELECT DISTINCT o_orderdate FROM orders)
+        |ORDER BY o_orderdate""".stripMargin,
 
     "f11_date_cast" ->
       """SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders
