@@ -81,6 +81,16 @@ object functions {
   /** F11 — date-only cast (sync_dimensions_dw.py:127). */
   def toDateOnly(c: Column): Column = to_date(c)
 
+  /** F12 (extension, no reference analogue) — date arithmetic family:
+    * month truncation, end-of-month, clamped month addition, day-of-week
+    * normalized to 0=Sunday (Spark's dayofweek is 1=Sunday). */
+  def dateArith(ts: Column, addMonths: Int = 3): Seq[(String, Column)] = Seq(
+    "mth"   -> date_trunc("month", ts).cast(DateType),
+    "eom"   -> last_day(ts),
+    "plus3" -> add_months(ts, addMonths),
+    "dow"   -> (dayofweek(ts) - 1).cast(IntegerType)
+  )
+
   /** P4 — bulk header normalization (clean_data.py:12-15): strip, lower,
     * spaces -> underscores. Driver-side (operates on names, not data). */
   def normalizeName(name: String): String =

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.etl.{functions => F}
 
-/** Scalar function operators (SURVEY.md §2.6 F1–F11), one oracle-checked
-  * query each. Dirty inputs are *injected* deterministically (key-modulo
+/** Scalar function operators (SURVEY.md §2.6 F1–F11 plus the F12 date-
+  * arithmetic extension), one oracle-checked query each. Dirty inputs are *injected* deterministically (key-modulo
   * garbage / nulls) so the coercion paths actually fire — the testdata
   * parquet is clean. All expressions are built-in Catalyst (codegen), no UDFs.
   */
@@ -110,26 +110,23 @@ object Scalars extends QueryPack {
         .orderBy($"s_suppkey")
     }),
 
-    // F12 (extension): date arithmetic family — truncation, end-of-month,
-    // clamped month addition, day-of-week. Spark add_months and DuckDB
-    // +INTERVAL share end-of-month clamping; dow normalized to 0=Sunday.
-    "f12_date_arith" -> ((s, dir) => {
-      import s.implicits._
-      table(s, dir, "orders").select($"o_orderdate").distinct()
-        .select($"o_orderdate",
-          date_trunc("month", $"o_orderdate").cast("date").as("mth"),
-          last_day($"o_orderdate").as("eom"),
-          add_months($"o_orderdate", 3).as("plus3"),
-          (dayofweek($"o_orderdate") - 1).cast("int").as("dow"))
-        .orderBy($"o_orderdate")
-    }),
-
     // F11 date-only cast before DW write.
     "f11_date_cast" -> ((s, dir) => {
       import s.implicits._
       table(s, dir, "orders")
         .select(F.toDateOnly($"o_orderdate").as("fecha")).distinct()
         .orderBy($"fecha")
+    }),
+
+    // F12 date arithmetic family (F.dateArith) — truncation, end-of-month,
+    // clamped month addition (Spark add_months and DuckDB +INTERVAL share
+    // the clamp), day-of-week normalized to 0=Sunday.
+    "f12_date_arith" -> ((s, dir) => {
+      import s.implicits._
+      val base = table(s, dir, "orders").select($"o_orderdate").distinct()
+      F.dateArith($"o_orderdate")
+        .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+        .orderBy($"o_orderdate")
     })
   )
 
@@ -191,6 +188,10 @@ object Scalars extends QueryPack {
         |  CAST(0.0 AS DOUBLE) AS puntaje, CAST(NULL AS VARCHAR) AS sentimiento
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
+    "f11_date_cast" ->
+      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders
+        |ORDER BY fecha""".stripMargin,
+
     "f12_date_arith" ->
       """SELECT o_orderdate,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
@@ -198,10 +199,6 @@ object Scalars extends QueryPack {
         |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3,
         |  CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
         |FROM (SELECT DISTINCT o_orderdate FROM orders)
-        |ORDER BY o_orderdate""".stripMargin,
-
-    "f11_date_cast" ->
-      """SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders
-        |ORDER BY fecha""".stripMargin
+        |ORDER BY o_orderdate""".stripMargin
   )
 }
