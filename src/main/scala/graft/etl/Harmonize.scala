@@ -41,8 +41,9 @@ object Harmonize {
     df.select(cols: _*)
   }
 
-  /** Union harmonized blocks by name; empty input list -> empty table with
-    * the spec schema (main.py:292-303's empty-frame fallback). */
+  /** Union harmonized blocks by name; empty input list -> None, the
+    * caller's cue for the reference's empty-frame fallback
+    * (main.py:292-303). */
   def unionBlocks(blocks: Seq[DataFrame]): Option[DataFrame] =
     blocks.reduceOption(_.unionByName(_, allowMissingColumns = true))
 }

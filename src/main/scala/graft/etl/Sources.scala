@@ -61,7 +61,16 @@ object Sources {
       return spark.emptyDataFrame
     val unwrapped = raw.schema.fields.find(_.name == "data") match {
       case Some(f) if f.dataType.isInstanceOf[ArrayType] =>
-        raw.select(explode(col("data")).as("row")).select("row.*")
+        f.dataType.asInstanceOf[ArrayType].elementType match {
+          case _: StructType =>
+            raw.select(explode(col("data")).as("row")).select("row.*")
+          case _ =>
+            // scalar envelope {"data":[1,2,3]} -> one-column table
+            // (pandas DataFrame(list-of-scalars) analogue); star-expanding
+            // a scalar would throw, violating the degrade-don't-abort
+            // contract
+            raw.select(explode(col("data")).as("data"))
+        }
       case _ => raw
     }
     standardizeColumns(flattenStructs(unwrapped))

@@ -22,7 +22,11 @@ object StarSchema {
   def buildDim(src: DataFrame, cols: Seq[String], orderCol: String,
                keyName: String): DataFrame = {
     val d = src.select(cols.map(col): _*).distinct()
-    d.withColumn(keyName, row_number().over(Window.orderBy(col(orderCol))))
+    // Tie-break on every projected column: distinct rows always differ
+    // somewhere, so the ordering — and therefore the surrogate key — is
+    // total and reproducible even when orderCol alone has duplicates.
+    val order = (orderCol +: cols.filterNot(_ == orderCol)).map(col)
+    d.withColumn(keyName, row_number().over(Window.orderBy(order: _*)))
       .select((keyName +: cols).map(col): _*)
   }
 

@@ -64,9 +64,10 @@ object functions {
   )
 
   /** F7 — modulo FK remap (main.py:368-369): fold an out-of-range id into
-    * [1, maxId]. */
+    * [1, maxId]. pmod, not % — the sign-following remainder would map
+    * ids <= 0 outside the documented range. */
   def moduloRemap(c: Column, maxId: Column): Column =
-    ((c - lit(1)) % maxId) + lit(1)
+    pmod(c - lit(1), maxId) + lit(1)
 
   /** F8 — string truncate + trim (main.py:265-267): str.strip().str[:n]. */
   def truncateText(c: Column, n: Int = 2000): Column =

@@ -35,6 +35,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Shared blocking key for the near-dup variants: token-count bucket
+    * (floor-division — DuckDB CAST would round-to-nearest, SURVEY §8). */
+  private def tokenBucket(bucketTokens: Int): Column =
+    floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
+      .cast("long")
+
   /** Word n-gram shingles of the normalized text, distinct. */
   def shingles(c: Column, n: Int = 3): Column = {
     val toks = split(F.normalizeText(lower(c)), " ")
@@ -97,6 +103,11 @@ object Dedup {
     * (pigeonhole: hamming<=3 pairs share at least one band), verify with
     * bit_count(xor). 60 bits (not 64) so the fingerprint stays inside a
     * signed BIGINT for the DuckDB oracle twin.
+    *
+    * Recall contract: the 4-band pigeonhole guarantees every pair with
+    * hamming <= 3 becomes a candidate. A larger `maxHamming` widens only
+    * the FILTER — pairs at hamming 4+ may share no band and are then
+    * (legitimately, approximately) missed.
     */
   val SimHashBits = 60
   def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
@@ -141,8 +152,7 @@ object Dedup {
     val prefix = substring(F.normalizeText(lower(col("text"))), 1, prefixLen)
     val prep = docs.select(
       col("doc_id"), col("lang"), prefix.as("pfx"),
-      floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
-        .cast("long").as("bucket"))
+      tokenBucket(bucketTokens).as("bucket"))
     val a = prep.as("a"); val b = prep.as("b")
     a.join(b, col("a.lang") === col("b.lang") &&
               col("a.bucket") === col("b.bucket") &&
@@ -187,7 +197,10 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
       val s = labelSum(labels)
-      converged = prevSum != null && s != null && s.compareTo(prevSum) == 0
+      // both-null = empty label set (no pairs): converged trivially
+      converged =
+        if (s == null || prevSum == null) s == null && prevSum == null
+        else s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
@@ -211,8 +224,7 @@ object Dedup {
     val toks = array_sort(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
     val prep = docs.select(
       col("doc_id"), col("lang"), toks.as("toks"),
-      floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
-        .cast("long").as("bucket"))
+      tokenBucket(bucketTokens).as("bucket"))
     // A block is one (lang,bucket) key — a handful of fat keys would each
     // pin a whole task, so the pair grid is chunked over chunks² sub-keys.
     val (a, b, chunkCond) = Skew.chunkedSelfJoin(prep, "doc_id", chunks)

@@ -54,10 +54,6 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** One sampled frame of a video-like payload. */
-  case class FrameMeta(doc_id: Long, frame_idx: Long, offset_bytes: Long,
-                       frame_hash: Long)
-
   /** Frame sampling: every `stride`-th frame of each payload becomes a row
     * (the explode shape a video pipeline needs — per-frame rows fan out of
     * per-asset rows WITHOUT shuffling; frame decode itself is the stubbed

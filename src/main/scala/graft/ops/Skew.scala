@@ -21,13 +21,20 @@ object Skew {
                  how: String = "inner"): DataFrame = {
     require(how == "inner" || how == "left",
       s"salted join supports inner/left, got $how")
-    val bigCols = big.columns
-    val b = big.withColumn("__salt",
-      pmod(xxhash64(bigCols.map(col): _*), lit(salt.toLong)).cast("int"))
+    val b = big.withColumn("__salt", rowSalt(big, salt))
     val s = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     b.join(s, Seq(key, "__salt"), how).drop("__salt")
   }
+
+  /** Per-row salt. A pure row-content hash would send EXACT duplicate rows
+    * — the archetypal hot key in a dedup pipeline — to one bucket, undoing
+    * the mitigation; mixing in monotonically_increasing_id spreads even
+    * identical rows. Assignment varies run-to-run, results never do (every
+    * salted operation here is assignment-invariant). */
+  private def rowSalt(df: DataFrame, salt: Int) =
+    pmod(xxhash64(monotonically_increasing_id() +:
+      df.columns.map(col): _*), lit(salt.toLong)).cast("int")
 
   /** Chunked self-join for blocked pair generation: when one blocking key
     * owns a huge block, the naive self-join computes that whole block's
@@ -58,8 +65,7 @@ object Skew {
     * phases compose exactly. */
   def twoPhaseAgg(df: DataFrame, key: Seq[String], salt: Int,
                   partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+    val salted = df.withColumn("__salt", rowSalt(df, salt))
     val phase1 = salted
       .groupBy((key :+ "__salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)

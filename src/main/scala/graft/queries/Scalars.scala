@@ -168,10 +168,13 @@ object Scalars extends QueryPack {
         |  dayname(o_orderdate) AS nombre_dia
         |FROM (SELECT DISTINCT o_orderdate FROM orders) ORDER BY o_orderdate""".stripMargin,
 
+    // ((x % m) + m) % m = pmod — DuckDB's % is sign-following and the data
+    // really contains o_custkey = 0, which must fold to m, not 0
     "f7_modulo_remap" ->
       """SELECT o_orderkey,
-        |  ((o_custkey - 1) % (SELECT max(c_custkey) // 2 FROM customer)) + 1 AS id_cliente
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+        |  (((o_custkey - 1) % m) + m) % m + 1 AS id_cliente
+        |FROM orders, (SELECT max(c_custkey) // 2 AS m FROM customer)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "f8_truncate" ->
       """SELECT doc_id, substr(trim('  ' || text || '  '), 1, 50) AS snippet

@@ -145,7 +145,8 @@ object TextOps extends QueryPack {
         |    CAST(len(list_filter(toks, x -> x IN ('的','是','不','了','在'))) AS BIGINT) AS s_zh
         |  FROM t)
         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
-        |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN '??'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'

@@ -21,13 +21,15 @@ object StreamOps {
 
   /** Tumbling event-time window aggregate over a stream, watermarked.
     * Identical result columns to EventWindows.tumbling once the stream is
-    * drained (append mode emits a window when the watermark passes it). */
+    * drained (append mode emits a window when the watermark passes it) —
+    * including `total`, which uses the same decimal-exact dsum so the value
+    * is independent of partial-aggregation order. */
   def tumbling(events: DataFrame, sizeMin: Int,
                watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), s"$sizeMin minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"), graft.queries.dsum(col("value")).as("total"))
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n"), col("total"))
 
@@ -38,7 +40,7 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), s"$sizeMin minutes", s"$slideMin minutes"),
                col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(count(lit(1)).as("n"), graft.queries.dsum(col("value")).as("total"))
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n"), col("total"))
 
@@ -61,8 +63,15 @@ object StreamOps {
     val gapUs = gapMin.toLong * 60L * 1000000L
     val useTimeout = timeout != GroupStateTimeout.NoTimeout()
 
-    def us(t: Timestamp): Long = t.getTime * 1000L
-    def ts(u: Long): Timestamp = new Timestamp(u / 1000L)
+    // Full µs precision: getTime alone truncates to ms and would disagree
+    // with the batch twin's unix_micros on sub-millisecond gaps.
+    def us(t: Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    def ts(u: Long): Timestamp = {
+      val out = new Timestamp(u / 1000000L * 1000L)
+      out.setNanos(((u % 1000000L) * 1000L).toInt)
+      out
+    }
 
     events.groupByKey(_.user_id).flatMapGroupsWithState[SessionState, SessionOut](
       OutputMode.Append(), timeout) {
@@ -109,12 +118,14 @@ object StreamOps {
       .parquet(dir)
 
   /** Drain a streaming DataFrame into an in-memory table and return the
-    * result (test/dev harness; production would writeStream to a sink). */
-  def drainToTable(df: DataFrame, name: String): DataFrame = {
+    * result (test/dev harness; production would writeStream to a sink).
+    * Use "complete" mode for aggregates — "append" withholds every window
+    * the final watermark has not passed, silently truncating the drain. */
+  def drainToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val q: StreamingQuery = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(if (df.isStreaming) "append" else "append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

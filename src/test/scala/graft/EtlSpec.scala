@@ -53,6 +53,8 @@ class EtlSpec extends SparkSpec {
     assert(arr.count() == 2)
     val single = Sources.jsonBody(spark, """{"a":{"b":3}}""")
     assert(rows(single).head.getAs[Long]("a_b") == 3L)
+    val scalars = Sources.jsonBody(spark, """{"data":[1,2,3]}""")
+    assert(rows(scalars).map(_.getLong(0)) == Seq(1L, 2L, 3L)) // no star-expand crash
     assert(Sources.jsonBody(spark, "not json at all").isEmpty)
   }
 

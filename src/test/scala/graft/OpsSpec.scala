@@ -176,6 +176,9 @@ class OpsSpec extends SparkSpec {
     val lid = rows(TextAnalysis.languageId(docs)).map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(lid(1L) == "en" && lid(5L) == "es")
+    val unknown = rows(TextAnalysis.languageId(
+      Seq((9L, "12345 67890", "xx")).toDF("doc_id", "text", "lang")))
+    assert(unknown.head.getAs[String]("pred_lang") == "??")
     val fp = rows(TextAnalysis.fingerprint(docs)).map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[String]("fp_doc")).toMap
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))

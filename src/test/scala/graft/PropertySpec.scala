@@ -67,13 +67,14 @@ class PropertySpec extends SparkSpec {
   }
 
   test("moduloRemap lands in [1, max] and is identity on in-range ids") {
-    val cases = samples(Gen.zip(Gen.chooseNum(1L, 100000L), Gen.chooseNum(1L, 500L)), 300)
+    // includes ids <= 0: pmod semantics must still land in range
+    val cases = samples(Gen.zip(Gen.chooseNum(-100000L, 100000L), Gen.chooseNum(1L, 500L)), 300)
     val df = cases.toDF("id", "max")
       .select($"id", $"max", F.moduloRemap($"id", $"max").as("k"))
     rows(df).foreach { r =>
       val (id, max, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
       assert(k >= 1 && k <= max, s"$id % $max -> $k out of range")
-      if (id <= max) assert(k == id)
+      if (id >= 1 && id <= max) assert(k == id)
     }
   }
 

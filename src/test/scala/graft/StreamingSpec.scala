@@ -31,13 +31,14 @@ class StreamingSpec extends SparkSpec {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val got = rows(spark.table("tumble_out")
-      .select($"win_start", $"event_type", $"n")
+      .select($"win_start", $"event_type", $"n", $"total")
       .orderBy($"win_start", $"event_type"))
     val want = rows(EventWindows.tumbling(eventData.toDF(), sizeMin = 15)
-      .select($"win_start", $"event_type", $"n"))
-      .map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2)))
-    assert(got.map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2)))
-      == want)
+      .select($"win_start", $"event_type", $"n", $"total"))
+      .map(r => (r.getTimestamp(0).toInstant, r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(r => (r.getTimestamp(0).toInstant, r.getString(1),
+      r.getLong(2), r.getDouble(3))) == want)
   }
 
   test("streaming sessionize closes a session when the gap passes in-stream") {
