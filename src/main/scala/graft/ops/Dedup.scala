@@ -154,12 +154,16 @@ object Dedup {
       col("doc_id"), col("lang"), prefix.as("pfx"),
       tokenBucket(bucketTokens).as("bucket"))
     val a = prep.as("a"); val b = prep.as("b")
+    // length-difference lower bound culls pairs before any DP; the bounded
+    // 3-arg levenshtein runs a banded O(len·maxDist) DP that is exact for
+    // distances <= maxDist and returns -1 beyond — both result-invariant
     a.join(b, col("a.lang") === col("b.lang") &&
               col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
+              col("a.doc_id") < col("b.doc_id") &&
+              abs(length(col("a.pfx")) - length(col("b.pfx"))) <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.pfx"), col("b.pfx")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("a.pfx"), col("b.pfx"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
