@@ -31,6 +31,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_.queries).toMap
 
+  /** Java regex (Spark) counts vertical tab U+000B as \s; RE2 (DuckDB) does
+    * not. Every oracle's `\s` is rewritten to the explicit Java-equivalent
+    * class centrally, so tokenization parity holds on any corpus — not just
+    * one that happens to contain no control characters. */
+  private def javaWhitespace(sql: String): String =
+    sql.replace("\\s", "[ \\t\\n\\x0b\\f\\r]")
+
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracle).toMap
+    packs.flatMap(_.oracle).toMap.view.mapValues(javaWhitespace).toMap
 }

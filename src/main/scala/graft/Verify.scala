@@ -19,6 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Drop any previous dump FIRST: if the query now throws before its
+      // overwrite executes, a stale-but-correct result from an earlier run
+      // must not survive for the checker to silently pass on.
+      val dest = java.nio.file.Paths.get(s"$outDir/$name")
+      if (java.nio.file.Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dest).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

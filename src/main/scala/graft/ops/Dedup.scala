@@ -149,7 +149,14 @@ object Dedup {
     */
   def editDistance(docs: DataFrame, maxDist: Int = 10, prefixLen: Int = 40,
                    bucketTokens: Int = 10): DataFrame = {
-    val prefix = substring(F.normalizeText(lower(col("text"))), 1, prefixLen)
+    // ASCII projection before the prefix: Spark's levenshtein counts
+    // characters while DuckDB 1.0's counts UTF-8 bytes — they agree only on
+    // ASCII, so the comparable prefix is defined over the ASCII projection
+    // (a coarse-prefilter semantic, documented; CJK text falls back to the
+    // other dedup variants).
+    val prefix = substring(
+      regexp_replace(F.normalizeText(lower(col("text"))), "[^\\x00-\\x7F]", ""),
+      1, prefixLen)
     val prep = docs.select(
       col("doc_id"), col("lang"), prefix.as("pfx"),
       tokenBucket(bucketTokens).as("bucket"))
@@ -208,6 +215,10 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    if (!converged)
+      System.err.println(s"[dedup] duplicateClusters hit maxIter=$maxIter " +
+        "without converging — components with diameter beyond the cap keep " +
+        "non-minimal labels; raise maxIter for deeper chains")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(w))

@@ -101,7 +101,7 @@ object TextOps extends QueryPack {
     "dd_edit_distance" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 40) AS pfx,
+        |    substr(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^\x00-\x7F]', '', 'g'), 1, 40) AS pfx,
         |    CAST(len(string_split_regex(text, '\s+')) // 10 AS BIGINT) AS bucket
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
