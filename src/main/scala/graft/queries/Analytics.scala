@@ -69,6 +69,16 @@ object Analytics extends QueryPack {
         .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
     }),
 
+    // Cube: every grouping combination of (status, priority) — the full
+    // 2^k lattice, where rollup covers only the hierarchy prefixes.
+    "cb1_cube" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
     // Wide-table join (part): promo revenue share per brand. The part dim
     // broadcasts; the lineitem side carries only 3 columns.
     "pt1_promo_share" -> ((s, dir) => {
@@ -198,6 +208,12 @@ object Analytics extends QueryPack {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "cb1_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "pt1_promo_share" ->
       """SELECT p_brand,

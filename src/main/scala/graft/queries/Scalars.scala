@@ -20,14 +20,17 @@ object Scalars extends QueryPack {
         .orderBy($"doc_id")
     }),
 
-    // F2 parse_date: errors="coerce" — garbage rows parse to null.
+    // F2 parse_date: errors="coerce" — garbage rows parse to null; mixed
+    // source formats resolve first-match-wins (the reference's permissive
+    // pd.to_datetime accepts heterogeneous formats the same way).
     "f2_parse_date" -> ((s, dir) => {
       import s.implicits._
       val src = table(s, dir, "orders").select($"o_orderkey",
         when($"o_orderkey" % 10 === 0, lit("not-a-date"))
+          .when($"o_orderkey" % 3 === 0, date_format($"o_orderdate", "dd/MM/yyyy"))
           .otherwise(date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss")).as("s"))
       src.select($"o_orderkey",
-          F.parseDate($"s", Seq("yyyy-MM-dd HH:mm:ss")).as("parsed"))
+          F.parseDate($"s", Seq("yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy")).as("parsed"))
         .orderBy($"o_orderkey")
     }),
 
@@ -137,11 +140,16 @@ object Scalars extends QueryPack {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "f2_parse_date" ->
-      """SELECT o_orderkey,
-        |  try_strptime(CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
-        |    ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END,
-        |    '%Y-%m-%d %H:%M:%S') AS parsed
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
+        |         WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+        |         ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS s
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  coalesce(try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+        |           try_strptime(s, '%d/%m/%Y')) AS parsed
+        |FROM src ORDER BY o_orderkey""".stripMargin,
 
     "f3_numeric_coercion" ->
       """SELECT o_orderkey,
