@@ -160,6 +160,19 @@ object Analytics extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Unpivot (melt): wide measure columns to (key, metric, value) rows —
+    // the inverse of pivot, a narrow scan feeding per-metric pipelines.
+    "uv1_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .filter($"l_orderkey" % 100 === 0)
+        .unpivot(
+          ids = Array($"l_orderkey", $"l_linenumber"),
+          values = Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+          variableColumnName = "metric", valueColumnName = "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    }),
+
     // Per-label embedding centroid, flattened to (label, dim, mean) — the
     // posexplode keeps the result schema array-free (hash-comparable) and
     // the aggregation decimal-exact.
@@ -248,6 +261,18 @@ object Analytics extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "uv1_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, "value" FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS "value"
+        |  FROM lineitem WHERE l_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey % 100 = 0) t
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "sk1_skew_agg" ->
       """SELECT l_returnflag,
