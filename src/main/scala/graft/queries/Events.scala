@@ -18,6 +18,13 @@ object Events extends QueryPack {
     "ev_sessionize" -> ((s, dir) =>
       EventWindows.sessionize(table(s, dir, "events"), gapMin = 30)),
 
+    // Distinct-user sketch: the judged artifact is the exact integer
+    // (bucket, max_rho) table — the mergeable HLL form; the float estimate
+    // stays driver-side (Sketch.estimate, tolerance-tested in OpsSpec).
+    "ev_hll_sketch" -> ((s, dir) =>
+      graft.ops.Sketch.hllSketch(table(s, dir, "events"),
+        org.apache.spark.sql.functions.col("user_id"), m = 64)),
+
     // Semi-structured props: JSON field extraction + aggregation (the
     // API-source JSON surface, S3 family, applied to an event stream).
     "ev_props_json" -> ((s, dir) => {
@@ -51,6 +58,18 @@ object Events extends QueryPack {
         |SELECT win_start, event_type, count(*) AS n,
         |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
         |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 60-bit md5 hash split into 6 bucket bits + 54 rank bits; rho via
+    // length(bin(w)) — exact in both engines (neither pads bin()).
+    "ev_hll_sketch" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(7 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events)
+        |SELECT CAST(h & 63 AS INTEGER) AS bucket,
+        |  CAST(max(CASE WHEN h >> 6 = 0 THEN 55
+        |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
+        |  count(*) AS n_items
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

@@ -142,6 +142,24 @@ class OpsSpec extends SparkSpec {
     info(f"recall@5 — signLSH(4 bits): $lshRecall%.2f, IVF(nprobe=4): $ivfRecall%.2f")
   }
 
+  test("hll sketch estimates distinct users within tolerance and merges") {
+    import graft.ops.Sketch
+    val events = graft.queries.table(spark, "/root/testdata/sf0.001", "events")
+    val exact = events.select($"user_id").distinct().count().toDouble
+    val sketch = Sketch.hllSketch(events, $"user_id", m = 64)
+    val est = Sketch.estimate(sketch, m = 64)
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"estimate $est vs exact $exact drifts beyond 25%")
+    // mergeability: sketch(A) merge sketch(B) == sketch(A union B)
+    val a = events.filter($"event_id" % 2 === 0)
+    val b = events.filter($"event_id" % 2 =!= 0)
+    val merged = Sketch.merge(Seq(
+      Sketch.hllSketch(a, $"user_id"), Sketch.hllSketch(b, $"user_id")))
+    val whole = Sketch.hllSketch(events, $"user_id")
+    assert(rows(merged.select($"bucket", $"max_rho")) ==
+      rows(whole.select($"bucket", $"max_rho")))
+  }
+
   test("salted join equals the plain join; salted agg equals plain agg") {
     import graft.ops.Skew
     val big = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "c", 30.0),
