@@ -77,6 +77,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("hll sketch aggregates partially before its single exchange") {
+    val p = plan("ev_hll_sketch")
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+  }
+
+  test("unpivot expands without a shuffle before the sort") {
+    val p = plan("uv1_unpivot")
+    assert(p.contains("Expand"), "unpivot lost its Expand node")
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
