@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector/similarity hot path.
   *
@@ -107,10 +108,56 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Shared eval helper for SortedDistinctStrings (called from both the
+    * interpreted path and the generated Java — top-level objects expose
+    * static forwarders, so `graft.functions.VectorExpressions.sortDistinct`
+    * resolves from Janino-compiled code). Input must be a null-free
+    * array<string> (split() output); sort order is UTF8String binary order,
+    * the same order SortedIntersectCount's merge assumes. */
+  def sortDistinct(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { arr(i) = a.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+    var m = 0
+    var j = 0
+    while (j < n) {
+      if (m == 0 || arr(j).compareTo(arr(m - 1)) != 0) { arr(m) = arr(j); m += 1 }
+      j += 1
+    }
+    new GenericArrayData(
+      java.util.Arrays.copyOf(arr.asInstanceOf[Array[AnyRef]], m))
+  }
+
+  /** array_sort(array_distinct(x)) for array<string>, as ONE codegen'd
+    * primitive pass. The built-in `array_sort` expands to a higher-order
+    * comparator lambda that is invoked (boxed, interpreted) per comparison
+    * — ~100 µs per 25-token document, which dominated the n-gram Jaccard
+    * pair generation. This expression sorts UTF8Strings directly
+    * (binary-comparable, same order) and dedupes adjacent in the same pass. */
+  case class SortedDistinctStrings(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def prettyName: String = "sorted_distinct_strings"
+
+    override protected def nullSafeEval(a: Any): Any =
+      sortDistinct(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExpressions.sortDistinct($c)")
+
+    override protected def withNewChildInternal(
+        newChild: Expression): SortedDistinctStrings = copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def dotf(a: Column, b: Column): Column =
     bridge.column(FloatVecDot(bridge.expression(a), bridge.expression(b)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
+
+  def sortedDistinctStrings(a: Column): Column =
+    bridge.column(SortedDistinctStrings(bridge.expression(a)))
 }

@@ -171,54 +171,90 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.pfx"), col("b.pfx"), maxDist).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      // recompute barrier before the range sort — see ngramJaccard
+      .repartition(col("doc_a"), col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Duplicate-cluster resolution: connected components over near-dup pair
-    * edges via iterative min-label propagation (the post-pair step a real
-    * dedup pipeline needs — pick one survivor per cluster, drop the rest).
+    * edges via the alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * post-pair step a real dedup pipeline needs: pick one survivor per
+    * cluster, drop the rest.
     *
-    * Each iteration is one join + one min-aggregate; labels converge to the
-    * minimum doc_id reachable in each component (unique fixpoint, so the
-    * result is engine-independent — DuckDB's recursive-CTE closure computes
-    * the identical clustering). Iterations are bounded by the component
-    * diameter, and `localCheckpoint` truncates lineage each round so plans
-    * don't grow exponentially. At cluster scale swap for reliable
-    * `checkpoint` + the large-star/small-star formulation; the loop shape is
-    * the same.
+    * Each round applies large-star (hook every node's strictly-larger
+    * neighbors to its neighborhood minimum) then small-star (hook the
+    * smaller-or-equal neighbors and the node itself to that minimum). Both
+    * are one groupBy + one join over the edge list; the edge set contracts
+    * toward a star forest whose roots are the component minima in
+    * **O(log n) rounds** — not O(component diameter) like plain min-label
+    * propagation, which is the difference between 4 rounds and hundreds on
+    * the chain-shaped clusters transitive near-dup edges produce at scale.
+    * Labels converge to the minimum doc_id in each component (unique
+    * fixpoint, so the result is engine-independent — DuckDB's
+    * recursive-CTE closure computes the identical clustering).
+    *
+    * Convergence detector: every emitted edge (v, m) has m ≤ both of some
+    * input edge's endpoints, termwise, so Φ = Σ(src+dst) is non-increasing
+    * and strictly decreases unless BOTH ops are already at their fixpoint
+    * (a star forest) — one tiny scalar aggregate per round, no
+    * edges-vs-previous join. Decimal sum so huge id spaces can't overflow.
+    * `localCheckpoint` truncates lineage each round so plans don't grow
+    * exponentially (swap for reliable `checkpoint` on a real cluster).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    // Convergence: labels only ever decrease, so Σlabel strictly decreases
-    // iff any label changed — one scalar aggregate per round instead of a
-    // labels-vs-previous join. Decimal sum so huge id spaces can't overflow.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).first().getDecimal(0)
-    var prevSum = labelSum(labels)
+      .filter(col("src") =!= col("dst"))
+    // min over the full neighborhood ∪ self, per node
+    def nbrMin(nbrs: DataFrame): DataFrame =
+      nbrs.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+    // large-star: for each u, connect neighbors v > u to m(u)
+    def largeStar(edges: DataFrame): DataFrame = {
+      val nbrs = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      nbrs.join(nbrMin(nbrs), nbrs("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: orient each edge large→small; for each u, connect its
+    // smaller neighbors AND u itself to m(u); drop the (m, m) self-loop
+    def smallStar(edges: DataFrame): DataFrame = {
+      val dir = edges.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val withMin = dir.join(nbrMin(dir), dir("src") === col("u"))
+      withMin.select(col("dst").as("src"), col("m").as("dst"))
+        .union(withMin.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def phi(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum((col("src") + col("dst")).cast(DecimalType(38, 0))))
+        .first().getDecimal(0)
+    var edges = e0.distinct().localCheckpoint()
+    var prevPhi = phi(edges)
     var iter = 0
-    var converged = false
+    var converged = prevPhi == null // no edges at all: trivially done
     while (!converged && iter < maxIter) {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      labels = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val s = labelSum(labels)
-      // both-null = empty label set (no pairs): converged trivially
-      converged =
-        if (s == null || prevSum == null) s == null && prevSum == null
-        else s.compareTo(prevSum) == 0
-      prevSum = s
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s = phi(edges)
+      converged = s != null && s.compareTo(prevPhi) == 0
+      prevPhi = s
       iter += 1
     }
     if (!converged)
       System.err.println(s"[dedup] duplicateClusters hit maxIter=$maxIter " +
-        "without converging — components with diameter beyond the cap keep " +
-        "non-minimal labels; raise maxIter for deeper chains")
+        s"without converging — components beyond ~2^$maxIter nodes keep " +
+        "non-minimal labels; raise maxIter")
+    // At the fixpoint the edge set is a star forest: every non-root node
+    // has exactly one neighbor, its component minimum; roots label
+    // themselves via least(min(dst), src).
+    val nbrs = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = nbrMin(nbrs)
+      .select(col("u").as("id"), col("m").as("label"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(w))
@@ -235,8 +271,11 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    bucketTokens: Int = 10, chunks: Int = 4): DataFrame = {
-    import graft.functions.VectorExpressions.sortedIntersectCount
-    val toks = array_sort(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
+    import graft.functions.VectorExpressions.{sortedDistinctStrings, sortedIntersectCount}
+    // One codegen'd pass for distinct+sort — the built-in array_sort's
+    // interpreted comparator lambda dominated pair generation (~100 µs/doc
+    // on both join sides).
+    val toks = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
     val prep = docs.select(
       col("doc_id"), col("lang"), toks.as("toks"),
       tokenBucket(bucketTokens).as("bucket"))
@@ -244,14 +283,32 @@ object Dedup {
     // pin a whole task, so the pair grid is chunked over chunks² sub-keys.
     val (a, b, chunkCond) = Skew.chunkedSelfJoin(prep, "doc_id", chunks)
     val inter = sortedIntersectCount(col("a.toks"), col("b.toks"))
+    val jaccard = round(inter.cast("double") /
+      (size(col("a.toks")) + size(col("b.toks")) - inter).cast("double"), 6)
+    // J ≥ t forces min(|a|,|b|)·(1+t) ≥ t·(|a|+|b|) — a necessary size
+    // condition costing two array lengths, culling pairs BEFORE the merge
+    // intersect runs. t is slacked by 1e-6 so a raw J inside the 6-dp
+    // round-up window of t can never be dropped (oracle compares the
+    // ROUNDED value). The threshold test itself lives in the join condition
+    // AFTER the cheap predicates — written order is preserved here, whereas
+    // a separate .filter() gets pushed down PREPENDED, putting the O(|a|+|b|)
+    // merge in front of the one-instruction id compare.
+    val tSlack = threshold - 1e-6
+    val sizePre =
+      least(size(col("a.toks")), size(col("b.toks"))).cast("double") * (1.0 + tSlack) >=
+        lit(tSlack) * (size(col("a.toks")) + size(col("b.toks"))).cast("double")
     a.join(b, col("a.lang") === col("b.lang") &&
               col("a.bucket") === col("b.bucket") && chunkCond &&
-              col("a.doc_id") < col("b.doc_id"))
+              col("a.doc_id") < col("b.doc_id") && sizePre &&
+              jaccard >= threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter.cast("double") /
-          (size(col("a.toks")) + size(col("b.toks")) - inter).cast("double"),
-          6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        jaccard.as("jaccard"))
+      // The hash repartition is a recompute barrier: the orderBy's range-
+      // partitioner SAMPLES its child, and without a shuffle in between that
+      // sampling pass re-executes the whole join (2× the query). With it,
+      // the sampling re-reads materialized shuffle files of the (small,
+      // already-filtered) pair list instead.
+      .repartition(col("doc_a"), col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -95,25 +95,53 @@ object Similarity {
     val cent = broadcast(corpus.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("c_nrm")))
-    def nearest(df: DataFrame, idCol: String, embCol: String, nrmCol: String,
-                keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_sim").desc, col("c_id"))
+    def scored(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
       df.crossJoin(cent)
         .withColumn("c_sim",
           round(dotf(col(embCol), col("c_emb")) / col(nrmCol) / col("c_nrm"), 6))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-        .drop("c_emb", "c_nrm", "c_sim", "c_rank")
-    }
-    val corpusAssigned = nearest(
+    // Corpus→centroid assignment is argmax(c_sim, tie → smallest c_id),
+    // computed as an AGGREGATION, not a row_number window: the |corpus|·m
+    // scored rows collapse inside the partial (map-side) HashAggregate, so
+    // only one row per corpus vector ever reaches the exchange. A window
+    // here would shuffle all |corpus|·m rows — the one plan shape that
+    // inverts at 100× scale (m ≈ √n makes the exchange dwarf the probe
+    // saving). Two details keep the aggregate a genuine HashAggregate
+    // (primitive mutable buffer, no per-partition sort):
+    //  - the (c_sim DESC, c_id ASC) argmax ordering is packed into ONE
+    //    BIGINT — sim is already rounded to 6 dp so (sim·1e6 + 1e6) is an
+    //    exact integer in [0, 2e6] (21 bits), shifted above 41 id bits with
+    //    the id complemented so max() = best sim, then smallest c_id. (A
+    //    max_by/first pair would carry a struct/array buffer → SortAggregate
+    //    → a wasted O(n·m log n·m) local sort.) Precondition: centroid ids
+    //    < 2^41 ≈ 2.2e12 — ample for any corpus (100 TB of 64-dim floats is
+    //    ~4e11 vectors).
+    //  - the embedding/norm ride in the GROUP BY key (unique per vec_id),
+    //    not through a first() aggregate, so the buffer stays primitive.
+    val idMask = (1L << 41) - 1
+    val packed =
+      (round(col("c_sim") * 1000000L, 0).cast("long") + 1000000L) * (idMask + 1) +
+        (lit(idMask) - col("c_id"))
+    val corpusAssigned = scored(
       corpus.select(col("vec_id"), col("embedding"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm")),
-      "vec_id", "embedding", "nrm", keep = 1)
-    val queryProbes = nearest(
-      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")),
-      "q_id", "q_emb", "q_nrm", keep = nprobe)
+      "embedding", "nrm")
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(max(packed).as("pk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (lit(idMask) - col("pk").bitwiseAND(lit(idMask))).as("c_id"))
+    // Query probes keep the top-nprobe cells; the query set is bounded, so
+    // a per-q_id window over m·|queries| rows is cheap and stays cheap.
+    val queryProbes = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      scored(
+        queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")),
+        "q_emb", "q_nrm")
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= nprobe)
+        .drop("c_emb", "c_nrm", "c_sim", "c_rank")
+    }
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     queryProbes.join(corpusAssigned, Seq("c_id"))
@@ -140,6 +168,9 @@ object Similarity {
         round(dotf(col("a.embedding"), col("b.embedding"))
           / col("a.nrm") / col("b.nrm"), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      // recompute barrier before the range sort — orderBy's sampling pass
+      // would otherwise re-execute the whole self-join (see Dedup.ngramJaccard)
+      .repartition(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 }

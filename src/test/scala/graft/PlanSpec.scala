@@ -77,6 +77,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ivf corpus assignment partial-aggregates; no window over scored rows") {
+    val p = plan("sim_ivf_topk")
+    // The |corpus|·m argmax must collapse map-side (a packed-BIGINT max()
+    // inside a partial HashAggregate) — a row_number window there would
+    // exchange every scored row, and a struct-buffered max_by would fall
+    // back to SortAggregate (local sort of all scored rows). Only two
+    // Window nodes may remain: the bounded query-probe ranking and the
+    // final per-query top-k.
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "corpus assignment aggregation is not a partial HashAggregate")
+    assert(!p.contains("SortAggregate"),
+      "corpus assignment fell back to SortAggregate (non-primitive buffer)")
+    // formatted explain names each node twice (tree + details): 2 Window
+    // nodes (query probes + final top-k) = 4 mentions; a third would mean
+    // the corpus assignment regressed to a window
+    assert(p.split("\\bWindow\\b").length - 1 <= 4,
+      s"unexpected extra Window node — corpus assignment regressed to a window\n${p.take(800)}")
+  }
+
   test("hll sketch aggregates partially before its single exchange") {
     val p = plan("ev_hll_sketch")
     assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
