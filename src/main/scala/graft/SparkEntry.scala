@@ -34,9 +34,34 @@ object SparkEntry {
   /** Java regex (Spark) counts vertical tab U+000B as \s; RE2 (DuckDB) does
     * not. Every oracle's `\s` is rewritten to the explicit Java-equivalent
     * class centrally, so tokenization parity holds on any corpus — not just
-    * one that happens to contain no control characters. */
-  private def javaWhitespace(sql: String): String =
-    sql.replace("\\s", "[ \\t\\n\\x0b\\f\\r]")
+    * one that happens to contain no control characters.
+    *
+    * The rewrite is CLASS-AWARE: a `\s` already inside `[...]` (e.g.
+    * `[^A-Za-z0-9\s]`) splices the bare characters — wrapping a bracketed
+    * class there would make RE2 read the inner `[` as a literal and
+    * silently change what the class matches. Outside a class it emits the
+    * bracketed form as before. Bracket state is tracked textually; the only
+    * other `[` in oracle SQL is DuckDB list slicing (`toks[i:j]`), which
+    * never contains `\s`. */
+  private[graft] def javaWhitespace(sql: String): String = {
+    val bare = " \\t\\n\\x0b\\f\\r"
+    val out = new StringBuilder(sql.length + 64)
+    var inClass = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\\' && i + 1 < sql.length && sql.charAt(i + 1) == 's') {
+        out ++= (if (inClass) bare else s"[$bare]")
+        i += 2
+      } else {
+        if (c == '[') inClass = true
+        else if (c == ']') inClass = false
+        out += c
+        i += 1
+      }
+    }
+    out.toString
+  }
 
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracle).toMap.view.mapValues(javaWhitespace).toMap

@@ -13,24 +13,48 @@ import org.apache.spark.sql.types._
 object Sources {
 
   /** S1 — CSV scan (csv_extractor.py:4-10). The reference reads with
-    * `na_filter=False`: empty cells stay "" and never become null. Spark's
-    * csv reader nulls empty strings, so when `naFilter = false` we restore
-    * "" on all string columns post-read (SURVEY §7.3.5).
+    * `na_filter=False`, whose pandas semantics are PER COLUMN: a column
+    * containing any empty cell keeps object dtype with `""` preserved
+    * (never NaN/null), while a fully-populated column still infers its
+    * numeric type. Spark's reader can't express that directly (with
+    * inferSchema a mostly-numeric column with empties infers numeric and
+    * the empties become null), so `naFilter = false` reproduces it exactly:
+    * read as strings with "" restored, take Spark's inferred schema from a
+    * schema-only pass, and apply the inferred type ONLY to columns with no
+    * empty cells (via try_cast — the engine's coercion contract). The
+    * per-column emptiness probe is one aggregate action; eager source
+    * construction is the reference's own model (every extractor returns a
+    * materialized frame).
     */
   def csv(spark: SparkSession, path: String, naFilter: Boolean = false,
           options: Map[String, String] = Map.empty): DataFrame = {
-    val df = spark.read
-      .option("header", "true")
-      .option("inferSchema", "true")
-      .option("encoding", "UTF-8")
-      .options(options)
-      .csv(path)
-    val named = standardizeColumns(df)
-    if (naFilter) named
-    else named.select(named.schema.fields.map { f =>
-      if (f.dataType == StringType) coalesce(col(f.name), lit("")).as(f.name)
-      else col(f.name)
-    }.toSeq: _*)
+    def read(infer: Boolean) = standardizeColumns(
+      spark.read
+        .option("header", "true")
+        .option("inferSchema", infer.toString)
+        .option("encoding", "UTF-8")
+        .options(options)
+        .csv(path))
+    if (naFilter) read(infer = true)
+    else {
+      val raw = read(infer = false)
+      val strs = raw.select(raw.columns.map(c =>
+        coalesce(col(c), lit("")).as(c)).toSeq: _*)
+      val emptyFlags = strs.select(strs.columns.map(c =>
+        max(when(col(c) === "", 1).otherwise(0)).as(c)).toSeq: _*)
+        .collect().headOption
+      val hasEmpty: String => Boolean = c =>
+        emptyFlags.exists(r => r.getAs[Int](c) == 1)
+      val inferred = read(infer = true).schema
+        .map(f => f.name -> f.dataType).toMap
+      strs.select(strs.columns.map { c =>
+        inferred.get(c) match {
+          case Some(t) if t != StringType && !hasEmpty(c) =>
+            col(c).try_cast(t.sql).as(c)
+          case _ => col(c)
+        }
+      }.toSeq: _*)
+    }
   }
 
   /** S2 — SQL/JDBC scan (db_extractor.py:6-14): arbitrary query pushed to the

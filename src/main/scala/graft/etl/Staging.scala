@@ -19,14 +19,26 @@ object Staging {
   /** K3 — transactional batched insert (core/dw_repository.py:8-23): Spark's
     * JDBC writer batches per partition (`batchsize`); each partition's batch
     * commits atomically, matching the reference's executemany-in-one-txn at
-    * partition granularity. Compile-only here (no DB in the container). */
+    * partition granularity. Exercised live against embedded Derby (EtlSpec +
+    * the `etl_jdbc_source` oracle query). */
   def jdbcAppend(df: DataFrame, url: String, tableName: String,
                  batchSize: Int = 1000,
-                 props: Map[String, String] = Map.empty): Unit = {
+                 props: Map[String, String] = Map.empty): Unit =
+    df.write.mode("append").jdbc(url, tableName, jdbcProps(batchSize, props))
+
+  /** K1 over JDBC — full-replace (drop + recreate) into an RDBMS table,
+    * the staging writer's `if_exists="replace"` twin for the DW side. */
+  def jdbcOverwrite(df: DataFrame, url: String, tableName: String,
+                    batchSize: Int = 1000,
+                    props: Map[String, String] = Map.empty): Unit =
+    df.write.mode("overwrite").jdbc(url, tableName, jdbcProps(batchSize, props))
+
+  private def jdbcProps(batchSize: Int,
+                        props: Map[String, String]): java.util.Properties = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     p.setProperty("batchsize", batchSize.toString)
-    df.write.mode("append").jdbc(url, tableName, p)
+    p
   }
 
   /** K4 — index DDL analogue (load_to_staging.py:7-16): no index concept in

@@ -36,7 +36,18 @@ object Dedup {
       .orderBy(col("keep_id"))
 
   /** Shared blocking key for the near-dup variants: token-count bucket
-    * (floor-division — DuckDB CAST would round-to-nearest, SURVEY §8). */
+    * (floor-division — DuckDB CAST would round-to-nearest, SURVEY §8).
+    *
+    * RECALL CONTRACT (pinned by PropertySpec): blocking is exact-match on
+    * the bucket, so a near-dup pair whose token counts straddle a bucket
+    * edge (e.g. 9 vs 10 tokens with bucketTokens=10) is NOT emitted by the
+    * blocked variants (ngramJaccard, editDistance), no matter how similar
+    * the texts. This is the deliberate recall/cost trade of
+    * sum(block²)-style pair generation; pairs lost at the boundary are the
+    * ones whose lengths differ by ≥1 raw token across a multiple of
+    * bucketTokens. The UNBLOCKED detectors (minHashLsh/minHashVerified,
+    * simHash) do not share this blind spot and recover such pairs — run
+    * them alongside the blocked variants when boundary recall matters. */
   private def tokenBucket(bucketTokens: Int): Column =
     floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
       .cast("long")
@@ -59,13 +70,13 @@ object Dedup {
     * group-by (signature build), one explode + self-join on (band, hash)
     * (bucketing). Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
-  def minHashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                 shingleLen: Int = 3): DataFrame = {
-    require(numHashes % bands == 0)
-    val rowsPerBand = numHashes / bands
-    // Shingles via index-explode (codegen'd slice/concat) rather than the
-    // interpreted transform(sequence(...)) lambda of `shingles`; duplicate
-    // shingles are harmless under the min aggregate, so no distinct pass.
+  /** MinHash signature table: doc_id plus numHashes min-hash columns
+    * h0..h{n-1}, all computed in one pass (map-side partial aggregation).
+    * Shingles via index-explode (codegen'd slice/concat) rather than the
+    * interpreted transform(sequence(...)) lambda of `shingles`; duplicate
+    * shingles are harmless under the min aggregate, so no distinct pass. */
+  def minHashSignatures(docs: DataFrame, numHashes: Int = 16,
+                        shingleLen: Int = 3): DataFrame = {
     val toks = split(F.normalizeText(lower(col("text"))), " ")
     val base = docs.select(col("doc_id"), toks.as("toks"))
     val long = base.filter(size(col("toks")) >= shingleLen)
@@ -76,10 +87,17 @@ object Dedup {
     val short = base.filter(size(col("toks")) < shingleLen)
       .select(col("doc_id"), concat_ws(" ", col("toks")).as("sh"))
     val sh = long.unionByName(short)
-    // 16 min-aggs in a single pass (map-side partial aggregation).
     val hashAggs =
       (0 until numHashes).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
-    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs over a signature table (doc_a < doc_b,
+    * distinct): documents sharing any band bucket become a candidate. */
+  private def lshCandidates(sig: DataFrame, numHashes: Int,
+                            bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bh")).as(s"b$b")
@@ -91,6 +109,38 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minHashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                 shingleLen: Int = 3): DataFrame =
+    lshCandidates(minHashSignatures(docs, numHashes, shingleLen),
+      numHashes, bands)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash candidates WITH the verification stage a production dedup
+    * needs: raw banded-LSH output contains false positives (one colliding
+    * band is enough to pair two documents). Each candidate is re-scored by
+    * full-signature agreement — est_jaccard = |{i : hᵢ(a)=hᵢ(b)}| / n, the
+    * unbiased MinHash estimate of the true shingle-set Jaccard — and only
+    * pairs at or above `minEst` survive (simHash's hamming filter, in
+    * Jaccard space). Two extra equi-joins against the (doc_id, 16-column)
+    * signature table; the signatures are computed once and reused for
+    * bucketing and verification. */
+  def minHashVerified(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                      shingleLen: Int = 3, minEst: Double = 0.5): DataFrame = {
+    val sig = minHashSignatures(docs, numHashes, shingleLen)
+    val cand = lshCandidates(sig, numHashes, bands)
+    val agree = (0 until numHashes).map { i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
+    }.reduce(_ + _)
+    // n is 16 (2^4): k/16 is exact in both binary and 4-decimal form, so
+    // round(...,6) is the identity and cannot tie-break differently across
+    // engines.
+    val est = round(agree.cast("double") / numHashes, 6)
+    cand.join(sig.as("a"), cand("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), cand("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -25,6 +25,28 @@ object Events extends QueryPack {
       graft.ops.Sketch.hllSketch(table(s, dir, "events"),
         org.apache.spark.sql.functions.col("user_id"), m = 64)),
 
+    // The SAME tumbling aggregate, but through the live Structured
+    // Streaming path: events staged as a µs-timestamp parquet directory,
+    // consumed by readStream (file source, one file per micro-batch),
+    // watermarked, drained with Trigger.AvailableNow into a memory sink.
+    // Oracle-identical to ev_tumbling_window — proving the watermark path,
+    // not just the batch twin, computes the same windows.
+    "ev_stream_tumbling" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_evstream$sf"
+      table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+        .write.mode("overwrite").parquet(staged)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val drained = StreamOps.drainToTable(
+        StreamOps.tumbling(stream, sizeMin = 15),
+        s"ev_stream_tumbling$sf".replace(".", "_"), mode = "complete")
+      drained
+        .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregation (the
     // API-source JSON surface, S3 family, applied to an event stream).
     "ev_props_json" -> ((s, dir) => {
@@ -42,6 +64,14 @@ object Events extends QueryPack {
   val oracle: Map[String, String] = Map(
     // Spark tumbling windows align to the epoch: start = floor(t/size)*size.
     "ev_tumbling_window" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS win_start,
+        |  event_type, count(*) AS n,
+        |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same windows as ev_tumbling_window — the streaming drain must land on
+    // the identical result.
+    "ev_stream_tumbling" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS win_start,
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total

@@ -45,6 +45,32 @@ object TextOps extends QueryPack {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val minhashVerifiedOracle: String = {
+    val minAggs = (0 until 16).map(i => s"min(${mh(i, "s")}) AS h$i").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val bh = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val agree = (0 until 16)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shingleCtes,
+      |sig AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(CAST($agree AS DOUBLE) / 16, 6) AS est_jaccard
+      |FROM cand
+      |JOIN sig sa ON cand.doc_a = sa.doc_id
+      |JOIN sig sb ON cand.doc_b = sb.doc_id
+      |WHERE round(CAST($agree AS DOUBLE) / 16, 6) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val simhashOracle: String = {
     val bits = graft.ops.Dedup.SimHashBits
     val votes = (0 until bits)
@@ -84,6 +110,8 @@ object TextOps extends QueryPack {
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)),
     "dd_minhash_lsh"   -> ((s, dir) => Dedup.minHashLsh(table(s, dir, "documents"))),
+    "dd_minhash_verified" -> ((s, dir) =>
+      Dedup.minHashVerified(table(s, dir, "documents"), minEst = 0.5)),
     "dd_simhash"       -> ((s, dir) => Dedup.simHash(table(s, dir, "documents"))),
     "dd_dup_clusters"  -> ((s, dir) =>
       Dedup.duplicateClusters(
@@ -96,6 +124,7 @@ object TextOps extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,
+    "dd_minhash_verified" -> minhashVerifiedOracle,
     "dd_simhash" -> simhashOracle,
 
     "dd_edit_distance" ->

@@ -37,6 +37,12 @@ class EtlSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("idcliente", "fecha_registro", "puntaje"))
     val got = rows(df.orderBy("fecha_registro"))
     assert(got(1).getAs[String]("idcliente") == "")   // not null
+    // pandas na_filter=False per-column typing: a column WITH an empty cell
+    // stays string ('' preserved); a fully-populated column still infers
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    assert(df.schema("idcliente").dataType == StringType)
+    assert(df.schema("puntaje").dataType == IntegerType)
+    assert(got.map(_.getAs[Int]("puntaje")).sorted == Seq(3, 5))
     val nulled = Sources.csv(spark, dir, naFilter = true)
     assert(rows(nulled.orderBy("fecha_registro"))(1)
       .getAs[String]("idcliente") == null)
@@ -71,6 +77,28 @@ class EtlSpec extends SparkSpec {
     val ps = s"$dir/sorted"
     Staging.overwriteSorted(Seq(3L, 1L, 2L).toDF("k"), ps, Seq("k"))
     assert(spark.read.parquet(ps).count() == 3)
+  }
+
+  test("S2/K3 JDBC: live Derby round-trip — overwrite, batched append, query read-back") {
+    import graft.etl.Staging
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val db = java.nio.file.Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val ct = Map("createTableColumnTypes" -> "v VARCHAR(16)")
+    Staging.jdbcOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), url, "t", props = ct)
+    // full-replace semantics: a second overwrite drops the old rows
+    Staging.jdbcOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), url, "t", props = ct)
+    // batched transactional append (batchsize < rows forces multiple batches)
+    Staging.jdbcAppend(Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "v"),
+      url, "t", batchSize = 2)
+    // Spark's JDBC writer creates case-sensitive (quoted) column names —
+    // arbitrary SQL against them must quote too
+    val back = Sources.jdbc(spark, url, """SELECT "id", "v" FROM t""")
+    assert(rows(back.orderBy("id")).map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // arbitrary SQL pushes to the RDBMS (aggregate runs Derby-side)
+    val agg = Sources.jdbc(spark, url, """SELECT count(*) AS n FROM t WHERE "id" > 2""")
+    assert(rows(agg).head.getAs[Number](0).longValue == 3L) // Derby COUNT -> INTEGER
   }
 
   test("buildDim: distinct + surrogate keys are 1..N in order") {

@@ -9,6 +9,29 @@ import graft.etl.{functions => F}
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("oracle \\s rewrite is class-aware (bare splice inside [...], bracketed outside)") {
+    val orig = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') || '\\s+'"
+    val rew = SparkEntry.javaWhitespace(orig)
+    assert(rew.contains("[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"), rew)
+    assert(rew.contains("'[ \\t\\n\\x0b\\f\\r]+'"), rew)
+    assert(!rew.contains("[^A-Za-z0-9["), "r1 bug shape: nested bracket inside class")
+    // Live equivalence on a punctuation + vertical-tab corpus: the rewritten
+    // class must tokenize exactly like Java's \s did (this is the branch the
+    // synthetic corpus never exercised)
+    val text = "hello, wörld! 42?."
+    def toks(p: String): List[String] = {
+      val m = java.util.regex.Pattern
+        .compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9" +
+          (if (p == "orig") "\\s" else " \\t\\n\\x0b\\f\\r") + "]")
+        .matcher(text)
+      val b = List.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    assert(toks("orig") == toks("rew"))
+    assert(toks("rew").contains(",") && toks("rew").contains("!"))
+  }
+
   test("F1 normalize_text collapses runs, trims, casts; idempotent") {
     val df = Seq("  a   b\t\nc  ", "x", "", "   ", "1  2").toDF("s")
       .select(F.normalizeText($"s").as("n"))

@@ -111,4 +111,52 @@ class PipelineE2ESpec extends SparkSpec {
     assert(dimFecha.count() == 5) // 5 distinct dates
     assert(rows(dimFecha).forall(_.getAs[Long]("fecha_key") > 20240000L))
   }
+
+  test("orchestrator: dead + empty sources degrade, CSV blocks land, stages isolate") {
+    import graft.etl.Pipeline
+    val stagingDir =
+      java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val audit = new Pipeline.Audit(sink = _ => ()) // silent for the test
+    val clientsCsv =
+      "IdCliente,Nombre\n" + (1 to 4).map(i => s"$i,Cliente_$i").mkString("\n")
+    val result = Pipeline.run(spark, stagingDir,
+      sources = Seq(
+        // the reference's observed final run: DB dead, API dead, CSVs fine
+        // (logs/etl.log:1157-1160)
+        "db_opiniones" -> (() => Sources.jdbc(spark,
+          "jdbc:derby:/nonexistent/db", "SELECT 1 FROM dual")),
+        "api_opiniones" -> (() => Sources.jsonBody(spark, "not json at all")),
+        "clients_csv" -> (() => csv("pipe_clients", clientsCsv)),
+        "reviews_csv" -> (() => csv("pipe_reviews",
+          "IdReview,IdCliente,Rating\nW1,1,4\nW2,2,5\nW3,9,3\n"))),
+      builds = Seq(
+        "dim_cliente" -> (tables => StarSchema.buildDim(
+          tables("stg_clients"), Seq("idcliente", "nombre"),
+          orderCol = "idcliente", keyName = "id_cliente")),
+        // a broken stage: probes a table the dead source never landed
+        "dim_api" -> (tables => tables("stg_api_opiniones")),
+        // fact still runs after the broken stage, resolves FKs vs the dim
+        "fact_opiniones" -> (tables => StarSchema.lookupKey(
+          tables("stg_reviews"), tables("dim_cliente"),
+          dimJoin = "idcliente", dimKey = "id_cliente",
+          leftOn = "idcliente", outCol = "id_cliente", default = -1))),
+      audit = audit)
+
+    // dead + empty sources degraded with a warning each; nothing staged
+    assert(audit.warnings.exists(_.startsWith("db_opiniones")))
+    assert(audit.warnings.exists(_.startsWith("api_opiniones")))
+    assert(!result.tables.contains("stg_db_opiniones"))
+    assert(!result.tables.contains("stg_api_opiniones"))
+    // CSV blocks landed with audited counts
+    assert(result.tables.contains("stg_clients") && result.tables.contains("stg_reviews"))
+    assert(audit.lines.contains(("INFO", "Staging -> stg_clients: 4 rows")))
+    // the broken build stage warned and was skipped; the fact still built
+    assert(audit.warnings.exists(_.startsWith("dim_api")))
+    assert(!result.tables.contains("dim_api"))
+    val fact = spark.read.parquet(result.tables("fact_opiniones"))
+    assert(fact.count() == 3)
+    // FK resolution: ids 1,2 hit the dim; 9 gets the sentinel
+    assert(rows(fact.orderBy("idreview")).map(_.getAs[Int]("id_cliente")) ==
+      Seq(1, 2, -1))
+  }
 }

@@ -78,6 +78,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("blocking boundary: bucket-straddling near-dups are dropped by blocked " +
+       "variants, recovered by MinHash (the pinned recall contract)") {
+    import graft.ops.Dedup
+    // 9 vs 10 whitespace tokens: Jaccard 9/10 = 0.9 >= 0.5, but the raw
+    // token counts land in buckets 0 and 1 (bucketTokens = 10)
+    val base = (1 to 9).map(i => s"alpha$i").mkString(" ")
+    val straddle = Seq(
+      (1L, base, "en"),
+      (2L, base + " alpha10", "en"),
+      // same-bucket control pair: both 9 tokens, 8/10 overlap
+      (3L, (1 to 8).map(i => s"beta$i").mkString(" ") + " gammaX", "en"),
+      (4L, (1 to 8).map(i => s"beta$i").mkString(" ") + " gammaY", "en"))
+      .toDF("doc_id", "text", "lang")
+    val blocked = rows(Dedup.ngramJaccard(straddle, threshold = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // boundary pair (1,2) lost, same-bucket pair (3,4) found
+    assert(!blocked.contains((1L, 2L)), "contract changed: boundary pair now emitted")
+    assert(blocked.contains((3L, 4L)))
+    // the unblocked MinHash path recovers the boundary pair (deterministic
+    // seeded hashes — not a flaky probabilistic assertion)
+    val mh = rows(Dedup.minHashVerified(straddle, minEst = 0.3))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.contains((1L, 2L)), "MinHash no longer recovers the boundary pair")
+  }
+
+  test("minHashVerified: est_jaccard is signature agreement; exact dups score 1.0") {
+    import graft.ops.Dedup
+    val docs = Seq(
+      (1L, "one two three four five six seven eight", "en"),
+      (2L, "one two three four five six seven eight", "en"),   // exact dup
+      (3L, "totally different words in every position here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = rows(Dedup.minHashVerified(docs, minEst = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
   test("dsum decimal aggregation is partition-order independent") {
     val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
     val one = vals.toDF("v").repartition(1)
