@@ -151,6 +151,68 @@ object VectorExpressions {
         newChild: Expression): SortedDistinctStrings = copy(child = newChild)
   }
 
+  /** max |aᵢ| over an array<float>, in double — the symmetric-quantization
+    * scale basis. Shared by interpreted + generated code paths. */
+  def absMax(a: ArrayData): Double = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    mx
+  }
+
+  /** Symmetric int8 quantization of an array<float>:
+    * qᵢ = round_half_away_from_zero(aᵢ · 127 / max|a|), zeros when the
+    * vector is all-zero. Output is array<long> (exact small integers —
+    * engine-portable). Rounding is explicitly half-away-from-zero to match
+    * SQL round(); Java's Math.round is half-UP and disagrees on negative
+    * midpoints. */
+  def quantize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val mx = absMax(a)
+    val scale = if (mx == 0.0) 0.0 else 127.0 / mx
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble * scale
+      out(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Codegen'd max|a| over array<float>. */
+  case class FloatVecAbsMax(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "float_vec_abs_max"
+    override protected def nullSafeEval(a: Any): Any =
+      absMax(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExpressions.absMax($c)")
+    override protected def withNewChildInternal(
+        newChild: Expression): FloatVecAbsMax = copy(child = newChild)
+  }
+
+  /** Codegen'd symmetric int8 quantization (see `quantize`). */
+  case class FloatVecQuantize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def prettyName: String = "float_vec_quantize"
+    override protected def nullSafeEval(a: Any): Any =
+      quantize(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExpressions.quantize($c)")
+    override protected def withNewChildInternal(
+        newChild: Expression): FloatVecQuantize = copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def dotf(a: Column, b: Column): Column =
     bridge.column(FloatVecDot(bridge.expression(a), bridge.expression(b)))
@@ -160,4 +222,10 @@ object VectorExpressions {
 
   def sortedDistinctStrings(a: Column): Column =
     bridge.column(SortedDistinctStrings(bridge.expression(a)))
+
+  def vecAbsMax(a: Column): Column =
+    bridge.column(FloatVecAbsMax(bridge.expression(a)))
+
+  def vecQuantize(a: Column): Column =
+    bridge.column(FloatVecQuantize(bridge.expression(a)))
 }

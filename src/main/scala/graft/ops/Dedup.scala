@@ -70,6 +70,20 @@ object Dedup {
     * group-by (signature build), one explode + self-join on (band, hash)
     * (bucketing). Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
+  /** MinHash permutation family: ONE 60-bit md5 base hash per shingle plus
+    * an affine family over its 30-bit halves,
+    *   hᵢ = (aᵢ·hi + bᵢ·lo + cᵢ) mod p,   p = 2⁶¹−1,
+    * with aᵢ,bᵢ < 2³¹ so every product stays < 2⁶¹ — overflow-free in
+    * signed 64-bit under ANSI mode, and bit-identical in DuckDB BIGINT
+    * arithmetic. One md5 + 16 multiply-adds per shingle replaces 16 md5s
+    * (md5 dominated the signature build). The affine maps are
+    * near-universal permutations of the base-hash domain — the
+    * independent-orderings property MinHash needs. */
+  val MinHashP: Long = (1L << 61) - 1
+  def minHashA(i: Int): Long = ((0x9E3779B97F4A7C15L * (i + 1)) >>> 33) | 1L
+  def minHashB(i: Int): Long = ((0xC2B2AE3D27D4EB4FL * (i + 1)) >>> 33) | 1L
+  def minHashC(i: Int): Long = (0x165667B19E3779F9L * (i + 1)) >>> 33
+
   /** MinHash signature table: doc_id plus numHashes min-hash columns
     * h0..h{n-1}, all computed in one pass (map-side partial aggregation).
     * Shingles via index-explode (codegen'd slice/concat) rather than the
@@ -87,9 +101,17 @@ object Dedup {
     val short = base.filter(size(col("toks")) < shingleLen)
       .select(col("doc_id"), concat_ws(" ", col("toks")).as("sh"))
     val sh = long.unionByName(short)
-    val hashAggs =
-      (0 until numHashes).map(i => min(seededHash(i, col("sh"))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    // two-step projection so the md5 base hash is computed once per shingle
+    // (CollapseProject keeps non-cheap duplicated expressions un-inlined)
+    val hashed = sh.select(col("doc_id"), seededHash(0, col("sh")).as("h"))
+      .select(col("doc_id"),
+        shiftrightunsigned(col("h"), 30).as("hhi"),
+        col("h").bitwiseAND(lit((1L << 30) - 1)).as("hlo"))
+    val hashAggs = (0 until numHashes).map { i =>
+      min((col("hhi") * minHashA(i) + col("hlo") * minHashB(i) + minHashC(i))
+        % MinHashP).as(s"h$i")
+    }
+    hashed.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
   }
 
   /** Banded-LSH candidate pairs over a signature table (doc_a < doc_b,
@@ -308,6 +330,39 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Survivor selection — the step after clustering that actually dedups a
+    * training corpus: within each duplicate cluster keep the single best
+    * document (max quality, ties to the smallest doc_id) and point every
+    * member at it.
+    *
+    * The per-cluster argmax uses the packed-BIGINT max() trick (quality is
+    * already rounded to 6 dp, so quality·10⁶ is an exact 21-bit integer
+    * shifted above 41 complemented id bits): a primitive-buffer partial
+    * HashAggregate that collapses members map-side — no per-cluster
+    * row_number window, which would shuffle and sort every member row and
+    * melt down on the giant clusters real dedup produces (boilerplate
+    * documents can cluster millions of members). Precondition: doc_id <
+    * 2⁴¹.
+    *
+    * @param clusters duplicateClusters output (doc_id, cluster_id)
+    * @param quality  per-doc score: (doc_id, quality in [0,1] at 6 dp)
+    */
+  def survivors(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val members = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(quality.select(col("doc_id"), col("quality")), "doc_id")
+    val idMask = (1L << 41) - 1
+    val packed =
+      round(col("quality") * 1000000L, 0).cast("long") * (idMask + 1) +
+        (lit(idMask) - col("doc_id"))
+    val best = members.groupBy(col("cluster_id")).agg(max(packed).as("pk"))
+      .select(col("cluster_id"),
+        (lit(idMask) - col("pk").bitwiseAND(lit(idMask))).as("survivor_id"))
+    members.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `sample(fraction)` is useless for reproducible corpus construction: the
+  * kept set changes with partitioning and retries. Hash-based sampling is
+  * the standard fix — a row is kept iff hash(id) mod M falls under the
+  * stratum's rate, so the decision is a pure function of the row (stable
+  * across runs, cluster layouts, and engines) and needs NO shuffle: the
+  * filter evaluates map-side and pushes work to zero for dropped rows.
+  */
+object Sampling {
+
+  private val Buckets = 10000L
+
+  /** Per-row sampling bucket in [0, 10000): md5-derived so the DuckDB
+    * oracle reproduces it exactly (same family as Dedup.seededHash). */
+  def bucket(idCol: Column, seed: Int = 13): Column =
+    pmod(Dedup.seededHash(seed, idCol), lit(Buckets))
+
+  /** Stratified deterministic sample: keep `rates(stratum)` (a fraction in
+    * [0,1]) of each stratum, `defaultRate` for strata not in the map. Rates
+    * are exact at 1/10000 granularity. One map-side filter — no shuffle,
+    * no state; rebalancing a 100 TB corpus by language costs one scan. */
+  def stratifiedByHash(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       seed: Int = 13): DataFrame = {
+    val cutoff = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * Buckets).toLong))
+          .otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), seed) < cutoff)
+  }
+}

@@ -47,6 +47,23 @@ object Events extends QueryPack {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // As-of join: every purchase matched to the user's most recent click at
+    // or before it (last-touch attribution) — the union-and-carry
+    // formulation, one shuffle, no range-join blow-up.
+    "aj1_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOf.backward(purchases, clicks, by = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightSeq = "event_id",
+        rightCols = Seq("ts", "event_id"), prefix = "click_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts"), col("click_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregation (the
     // API-source JSON surface, S3 family, applied to an event stream).
     "ev_props_json" -> ((s, dir) => {
@@ -100,6 +117,30 @@ object Events extends QueryPack {
         |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
         |  count(*) AS n_items
         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Same union-and-carry shape in SQL: right rows sort before left rows
+    // at equal timestamps (side 0 < 1), left rows carry the last non-null
+    // right payload forward. The two IGNORE-NULLS windows share one
+    // ordering, so they pick fields from the same right row.
+    "aj1_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS t, 1 AS side, CAST(NULL AS BIGINT) AS seq,
+        |         event_id, ts, CAST(NULL AS TIMESTAMP) AS r_ts,
+        |         CAST(NULL AS BIGINT) AS r_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, NULL, ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(r_ts IGNORE NULLS) OVER ord AS click_ts,
+        |    last_value(r_id IGNORE NULLS) OVER ord AS click_event_id
+        |  FROM u
+        |  WINDOW ord AS (PARTITION BY user_id
+        |    ORDER BY t, side, coalesce(seq, 9223372036854775807)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, click_ts, click_event_id
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

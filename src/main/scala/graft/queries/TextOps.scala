@@ -29,14 +29,29 @@ object TextOps extends QueryPack {
       |  UNION ALL
       |  SELECT doc_id, array_to_string(toks, ' ') FROM t WHERE len(toks) < 3)""".stripMargin
 
+  /** DuckDB twin of Dedup.minHashSignatures' affine family: one md5 base
+    * hash split into 30-bit halves, hᵢ = (aᵢ·hi + bᵢ·lo + cᵢ) mod 2⁶¹−1 —
+    * all operands < 2⁶¹, exact BIGINT math in both engines. */
+  private val sigCtes: String = {
+    val minAggs = (0 until 16).map { i =>
+      val (a, b, c) = (graft.ops.Dedup.minHashA(i), graft.ops.Dedup.minHashB(i),
+        graft.ops.Dedup.minHashC(i))
+      s"min(($a*hhi + $b*hlo + $c) % ${graft.ops.Dedup.MinHashP}) AS h$i"
+    }.mkString(", ")
+    s"""$shingleCtes,
+      |hashed AS (
+      |  SELECT doc_id, ${mh(0, "s")} >> 30 AS hhi,
+      |    ${mh(0, "s")} & 1073741823 AS hlo
+      |  FROM sh),
+      |sig AS (SELECT doc_id, $minAggs FROM hashed GROUP BY doc_id)""".stripMargin
+  }
+
   private val minhashOracle: String = {
-    val minAggs = (0 until 16).map(i => s"min(${mh(i, "s")}) AS h$i").mkString(", ")
     val bandSelects = (0 until 4).map { b =>
       val bh = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $shingleCtes,
-      |sig AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+    s"""WITH $sigCtes,
       |banded AS (
       |  $bandSelects)
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -46,7 +61,6 @@ object TextOps extends QueryPack {
   }
 
   private val minhashVerifiedOracle: String = {
-    val minAggs = (0 until 16).map(i => s"min(${mh(i, "s")}) AS h$i").mkString(", ")
     val bandSelects = (0 until 4).map { b =>
       val bh = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
@@ -54,8 +68,7 @@ object TextOps extends QueryPack {
     val agree = (0 until 16)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $shingleCtes,
-      |sig AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+    s"""WITH $sigCtes,
       |banded AS (
       |  $bandSelects),
       |cand AS (
@@ -100,6 +113,31 @@ object TextOps extends QueryPack {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Shared recursive-closure cluster CTEs (same edge set as
+    * dd_ngram_jaccard; min-reachable-id labeling is a unique fixpoint, so
+    * the iterative Spark contraction and the SQL closure agree exactly).
+    * Ends with `lab(id, cluster_id)`. */
+  private val clusterCtes: String =
+    """t AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks,
+      |    CAST(len(string_split_regex(text, '\s+')) // 10 AS BIGINT) AS bucket
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.src, x.r FROM edges e JOIN reach x ON x.id = e.dst),
+      |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "tx_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(table(s, dir, "documents"))),
     "tx_quality"     -> ((s, dir) => TextAnalysis.qualityScore(table(s, dir, "documents"))),
@@ -117,7 +155,26 @@ object TextOps extends QueryPack {
       Dedup.duplicateClusters(
         Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5))),
     "dd_edit_distance" -> ((s, dir) =>
-      Dedup.editDistance(table(s, dir, "documents"), maxDist = 10))
+      Dedup.editDistance(table(s, dir, "documents"), maxDist = 10)),
+    // Cluster -> survivor: keep the best-quality member per duplicate
+    // cluster (map-side packed argmax, no per-cluster window).
+    "dd_survivors" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.survivors(
+        Dedup.duplicateClusters(Dedup.ngramJaccard(docs, threshold = 0.5)),
+        TextAnalysis.qualityScore(docs)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("quality")))
+    }),
+    // Deterministic stratified sampling: hash-bucketed per-language rates,
+    // a pure map-side filter (reproducible across runs and engines).
+    "sp1_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedByHash(table(s, dir, "documents"),
+        strataCol = "lang", idCol = "doc_id",
+        rates = Map("en" -> 0.25, "zh" -> 0.6), defaultRate = 0.8)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id")))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -203,28 +260,49 @@ object TextOps extends QueryPack {
     // min-reachable-id labeling is a unique fixpoint, so the iterative
     // Spark propagation and the SQL transitive closure agree exactly.
     "dd_dup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks,
-        |    CAST(len(string_split_regex(text, '\s+')) // 10 AS BIGINT) AS bucket
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM t a JOIN t b
-        |    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, x.r FROM edges e JOIN reach x ON x.id = e.dst),
-        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $clusterCtes
         |SELECT id AS doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // Clusters (recursive closure, as dd_dup_clusters) + tx_quality's score,
+    // argmax per cluster by (quality DESC, doc_id).
+    "dd_survivors" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |qd AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS qtoks,
+        |    CAST(length(text) AS BIGINT) AS qlen
+        |  FROM documents),
+        |qm AS (
+        |  SELECT doc_id, CAST(len(qtoks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(qtoks, x -> x IN ($stop))) AS DOUBLE) / len(qtoks), 6) AS stopword_ratio
+        |  FROM qd),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(stopword_ratio * 4.0, 1.0) * 0.5 +
+        |          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5, 6) AS quality
+        |  FROM qm),
+        |j AS (
+        |  SELECT lab.id AS doc_id, lab.cluster_id, q.quality
+        |  FROM lab JOIN q ON lab.id = q.doc_id),
+        |s AS (
+        |  SELECT cluster_id, doc_id AS survivor_id FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY quality DESC, doc_id) AS rn
+        |    FROM j) z WHERE rn = 1)
+        |SELECT j.doc_id, j.cluster_id, s.survivor_id,
+        |  (j.doc_id = s.survivor_id) AS is_survivor
+        |FROM j JOIN s ON j.cluster_id = s.cluster_id
+        |ORDER BY j.doc_id""".stripMargin,
+
+    // Same md5 bucket arithmetic as Sampling.bucket (seed 13, mod 10000).
+    "sp1_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${mh(13, "CAST(doc_id AS VARCHAR)")} % 10000 <
+        |  CASE WHEN lang = 'en' THEN 2500
+        |       WHEN lang = 'zh' THEN 6000 ELSE 8000 END
+        |ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH t AS (

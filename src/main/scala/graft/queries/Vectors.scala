@@ -38,6 +38,21 @@ object Vectors extends QueryPack {
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
 
+    // Symmetric int8 quantization of the embedding column (training-data
+    // compression): one codegen'd pass per vector, q = round(x·127/max|x|).
+    // Judged flattened to scalar rows (vec_id, dim, q) — the harness
+    // compare hashes scalar columns.
+    "emb_quantize" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.{vecAbsMax, vecQuantize}
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(vecAbsMax(col("embedding")), 6).as("max_abs"),
+          posexplode(vecQuantize(col("embedding"))).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("max_abs"), col("dim").cast("long").as("dim"),
+          col("q"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // Multimodal metadata decode (stub decoder — deterministic arithmetic
     // over the payload bytes, so it IS oracle-checkable).
     "mm_decode_meta" -> ((s, dir) =>
@@ -118,6 +133,24 @@ object Vectors extends QueryPack {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ${cos("a.embedding", "b.embedding")} >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Scale factored as x * (127/mx) — NOT (x*127)/mx — to match the Spark
+    // helper's float op order bit-for-bit before rounding.
+    "emb_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id, round(mx, 6) AS max_abs,
+        |    CASE WHEN mx = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT)) END AS q
+        |  FROM m)
+        |SELECT vec_id, max_abs,
+        |  unnest(range(len(q))) AS dim, unnest(q) AS q
+        |FROM qv ORDER BY vec_id, dim""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (

@@ -234,6 +234,76 @@ class OpsSpec extends SparkSpec {
     assert(n == events.count() * 2)  // every event in exactly 2 windows
   }
 
+  test("as-of backward join: <= visibility, largest-seq tie-break, null on no match") {
+    import graft.ops.AsOf
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (101L, 1L, t("2024-01-01 10:00:00")),  // exact-ts right row visible
+      (102L, 1L, t("2024-01-01 12:00:00")),  // latest earlier right row
+      (103L, 2L, t("2024-01-01 09:00:00")))  // user 2 has no right rows
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (11L, 1L, t("2024-01-01 09:00:00")),
+      (12L, 1L, t("2024-01-01 10:00:00")),
+      (13L, 1L, t("2024-01-01 10:00:00")),   // same instant as 12: seq 13 wins
+      (14L, 1L, t("2024-01-01 13:00:00")))   // after every left row: invisible
+      .toDF("event_id", "user_id", "ts")
+    val got = rows(AsOf.backward(left, right, by = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts", rightSeq = "event_id",
+      rightCols = Seq("event_id"), prefix = "m_").orderBy("event_id"))
+      .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[java.lang.Long]("m_event_id"))))
+    assert(got == Seq((101L, Some(13L)), (102L, Some(13L)), (103L, None)))
+  }
+
+  test("stratified hash sampling: deterministic, rate-respecting, 0/1 exact") {
+    import graft.ops.Sampling
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val all = Sampling.stratifiedByHash(docs, "lang", "doc_id",
+      rates = Map("en" -> 1.0), defaultRate = 0.0)
+    assert(rows(all).forall(_.getString(1) == "en"))  // zh fully dropped
+    assert(all.count() == 200)                        // en fully kept
+    val half = Sampling.stratifiedByHash(docs, "lang", "doc_id",
+      rates = Map("en" -> 0.5), defaultRate = 0.5)
+    val n = half.count()
+    assert(n > 120 && n < 280, s"rate 0.5 kept $n of 400")
+    // determinism: same rows regardless of partitioning
+    val again = Sampling.stratifiedByHash(docs.repartition(7), "lang", "doc_id",
+      rates = Map("en" -> 0.5), defaultRate = 0.5)
+    assert(rows(half.orderBy("doc_id")).map(_.getLong(0)) ==
+      rows(again.orderBy("doc_id")).map(_.getLong(0)))
+  }
+
+  test("survivors: per-cluster best quality wins, ties to smallest doc_id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9), (7L, 0.5), (9L, 0.5))
+      .toDF("doc_id", "quality")
+    val got = rows(Dedup.survivors(clusters, quality))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("survivor_id"),
+        r.getAs[Boolean]("is_survivor")))
+    assert(got == Seq(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),  // 0.9 tie -> id 2
+      (7L, 7L, true), (9L, 7L, false)))                  // 0.5 tie -> id 7
+  }
+
+  test("int8 quantization: symmetric scale, half-away-from-zero, zero vector") {
+    import graft.functions.VectorExpressions.{vecAbsMax, vecQuantize}
+    val df = Seq(
+      (1L, Array(2.0f, -4.0f, 1.0f)),        // scale 127/4
+      (2L, Array(0.0f, 0.0f, 0.0f)))         // all-zero -> zeros
+      .toDF("vec_id", "embedding")
+    val got = rows(df.select($"vec_id", vecAbsMax($"embedding").as("mx"),
+      vecQuantize($"embedding").as("q")).orderBy("vec_id"))
+    assert(got(0).getAs[Double]("mx") == 4.0)
+    assert(got(0).getSeq[Long](2) == Seq(64L, -127L, 32L)) // 63.5 -> 64, 31.75 -> 32
+    assert(got(1).getSeq[Long](2) == Seq(0L, 0L, 0L))
+    // negative midpoint rounds away from zero (Math.round would give -63)
+    val neg = rows(Seq((1L, Array(-2.0f, 4.0f))).toDF("v", "embedding")
+      .select(vecQuantize($"embedding").as("q"))).head.getSeq[Long](0)
+    assert(neg == Seq(-64L, 127L))
+  }
+
   test("multimodal decode: deterministic stub metadata, schema stable") {
     val d = Seq((1L, "abc"), (3L, "xy")).toDF("doc_id", "text")
     val got = rows(Multimodal.decodeMeta(d))
