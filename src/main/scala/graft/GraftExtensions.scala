@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.bridge
-import graft.functions.VectorExpressions.{FloatVecDot, SortedIntersectCount}
+import graft.functions.VectorExpressions.{FloatVecAbsMax, FloatVecDot, FloatVecQuantize, SortedDistinctStrings, SortedIntersectCount}
 
 /** Session extension exposing the native expressions to SQL:
   *
@@ -29,7 +29,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
     ("sorted_intersect_count",
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("sorted_distinct_strings",
+      new ExpressionInfo(classOf[SortedDistinctStrings].getName, "sorted_distinct_strings"),
+      (args: Seq[Expression]) => SortedDistinctStrings(args(0))),
+    ("float_vec_abs_max",
+      new ExpressionInfo(classOf[FloatVecAbsMax].getName, "float_vec_abs_max"),
+      (args: Seq[Expression]) => FloatVecAbsMax(args(0))),
+    ("float_vec_quantize",
+      new ExpressionInfo(classOf[FloatVecQuantize].getName, "float_vec_quantize"),
+      (args: Seq[Expression]) => FloatVecQuantize(args(0))))
 
   /** Register into an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -32,6 +32,36 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** TF-IDF: top-k terms per document by
+    * (tc/n_terms) · (ln((N+1)/(df+1)) + 1), rounded to 6 dp BEFORE ranking
+    * so the ordering is engine-stable. Two aggregations over the exploded
+    * term list (both partial/map-side) + one broadcast of the one-row corpus
+    * count; the per-doc ranking window partitions on doc_id with at most
+    * |distinct terms per doc| rows — bounded by document length, safe at any
+    * corpus size. */
+  def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"),
+      explode(split(F.normalizeText(lower(col("text"))), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tc"))
+    val tot = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+    val docFreq = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(tot, "doc_id").join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        (col("tc").cast("double") / col("n_terms")) *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Quality scoring: length, mean token length, stopword ratio, alpha
     * ratio, composite score. Ratios are single double divisions (exact
     * cross-engine). */

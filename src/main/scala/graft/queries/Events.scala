@@ -47,6 +47,29 @@ object Events extends QueryPack {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Interval join: views inside each purchase's 30-minute attribution
+    // window, via the bucketized equi-join (no per-key nested loop).
+    "rj1_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("start_ts"),
+          col("ts").as("end_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val matched = graft.ops.RangeJoin.pointsInRanges(views, purchases,
+        key = Seq("user_id"), pointTime = "view_ts",
+        startCol = "start_ts", endCol = "end_ts", bucketWidthSec = 1800)
+      val counts = matched.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"))
+      purchases.join(counts, Seq("purchase_id"), "left")
+        .select(col("purchase_id"), col("user_id"), col("end_ts").as("ts"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // As-of join: every purchase matched to the user's most recent click at
     // or before it (last-touch attribution) — the union-and-carry
     // formulation, one shuffle, no range-join blow-up.
@@ -117,6 +140,22 @@ object Events extends QueryPack {
         |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
         |  count(*) AS n_items
         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "rj1_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.purchase_id, count(v.event_id) AS n_views
+        |  FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |    AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |  GROUP BY p.purchase_id)
+        |SELECT p.purchase_id, p.user_id, p.ts,
+        |  CAST(j.n_views AS BIGINT) AS n_views
+        |FROM p JOIN j ON p.purchase_id = j.purchase_id
+        |ORDER BY p.purchase_id""".stripMargin,
 
     // Same union-and-carry shape in SQL: right rows sort before left rows
     // at equal timestamps (side 0 < 1), left rows carry the last non-null

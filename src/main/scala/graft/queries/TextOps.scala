@@ -138,6 +138,22 @@ object TextOps extends QueryPack {
       |  SELECT e.src, x.r FROM edges e JOIN reach x ON x.id = e.dst),
       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Shared per-doc quality CTEs (the tx_quality composite), ending with
+    * `q(doc_id, quality)`. */
+  private def qualityCtes: String =
+    s"""qd AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS qtoks
+      |  FROM documents),
+      |qm AS (
+      |  SELECT doc_id, CAST(len(qtoks) AS BIGINT) AS n_tokens,
+      |    round(CAST(len(list_filter(qtoks, x -> x IN ($stop))) AS DOUBLE) / len(qtoks), 6) AS stopword_ratio
+      |  FROM qd),
+      |q AS (
+      |  SELECT doc_id,
+      |    round(least(stopword_ratio * 4.0, 1.0) * 0.5 +
+      |          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5, 6) AS quality
+      |  FROM qm)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "tx_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(table(s, dir, "documents"))),
     "tx_quality"     -> ((s, dir) => TextAnalysis.qualityScore(table(s, dir, "documents"))),
@@ -165,6 +181,23 @@ object TextOps extends QueryPack {
         TextAnalysis.qualityScore(docs)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("quality")))
+    }),
+    // TF-IDF: top-3 terms per document, ranked on the 6-dp-rounded score.
+    "tx_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(table(s, dir, "documents"), k = 3)),
+    // Quantile-threshold filter: documents STRICTLY above their language's
+    // median quality (corpus curation cut).
+    "tx_quality_filter" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val med = q.groupBy(col("lang"))
+        .agg(round(expr("percentile(quality, 0.5)"), 6).as("med"))
+      q.join(broadcast(med), "lang")
+        .filter(col("quality") > col("med"))
+        .select(col("doc_id"), col("lang"), col("quality"), col("med"))
+        .orderBy(col("doc_id"))
     }),
     // Deterministic stratified sampling: hash-bucketed per-language rates,
     // a pure map-side filter (reproducible across runs and engines).
@@ -269,19 +302,7 @@ object TextOps extends QueryPack {
     // argmax per cluster by (quality DESC, doc_id).
     "dd_survivors" ->
       s"""WITH RECURSIVE $clusterCtes,
-        |qd AS (
-        |  SELECT doc_id, string_split_regex(text, '\\s+') AS qtoks,
-        |    CAST(length(text) AS BIGINT) AS qlen
-        |  FROM documents),
-        |qm AS (
-        |  SELECT doc_id, CAST(len(qtoks) AS BIGINT) AS n_tokens,
-        |    round(CAST(len(list_filter(qtoks, x -> x IN ($stop))) AS DOUBLE) / len(qtoks), 6) AS stopword_ratio
-        |  FROM qd),
-        |q AS (
-        |  SELECT doc_id,
-        |    round(least(stopword_ratio * 4.0, 1.0) * 0.5 +
-        |          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5, 6) AS quality
-        |  FROM qm),
+        |$qualityCtes,
         |j AS (
         |  SELECT lab.id AS doc_id, lab.cluster_id, q.quality
         |  FROM lab JOIN q ON lab.id = q.doc_id),
@@ -295,6 +316,44 @@ object TextOps extends QueryPack {
         |  (j.doc_id = s.survivor_id) AS is_survivor
         |FROM j JOIN s ON j.cluster_id = s.cluster_id
         |ORDER BY j.doc_id""".stripMargin,
+
+    // Score factored exactly like the Spark side:
+    // (tc/n_terms) * (ln((N+1)/(df+1)) + 1), rounded to 6 dp before ranking.
+    "tx_tfidf" ->
+      """WITH tm AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tc FROM tm GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, count(*) AS n_terms FROM tm GROUP BY 1),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tm GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round((CAST(tc AS DOUBLE) / n_terms) *
+        |          (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf
+        |  FROM tf
+        |  JOIN tot ON tf.doc_id = tot.doc_id
+        |  JOIN dfq ON tf.term = dfq.term
+        |  CROSS JOIN n)
+        |SELECT doc_id, term, tfidf, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored) z
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "tx_quality_filter" ->
+      s"""WITH $qualityCtes,
+        |ql AS (
+        |  SELECT q.doc_id, d.lang, q.quality
+        |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+        |med AS (
+        |  SELECT lang, round(quantile_cont(quality, 0.5), 6) AS med
+        |  FROM ql GROUP BY lang)
+        |SELECT ql.doc_id, ql.lang, ql.quality, med.med
+        |FROM ql JOIN med ON ql.lang = med.lang
+        |WHERE ql.quality > med.med
+        |ORDER BY ql.doc_id""".stripMargin,
 
     // Same md5 bucket arithmetic as Sampling.bucket (seed 13, mod 10000).
     "sp1_stratified" ->

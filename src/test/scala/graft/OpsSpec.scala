@@ -255,6 +255,41 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((101L, Some(13L)), (102L, Some(13L)), (103L, None)))
   }
 
+  test("range join: inclusive bounds, bucket-spanning ranges, no duplicate matches") {
+    import graft.ops.RangeJoin
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, 10L, t("2024-01-01 10:00:00")),  // on the start bound
+      (1L, 11L, t("2024-01-01 10:59:00")),  // interior
+      (1L, 12L, t("2024-01-01 11:00:00")),  // on the end bound
+      (1L, 13L, t("2024-01-01 11:00:01")),  // just outside
+      (2L, 14L, t("2024-01-01 10:30:00")))  // other key
+      .toDF("k", "pid", "pt")
+    // one-hour range spans many 5-minute buckets: the point must still
+    // match exactly once
+    val ranges = Seq((1L, 100L, t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")))
+      .toDF("k", "rid", "s", "e")
+    val got = rows(RangeJoin.pointsInRanges(points, ranges, Seq("k"),
+      "pt", "s", "e", bucketWidthSec = 300).orderBy("pid"))
+      .map(_.getAs[Long]("pid"))
+    assert(got == Seq(10L, 11L, 12L))
+  }
+
+  test("tfidf: repeated corpus-wide terms score below distinctive terms") {
+    val d = Seq(
+      (1L, "apple apple banana shared", "en"),
+      (2L, "cherry shared other words", "en"),
+      (3L, "shared words words words", "en")).toDF("doc_id", "text", "lang")
+    val got = rows(TextAnalysis.tfIdf(d, k = 2))
+    val top1 = got.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    assert(top1(1L) == "apple")   // tf 2/4 and df 1 beats everything
+    assert(top1(3L) == "words")   // tf 3/4 dominates despite df 2
+    // 'shared' (df 3) never outranks a doc-distinctive term
+    assert(!got.exists(r => r.getAs[String]("term") == "shared" &&
+      r.getAs[Long]("rank") == 1L))
+  }
+
   test("stratified hash sampling: deterministic, rate-respecting, 0/1 exact") {
     import graft.ops.Sampling
     val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
