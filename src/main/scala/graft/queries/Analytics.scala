@@ -145,6 +145,21 @@ object Analytics extends QueryPack {
     // across 600k rows): partial agg on (key, salt) caps any one task's
     // share of a hot key; the final agg merges 3×salt tiny partials.
     // Decimal partials make the two phases compose exactly.
+    // Salted equi-join (known-skew mitigation): result identical to the
+    // plain join — the oracle is the unsalted SQL join — but every hot
+    // suppkey spans `salt` tasks.
+    "sk2_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = table(s, dir, "lineitem")
+        .select($"l_suppkey".as("suppkey"), $"l_quantity")
+      val small = table(s, dir, "supplier")
+        .select($"s_suppkey".as("suppkey"), $"s_name")
+      graft.ops.Skew.saltedJoin(big, small, key = "suppkey", salt = 8)
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"s_name")
+    }),
+
     "sk1_skew_agg" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -273,6 +288,13 @@ object Analytics extends QueryPack {
         |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
         |  FROM lineitem WHERE l_orderkey % 100 = 0) t
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "sk2_salted_join" ->
+      """SELECT s_name,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "sk1_skew_agg" ->
       """SELECT l_returnflag,

@@ -339,6 +339,22 @@ class OpsSpec extends SparkSpec {
     assert(neg == Seq(-64L, 127L))
   }
 
+  test("cms sketch: estimate bounds true count above; merge = sketch of union") {
+    import graft.ops.Sketch
+    val events = graft.queries.table(spark, "/root/testdata/sf0.001", "events")
+    val sketch = Sketch.cmsSketch(events, $"event_type", depth = 4, width = 64)
+    val exact = events.filter($"event_type" === "click").count()
+    val est = Sketch.cmsEstimate(sketch, "click", depth = 4, width = 64)
+    assert(est >= exact, s"CMS under-counted: $est < $exact") // never undercounts
+    assert(est <= exact + events.count() / 8, s"overcount beyond eps bound: $est vs $exact")
+    val a = events.filter($"event_id" % 2 === 0)
+    val b = events.filter($"event_id" % 2 =!= 0)
+    val merged = Sketch.cmsMerge(Seq(
+      Sketch.cmsSketch(a, $"event_type"), Sketch.cmsSketch(b, $"event_type")))
+    assert(rows(merged).map(r => (r.getInt(0), r.getInt(1), r.getLong(2))) ==
+      rows(sketch).map(r => (r.getInt(0), r.getInt(1), r.getLong(2))))
+  }
+
   test("multimodal decode: deterministic stub metadata, schema stable") {
     val d = Seq((1L, "abc"), (3L, "xy")).toDF("doc_id", "text")
     val got = rows(Multimodal.decodeMeta(d))

@@ -106,6 +106,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), "unpivot lost its Expand node")
   }
 
+  test("as-of join is union-and-carry: a window, never a join") {
+    val p = plan("aj1_asof")
+    assert(!p.contains("Join"), "as-of regressed to a join formulation")
+    assert(p.contains("Window"), "as-of lost its carry window")
+  }
+
+  test("range join stays an equi-join on (key, bucket), never a nested loop") {
+    val p = plan("rj1_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to a per-key nested loop")
+  }
+
+  test("stratified sampling is a pure map-side filter (no agg, no join)") {
+    val p = plan("sp1_stratified")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(600))
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
