@@ -41,6 +41,35 @@ object Staging {
     p
   }
 
+  /** Key-based upsert into a parquet staging path: update rows replace
+    * existing rows with the same key, new keys append, untouched keys
+    * survive. The reference's DW dimension sync is a blind `append`
+    * (sync_dimensions_dw.py:43-49) — correct only for a first load; this is
+    * the idempotent re-runnable form a scheduled pipeline needs (running
+    * the same sync twice must not duplicate dimensions).
+    *
+    * Plan shape: one left-anti join of existing vs updates on the key
+    * (broadcast when updates are small) + a union — no wide shuffle of the
+    * existing data beyond the anti-join. The rewrite goes through a temp
+    * directory + filesystem rename because Spark cannot overwrite a path
+    * it is lazily reading from.
+    */
+  def upsert(updates: DataFrame, path: String, key: Seq[String]): Unit = {
+    val spark = updates.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) { overwrite(updates, path); return }
+    val existing = spark.read.parquet(path)
+    val updKeys = updates
+      .select(key.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val merged = updates.unionByName(existing.join(updKeys, key, "left_anti"))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
   /** K4 — index DDL analogue (load_to_staging.py:7-16): no index concept in
     * Spark; the physical equivalent is a sorted, optionally partitioned
     * layout so downstream scans prune + skip via parquet min/max stats. */

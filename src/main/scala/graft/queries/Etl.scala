@@ -156,6 +156,23 @@ object Etl extends QueryPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Keyed upsert (idempotent re-runnable dimension sync — the reference's
+    // blind append, sync_dimensions_dw.py:43-49, made safe to re-run):
+    // initial load = even custkeys with their balance; update wave = every
+    // third custkey with balance+100 (overlapping AND new keys). Running
+    // the same upsert twice must converge — the query applies it twice.
+    "etl_upsert" -> ((s, dir) => {
+      val path = tmp(dir, "upsert_dim")
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("bal"))
+      Staging.overwrite(cust.filter(col("c_custkey") % 2 === 0), path)
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("bal", col("bal") + 100.0)
+      Staging.upsert(updates, path, key = Seq("c_custkey"))
+      Staging.upsert(updates, path, key = Seq("c_custkey")) // idempotent
+      s.read.parquet(path).orderBy(col("c_custkey"))
+    }),
+
     // K4: sorted staging write (the reference's CREATE INDEX analogue,
     // load_to_staging.py:7-16) -> re-scan -> aggregate. Parquet min/max on
     // the sort column makes the re-scan prunable.
@@ -210,6 +227,16 @@ object Etl extends QueryPack {
         |LEFT JOIN dim_fecha df
         |  ON coalesce(CAST(strftime(o.o_orderdate, '%Y%m%d') AS BIGINT), -1) = df.id_fecha
         |ORDER BY o_orderkey""".stripMargin,
+
+    // updates win on key collision; pure double + (no round — both engines
+    // compute the identical IEEE sum).
+    "etl_upsert" ->
+      """SELECT c_custkey, c_name, c_acctbal + 100.0 AS bal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0
+        |ORDER BY c_custkey""".stripMargin,
 
     "etl_pipeline_run" ->
       """SELECT n_nationkey, n_name, coalesce(r_name, 'NA') AS region_name

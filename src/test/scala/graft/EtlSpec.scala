@@ -101,6 +101,24 @@ class EtlSpec extends SparkSpec {
     assert(rows(agg).head.getAs[Number](0).longValue == 3L) // Derby COUNT -> INTEGER
   }
 
+  test("upsert: updates replace, new keys append, untouched survive, idempotent") {
+    import graft.etl.Staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val p = s"$dir/t"
+    Staging.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), p)
+    val upd = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    Staging.upsert(upd, p, key = Seq("id"))
+    def state = rows(spark.read.parquet(p).orderBy("id"))
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(state == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    Staging.upsert(upd, p, key = Seq("id"))   // re-run: no duplicates
+    assert(state == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // upsert into a missing path = plain first load
+    val p2 = s"$dir/fresh"
+    Staging.upsert(upd, p2, key = Seq("id"))
+    assert(spark.read.parquet(p2).count() == 2)
+  }
+
   test("buildDim: distinct + surrogate keys are 1..N in order") {
     val src = Seq((30L, "c"), (10L, "a"), (20L, "b"), (10L, "a"))
       .toDF("ck", "name")
