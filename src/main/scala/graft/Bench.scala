@@ -7,11 +7,11 @@ import org.apache.spark.sql.SparkSession
   * `.count()` would let Catalyst prune the expression work and flatter
   * the numbers.
   *
-  * Output discipline: the driver captures a bounded tail of stdout, so the
-  * judged line keeps per-query seconds at 3 decimals (ms resolution — run
-  * noise is larger) to stay within the capture window; full-precision
-  * times plus per-query deltas against the committed BASELINE_BENCH.json
-  * anchor go to stderr for regression triage.
+  * Output discipline: the driver captures a bounded (~2000-char) tail of
+  * stdout, so the judged line keeps per-query seconds at centisecond
+  * resolution with trailing zeros trimmed (run noise is larger);
+  * full-precision times plus per-query deltas against the committed
+  * BASELINE_BENCH.json anchor go to stderr for regression triage.
   *
   * Optional args: query names to bench (dev loop); no args = all queries.
   */
@@ -70,8 +70,10 @@ object Bench {
     // line only fits at centisecond resolution with trailing zeros trimmed
     // (run noise is larger than 10 ms anyway). Full precision goes to
     // stderr below.
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal JVM would emit invalid JSON
     def fmt(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
@@ -108,15 +110,22 @@ object Bench {
   }
 
   /** Minimal flat-JSON parse of the committed anchor ("queries" object of
-    * name -> seconds); no behavior depends on it beyond stderr reporting. */
+    * name -> seconds); no behavior depends on it beyond stderr reporting.
+    * Resolution order: SPARK_GRAFT_BASELINE env override, the CWD, the repo
+    * root — so launching from another directory doesn't silently drop the
+    * delta report. */
   private def loadBaseline(): Map[String, Double] = {
-    val p = java.nio.file.Paths.get("BASELINE_BENCH.json")
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else {
-      val s = java.nio.file.Files.readString(p)
-      val body = s.substring(s.indexOf("\"queries\""))
-      "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val candidates =
+      sys.env.get("SPARK_GRAFT_BASELINE").toSeq ++
+        Seq("BASELINE_BENCH.json", "/root/repo/BASELINE_BENCH.json")
+    candidates.map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_)) match {
+      case None => Map.empty
+      case Some(p) =>
+        val s = java.nio.file.Files.readString(p)
+        val body = s.substring(s.indexOf("\"queries\""))
+        "\"([a-z0-9_]+)\"\\s*:\\s*([0-9][0-9.]*)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
 }

@@ -48,7 +48,10 @@ object Pipeline {
   /** Extract stage (main.py:29-76): each source is a thunk so that
     * CONSTRUCTION failures (bad path, dead DB, refused connection) are
     * caught too. A throwing or empty source logs a WARNING and contributes
-    * nothing; survivors log their row count. */
+    * nothing; survivors log their row count. With `counted = false` no
+    * audit action runs — and empty-source detection (which needs a count)
+    * is skipped with it: empties then flow through and land as empty
+    * staging tables. */
   def readSources(audit: Audit,
                   sources: Seq[(String, () => DataFrame)],
                   counted: Boolean = true): Map[String, DataFrame] =
@@ -68,15 +71,20 @@ object Pipeline {
 
   /** Staging stage (main.py:82-95): land every extracted table as
     * `stg_<name>` (full replace, K1); a failing write skips that table
-    * only. Returns table name -> path for the build stages. */
+    * only. The audited count reads the parquet just written (metadata-cheap)
+    * — never the source lineage again. Returns table name -> path for the
+    * build stages. */
   def stageAll(audit: Audit, dfs: Map[String, DataFrame],
-               stagingDir: String): Map[String, String] =
+               stagingDir: String, counted: Boolean = true): Map[String, String] =
     dfs.flatMap { case (key, df) =>
       val tbl = "stg_" + key.stripSuffix("_csv")
       val path = s"$stagingDir/$tbl"
       try {
         Staging.overwrite(df, path)
-        audit.info(s"Staging -> $tbl: ${df.count()} rows")
+        if (counted)
+          audit.info(s"Staging -> $tbl: " +
+            s"${df.sparkSession.read.parquet(path).count()} rows")
+        else audit.info(s"Staging -> $tbl written")
         Some(tbl -> path)
       } catch {
         case e: Exception =>
@@ -93,14 +101,17 @@ object Pipeline {
     * exactly like the reference's fact build logging
     * "FACT: could not process stg_api_opiniones" and moving on). */
   def buildStage(audit: Audit, spark: SparkSession, stagingDir: String,
-                 tables: Map[String, String], name: String)
+                 tables: Map[String, String], name: String,
+                 counted: Boolean = true)
                 (body: Map[String, DataFrame] => DataFrame): Option[(String, String)] =
     try {
       val in = tables.map { case (t, p) => t -> spark.read.parquet(p) }
       val out = body(in)
       val path = s"$stagingDir/$name"
       Staging.overwrite(out, path)
-      audit.info(s"$name: ${spark.read.parquet(path).count()} rows")
+      if (counted)
+        audit.info(s"$name: ${spark.read.parquet(path).count()} rows")
+      else audit.info(s"$name written")
       Some(name -> path)
     } catch {
       case e: Exception =>
@@ -114,12 +125,13 @@ object Pipeline {
   def run(spark: SparkSession, stagingDir: String,
           sources: Seq[(String, () => DataFrame)],
           builds: Seq[(String, Map[String, DataFrame] => DataFrame)],
-          audit: Audit = new Audit()): Result = {
+          audit: Audit = new Audit(),
+          counted: Boolean = true): Result = {
     audit.info("=== ETL run start ===")
-    val dfs = readSources(audit, sources)
-    var tables = stageAll(audit, dfs, stagingDir)
+    val dfs = readSources(audit, sources, counted)
+    var tables = stageAll(audit, dfs, stagingDir, counted)
     builds.foreach { case (name, body) =>
-      buildStage(audit, spark, stagingDir, tables, name)(body)
+      buildStage(audit, spark, stagingDir, tables, name, counted)(body)
         .foreach { kv => tables += kv }
     }
     audit.info("=== ETL run done ===")

@@ -64,10 +64,22 @@ object Staging {
     val updKeys = updates
       .select(key.map(org.apache.spark.sql.functions.col): _*).distinct()
     val merged = updates.unionByName(existing.join(updKeys, key, "left_anti"))
-    val tmp = new org.apache.hadoop.fs.Path(path + "__upsert_tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // Unique temp dir so two concurrent runs can't clobber each other's
+    // staging; Hadoop delete/rename report failure via FALSE, not an
+    // exception — check both, or a failed swap would silently leave the old
+    // rows (rename onto an existing dir nests instead of replacing). The
+    // delete→rename window itself is not atomic (no atomic dir swap on
+    // generic filesystems): a crash inside it loses the table — acceptable
+    // for a staging layer that the orchestrator rebuilds, documented here.
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + s"__upsert_tmp_${System.nanoTime()}")
+    try {
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(s"upsert: could not delete $path")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"upsert: could not swap $tmp -> $path")
+    } finally fs.delete(tmp, true)
   }
 
   /** K4 — index DDL analogue (load_to_staging.py:7-16): no index concept in

@@ -28,10 +28,12 @@ object Sampling {
   def stratifiedByHash(df: DataFrame, strataCol: String, idCol: String,
                        rates: Map[String, Double], defaultRate: Double,
                        seed: Int = 13): DataFrame = {
-    val cutoff = rates.foldLeft(lit((defaultRate * Buckets).toLong)) {
+    // math.round, not .toLong: 0.0057 * 10000 is 56.999… in IEEE double and
+    // truncation would shave a bucket off the promised 1/10000 granularity
+    def cutoffOf(rate: Double): Long = math.round(rate * Buckets)
+    val cutoff = rates.foldLeft(lit(cutoffOf(defaultRate))) {
       case (acc, (stratum, rate)) =>
-        when(col(strataCol) === stratum, lit((rate * Buckets).toLong))
-          .otherwise(acc)
+        when(col(strataCol) === stratum, lit(cutoffOf(rate))).otherwise(acc)
     }
     df.filter(bucket(col(idCol), seed) < cutoff)
   }
