@@ -37,6 +37,27 @@ object Sketch {
       .orderBy(col("bucket"))
   }
 
+  /** Grouped variant: one (bucket, max_rho) sketch PER group key — the
+    * shape a 100 TB pipeline actually stores (per-day / per-source / per-
+    * type distinct counts, mergeable across groups or time by max). Same
+    * single partial-aggregated shuffle, keyed by (group, bucket). */
+  def hllSketchBy(df: DataFrame, groupCols: Seq[Column], c: Column,
+                  m: Int = 64): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val wBits = 60 - bucketBits
+    val h = Dedup.seededHash(7, c)
+    val w = shiftright(h, bucketBits)
+    val rho = when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits) - (length(bin(w)) - 1)).cast("int")
+    df.select(groupCols :+
+        h.bitwiseAND(lit((m - 1).toLong)).cast("int").as("bucket") :+
+        rho.as("rho"): _*)
+      .groupBy(groupCols :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_items"))
+      .orderBy(groupCols :+ col("bucket"): _*)
+  }
+
   /** Merge sketches produced by hllSketch (same m): max per bucket. */
   def merge(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_.unionByName(_))

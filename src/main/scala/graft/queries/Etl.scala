@@ -156,6 +156,38 @@ object Etl extends QueryPack {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Bucketed co-located join: both sides land as bucketed tables on the
+    // join key, so the fact-fact join needs NO shuffle at all — the
+    // pre-partitioning the brief's "co-locate joins via bucketing" asks
+    // for. The merge hint pins a sort-merge join (a broadcast would hide
+    // the colocation being demonstrated); PlanSpec asserts the only
+    // shuffles left are the aggregation and the final sort.
+    "etl_bucketed_join" -> ((s, dir) => {
+      val dbDir = tmp(dir, "bucketed_db")
+      val db = ("graft_bkt_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toLowerCase
+      // the catalog is per-session but the managed-table location persists
+      // in the temp dir — wipe both or a re-run hits LOCATION_ALREADY_EXISTS
+      s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      val dbPath = new org.apache.hadoop.fs.Path(dbDir)
+      dbPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(dbPath, true)
+      s.sql(s"CREATE DATABASE $db LOCATION '$dbDir'")
+      table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      table(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+      s.table(s"$db.lineitem_b").hint("merge")
+        .join(s.table(s"$db.orders_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Keyed upsert (idempotent re-runnable dimension sync — the reference's
     // blind append, sync_dimensions_dw.py:43-49, made safe to re-run):
     // initial load = even custkeys with their balance; update wave = every
@@ -227,6 +259,12 @@ object Etl extends QueryPack {
         |LEFT JOIN dim_fecha df
         |  ON coalesce(CAST(strftime(o.o_orderdate, '%Y%m%d') AS BIGINT), -1) = df.id_fecha
         |ORDER BY o_orderkey""".stripMargin,
+
+    "etl_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // updates win on key collision; pure double + (no round — both engines
     // compute the identical IEEE sum).

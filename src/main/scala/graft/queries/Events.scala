@@ -47,6 +47,14 @@ object Events extends QueryPack {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Grouped HLL: one mergeable distinct-user sketch per event type — the
+    // per-source/per-day shape a 100 TB pipeline stores.
+    "ev_hll_by_type" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sketch.hllSketchBy(table(s, dir, "events"),
+        Seq(col("event_type")), col("user_id"), m = 64)
+    }),
+
     // Count-Min frequency sketch over event types: the judged artifact is
     // the exact integer (row, bucket, cnt) cell table — the mergeable form.
     "ev_cms_sketch" -> ((s, dir) =>
@@ -147,6 +155,18 @@ object Events extends QueryPack {
         |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
         |  count(*) AS n_items
         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // hllSketch's arithmetic with event_type added to the grouping.
+    "ev_hll_by_type" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(7 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events)
+        |SELECT event_type, CAST(h & 63 AS INTEGER) AS bucket,
+        |  CAST(max(CASE WHEN h >> 6 = 0 THEN 55
+        |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
+        |  count(*) AS n_items
+        |FROM h GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
 
     // Same md5-derived 60-bit seeded hash family as the Spark side
     // (seeds 100..103), cells additive.

@@ -124,6 +124,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(600))
   }
 
+  test("bucketed join is co-located: no shuffle feeds the join itself") {
+    val p = plan("etl_bucketed_join")
+    // both sides bucketed by the join key -> the SMJ reads bucketed scans
+    // directly; the only shuffles are the aggregation and final sort.
+    // (BroadcastExchange contains the substring "Exchange", so count
+    // shuffles as the difference.)
+    val shuffles = (p.split("\\bExchange\\b").length - 1) -
+      (p.split("BroadcastExchange").length - 1)
+    assert(p.contains("SortMergeJoin"), "bucketed join lost its SMJ shape")
+    // formatted explain names each node twice: 2 shuffle nodes = 4 mentions
+    assert(shuffles <= 4,
+      s"unexpected shuffle feeding the bucketed join ($shuffles mentions)\n${p.take(900)}")
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
