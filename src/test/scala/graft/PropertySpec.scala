@@ -115,6 +115,56 @@ class PropertySpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("star-contraction connected components match union-find on random graphs") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 30 + trial * 20
+      val edges = (1 to n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      // min-label canonicalization: find() roots at the component min
+      // because unions always point the larger root at the smaller
+      val got = rows(Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b")))
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got == want, s"trial $trial: CC mismatch on ${edges.length} edges")
+    }
+  }
+
+  test("as-of join matches the brute-force per-row argmax on random events") {
+    import graft.ops.AsOf
+    val rnd = new scala.util.Random(7)
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val left = (1 to 60).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(500).toLong)))
+    val right = (1 to 120).map(i =>
+      (1000L + i, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(500).toLong)))
+    val want = left.map { case (id, u, t) =>
+      val cands = right.filter(r => r._2 == u && !r._3.after(t))
+      id -> (if (cands.isEmpty) None
+             else Some(cands.maxBy(r => (r._3.getTime, r._1))._1))
+    }.toMap
+    val got = rows(AsOf.backward(
+      left.toDF("event_id", "user_id", "ts"),
+      right.toDF("event_id", "user_id", "ts"),
+      by = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      rightSeq = "event_id", rightCols = Seq("event_id"), prefix = "m_"))
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m_event_id")).map(_.toLong)).toMap
+    assert(got == want)
+  }
+
   test("dsum decimal aggregation is partition-order independent") {
     val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
     val one = vals.toDF("v").repartition(1)
