@@ -64,7 +64,12 @@ object Bench {
           failed ::= name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // localCheckpoints (connected-components loops) stay persisted after
+        // their query finishes; dropped eagerly so block-manager pressure
+        // from one query never bleeds into the next one's measurement
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> t
       }
     // The driver captures a ~2000-char stdout tail; with 87 queries the
     // line only fits at centisecond resolution with trailing zeros trimmed
