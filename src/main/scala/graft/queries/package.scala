@@ -14,12 +14,29 @@ package object queries {
     * nanos as long and floor-convert (integer DIV — ns epoch values overflow
     * double's 2^53, so no float division), matching DuckDB's ns->µs
     * truncation. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw =
+      if (name == "events") {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    // The driver writes each table as ONE file with ONE row group, and a
+    // row group is parquet's split unit — so every scan arrives as a
+    // single partition. For documents/embeddings that means the per-row CPU
+    // kernels (regex normalize, md5 shingle hashing, distance merges, dot
+    // products) serialize on one core; rebalance them explicitly — exactly
+    // what you'd do on a cluster handed a monolithic unsplittable file.
+    // Deliberately NOT applied to the row-oriented fact tables: their
+    // queries are scan+aggregate shaped, and a blanket round-robin
+    // repartition (which shuffles every column — pruning does not push
+    // through Repartition) costs more than the lost parallelism. Guarded:
+    // a well-laid-out multi-partition input passes through untouched.
+    val cpuHeavy = name == "documents" || name == "embeddings"
+    val par = spark.sparkContext.defaultParallelism
+    if (cpuHeavy && raw.rdd.getNumPartitions < par / 2) raw.repartition(par)
+    else raw
+  }
 
   /** Oracle-deterministic SUM over a double column: cast to decimal so the
     * aggregation is exact (order-independent — partial aggregates across

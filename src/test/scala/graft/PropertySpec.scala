@@ -165,6 +165,31 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("range join matches brute-force containment on random points/ranges") {
+    import graft.ops.RangeJoin
+    val rnd = new scala.util.Random(11)
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val points = (1 to 80).map(i =>
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(rnd.nextInt(600).toLong)))
+    val ranges = (1 to 30).map { i =>
+      val s = rnd.nextInt(600).toLong
+      (100L + i, (rnd.nextInt(4) + 1).toLong, ts(s), ts(s + rnd.nextInt(90)))
+    }
+    val want = (for {
+      (pid, pk, pt) <- points
+      (rid, rk, s, e) <- ranges
+      if pk == rk && !pt.before(s) && !pt.after(e)
+    } yield (pid, rid)).toSet
+    // width much smaller than spans AND width larger than spans both agree
+    for (width <- Seq(300L, 7200L)) {
+      val got = rows(RangeJoin.pointsInRanges(
+        points.toDF("pid", "k", "pt"), ranges.toDF("rid", "k", "s", "e"),
+        Seq("k"), "pt", "s", "e", bucketWidthSec = width))
+        .map(r => (r.getAs[Long]("pid"), r.getAs[Long]("rid"))).toSet
+      assert(got == want, s"width=$width")
+    }
+  }
+
   test("dsum decimal aggregation is partition-order independent") {
     val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
     val one = vals.toDF("v").repartition(1)
