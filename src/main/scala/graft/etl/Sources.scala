@@ -64,6 +64,12 @@ object Sources {
     * parquet, see queries.Core "p1_projection".) */
   def jdbc(spark: SparkSession, url: String, query: String,
            props: Map[String, String] = Map.empty): DataFrame = {
+    // embedded Derby boots at first connection and drops derby.log in the
+    // CWD unless its home is pinned first — any jdbc path may be that
+    // first connection (including a deliberately dead one)
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        System.getProperty("java.io.tmpdir"))
     val r = spark.read.format("jdbc")
       .option("url", url)
       .option("query", query)

@@ -35,6 +35,10 @@ object Staging {
 
   private def jdbcProps(batchSize: Int,
                         props: Map[String, String]): java.util.Properties = {
+    // keep embedded Derby's derby.log out of the CWD (see Sources.jdbc)
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        System.getProperty("java.io.tmpdir"))
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     p.setProperty("batchsize", batchSize.toString)
