@@ -119,6 +119,44 @@ object Pipeline {
         None
     }
 
+  /** Config-driven source list (config/settings.json:2-11 + main.py:63-74):
+    * the reference decides its extract plan from a settings file's `paths`
+    * map — keys ending `_csv` become CSV extractors, `sql:`-prefixed values
+    * become JDBC queries (db_extractor.py's query text lives in config),
+    * http(s) URLs become REST/JSON fetches. Unrecognized values are
+    * SKIPPED WITH A WARNING rather than failing the run — config typos
+    * degrade like dead sources do.
+    *
+    * @param jdbcUrl connection URL for `sql:` entries (the reference's
+    *                engine comes from separate credentials config)
+    */
+  def sourcesFromConfig(spark: SparkSession, audit: Audit,
+                        settingsJson: String, jdbcUrl: String = "")
+      : Seq[(String, () => DataFrame)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(settingsJson)
+    val paths = root.path("paths")
+    if (!paths.isObject) {
+      audit.warn("settings: no paths object, empty extract plan")
+      return Nil
+    }
+    val it = paths.properties().iterator()
+    val out = Seq.newBuilder[(String, () => DataFrame)]
+    while (it.hasNext) {
+      val e = it.next()
+      val (key, value) = (e.getKey, e.getValue.asText(""))
+      if (key.endsWith("_csv"))
+        out += key -> (() => Sources.csv(spark, value))
+      else if (value.startsWith("sql:"))
+        out += key -> (() => Sources.jdbc(spark, jdbcUrl, value.stripPrefix("sql:")))
+      else if (value.startsWith("http://") || value.startsWith("https://"))
+        out += key -> (() => Sources.httpJson(spark, value))
+      else
+        audit.warn(s"settings: unrecognized source $key -> $value, skipped")
+    }
+    out.result()
+  }
+
   /** Full lifecycle (main.py:417-431): extract -> stage -> ordered build
     * stages (dims before the fact that looks them up), every boundary
     * isolated and audited. */

@@ -112,6 +112,34 @@ class PipelineE2ESpec extends SparkSpec {
     assert(rows(dimFecha).forall(_.getAs[Long]("fecha_key") > 20240000L))
   }
 
+  test("config-driven extract plan: csv/sql/http keys resolve, junk degrades") {
+    import graft.etl.Pipeline
+    val audit = new Pipeline.Audit(sink = _ => ())
+    val csvDir = java.nio.file.Files.createTempDirectory("cfg_csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/d.csv"), "IdCliente,Nombre\n1,Ana\n2,Bo\n")
+    val settings = s"""{
+      |  "paths": {
+      |    "clients_csv": "$csvDir",
+      |    "sql_opiniones": "sql:SELECT 1 FROM t",
+      |    "api_opiniones": "https://localhost:1/unreachable",
+      |    "mystery": "not-a-source"
+      |  },
+      |  "staging_db": "ignored.sqlite"
+      |}""".stripMargin
+    val sources = Pipeline.sourcesFromConfig(spark, audit, settings,
+      jdbcUrl = "jdbc:derby:/nonexistent/cfg_db")
+    assert(sources.map(_._1) == Seq("clients_csv", "sql_opiniones", "api_opiniones"))
+    assert(audit.warnings.exists(_.contains("mystery")))
+    val stagingDir = java.nio.file.Files.createTempDirectory("cfg_stage").toString
+    val result = Pipeline.run(spark, stagingDir, sources, builds = Nil, audit = audit)
+    // the reference's observed shape: CSVs land, DB+API degrade
+    assert(result.tables.keySet == Set("stg_clients"))
+    assert(spark.read.parquet(result.tables("stg_clients")).count() == 2)
+    assert(audit.warnings.exists(_.startsWith("sql_opiniones")))
+    assert(audit.warnings.exists(w => w.startsWith("api_opiniones")))
+  }
+
   test("orchestrator: dead + empty sources degrade, CSV blocks land, stages isolate") {
     import graft.etl.Pipeline
     val stagingDir =
