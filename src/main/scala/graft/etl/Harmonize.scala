@@ -31,9 +31,14 @@ object Harmonize {
     * spec's column set in order. Mirrors main.py:208-269's
     * rename-if-present / default-if-absent ladder. */
   def apply(df: DataFrame, spec: Spec): DataFrame = {
-    val have = df.columns.toSet
+    // case-insensitive probe, matching Spark's (default) case-insensitive
+    // resolution — a case-variant header must rename, not silently fall to
+    // the field default
+    val have = df.columns.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
     val cols = spec.fields.map { f =>
-      (f.from :+ f.out).find(have.contains) match {
+      (f.from :+ f.out)
+        .flatMap(n => have.get(n.toLowerCase(java.util.Locale.ROOT)))
+        .headOption match {
         case Some(src) => f.coerce(col(src)).as(f.out)
         case None      => f.default.as(f.out)
       }

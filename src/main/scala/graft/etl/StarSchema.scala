@@ -38,8 +38,14 @@ object StarSchema {
     val frames = sources.zip(dateCols).map { case (df, c) =>
       df.select(c.cast("timestamp").as("fecha"))
     }
+    // distinct on the DAY, not the raw timestamp: fecha_key is this dim's
+    // key, and intraday inputs ('2025-01-01 09:00' vs '17:00') must not
+    // produce two rows with the same key (midnight-aligned inputs are
+    // unchanged by the truncation)
     val all = frames.reduce(_.unionByName(_))
-      .na.drop(Seq("fecha")).distinct()
+      .na.drop(Seq("fecha"))
+      .select(to_date(col("fecha")).cast("timestamp").as("fecha"))
+      .distinct()
     val withParts = F.dateParts(col("fecha")).foldLeft(
       all.withColumn("fecha_key", F.fechaKey(col("fecha")))
     ) { case (df, (name, c)) => df.withColumn(name, c) }
@@ -48,7 +54,12 @@ object StarSchema {
 
   /** J2 — generic parameterized key lookup (lookup_key, main.py:310-319):
     * left-join `dim(dimJoin -> dimKey)` onto `fact(leftOn)`, attach `outCol`,
-    * default on miss. Dimension broadcast; fact unshuffled. */
+    * default on miss. Dimension broadcast; fact unshuffled.
+    *
+    * Contract (pandas-merge semantics, like the reference): if the dim's
+    * dimJoin -> dimKey mapping is not unique, matching fact rows FAN OUT —
+    * the trailing distinct() dedups exact pairs only. Callers own dim-key
+    * uniqueness (buildDim's distinct-then-number guarantees it). */
   def lookupKey(fact: DataFrame, dim: DataFrame, dimJoin: String,
                 dimKey: String, leftOn: String, outCol: String,
                 default: Any): DataFrame = {

@@ -95,5 +95,7 @@ object functions {
   /** P4 — bulk header normalization (clean_data.py:12-15): strip, lower,
     * spaces -> underscores. Driver-side (operates on names, not data). */
   def normalizeName(name: String): String =
-    name.trim.toLowerCase.replaceAll("\\s+", "_")
+    // Locale.ROOT: default-locale lowercasing corrupts 'I' on
+    // Turkish-family JVMs ("regıonkey")
+    name.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", "_")
 }

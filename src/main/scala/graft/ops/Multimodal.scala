@@ -47,7 +47,11 @@ object Multimodal {
   def decodeMeta(docs: DataFrame, decoder: Decoder = FakeDecoder): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // null payloads (null text) are DROPPED, the same contract as
+    // frameSample — a decoder must never see a null buffer (oracles carry
+    // the matching IS NOT NULL)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
       .mapPartitions(decoder.decode _)
       .toDF()

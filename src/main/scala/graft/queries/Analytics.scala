@@ -116,11 +116,14 @@ object Analytics extends QueryPack {
     // machinery as the DataFrame API. NULLS FIRST pinned explicitly (Spark
     // defaults ASC NULLS FIRST, DuckDB NULLS LAST).
     "gs1_grouping_sets" -> ((s, dir) => {
-      table(s, dir, "orders").createOrReplaceTempView("orders_v")
-      s.sql("""
+      // view name keyed by SF: the session-global temp view would race two
+      // concurrent scale factors on one SparkSession
+      val view = "orders_v_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      table(s, dir, "orders").createOrReplaceTempView(view)
+      s.sql(s"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
-        FROM orders_v
+        FROM $view
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
     }),

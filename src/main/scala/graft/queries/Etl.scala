@@ -14,10 +14,7 @@ import graft.etl.{functions => F, Harmonize, Pipeline, Sources, Staging, StarSch
   */
 object Etl extends QueryPack {
 
-  private def tmp(dir: String, name: String): String = {
-    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_stage$sf/$name"
-  }
+  private def tmp(dir: String, name: String): String = tmpStage(dir, name)
 
   val queries: Map[String, QFn] = Map(
     // S1 + K1: parquet -> CSV staging file -> CsvExtractor-equivalent read.
@@ -41,7 +38,12 @@ object Etl extends QueryPack {
       val rows = table(s, dir, "region").orderBy(col("r_regionkey"))
         .collect().map { r =>
           val k = r.getAs[Int]("r_regionkey"); val n = r.getAs[String]("r_name")
-          s"""{"region_key":$k,"meta":{"name":"$n","chars":${n.length}}}"""
+          // escape the embedded string (a quote/backslash in a name must not
+          // corrupt the body) and count CODEPOINTS, matching the oracle's
+          // length() — String.length counts UTF-16 units
+          val esc = n.replace("\\", "\\\\").replace("\"", "\\\"")
+          val chars = n.codePointCount(0, n.length)
+          s"""{"region_key":$k,"meta":{"name":"$esc","chars":$chars}}"""
         }
       val body = rows.mkString("""{"data":[""", ",", "]}")
       Sources.jsonBody(s, body)

@@ -35,7 +35,7 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = s"${System.getProperty("java.io.tmpdir")}/graft_evstream$sf"
+      val staged = tmpStage(dir, "evstream")
       // testdata is immutable and the dir is keyed by SF — a completed
       // previous staging (marked by _SUCCESS) can be reused verbatim
       if (!java.nio.file.Files.exists(

@@ -168,7 +168,7 @@ object Vectors extends QueryPack {
         |  SELECT doc_id,
         |    CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
         |    CAST(64 + (octet_length(encode(text)) * 31) % 417 AS BIGINT) AS height
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |s AS (
         |  SELECT doc_id, width, height,
         |    least(256.0 / width, 256.0 / height, 1.0) AS scale
@@ -186,6 +186,6 @@ object Vectors extends QueryPack {
         |  CAST(64 + (octet_length(encode(text)) * 31) % 417 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
   )
 }

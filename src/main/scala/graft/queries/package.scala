@@ -38,6 +38,14 @@ package object queries {
     else raw
   }
 
+  /** Temp staging path keyed by the scale-factor directory, so concurrent
+    * SFs never collide — the single convention for every query that stages
+    * intermediate files. */
+  def tmpStage(dir: String, name: String): String = {
+    val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_stage$sf/$name"
+  }
+
   /** Oracle-deterministic SUM over a double column: cast to decimal so the
     * aggregation is exact (order-independent — partial aggregates across
     * partitions must equal DuckDB's sequential sum bit-for-bit), then round

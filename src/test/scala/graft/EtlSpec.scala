@@ -25,6 +25,13 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq(("382", 4.5, ""), ("C007", 0.0, "hola")))
   }
 
+  test("Harmonize probe matches case-insensitively, like Spark resolution") {
+    val spec = Harmonize.Spec(Seq(
+      Harmonize.Field("cliente_id", from = Seq("idcliente"))))
+    val got = rows(Harmonize(Seq("C1").toDF("IdCliente"), spec))
+    assert(got.head.getString(0) == "C1") // renamed, not defaulted to null
+  }
+
   test("Harmonize.unionBlocks: empty input -> None (empty-frame fallback)") {
     assert(Harmonize.unionBlocks(Nil).isEmpty)
   }
