@@ -76,9 +76,14 @@ object Bench {
     // (run noise is larger than 10 ms anyway). Full precision goes to
     // stderr below.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
-    // comma-decimal JVM would emit invalid JSON
+    // comma-decimal JVM would emit invalid JSON. Adaptive precision — two
+    // decimals under a second, one above — keeps even a degraded (slow)
+    // run's 90-query line inside the ~2000-char capture window; run-to-run
+    // variance is far larger than the dropped digit, and full precision
+    // still goes to stderr.
     def fmt(v: Double): String = {
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val pat = if (v >= 1) "%.1f" else "%.2f"
+      val s = String.format(java.util.Locale.ROOT, pat, Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
