@@ -115,9 +115,22 @@ object Dedup {
   }
 
   /** Banded-LSH candidate pairs over a signature table (doc_a < doc_b,
-    * distinct): documents sharing any band bucket become a candidate. */
+    * distinct): documents sharing any band bucket become a candidate.
+    *
+    * The bucket self-join is CHUNKED (`Skew.chunkedSelfJoin`): a
+    * boilerplate-heavy corpus puts its identical docs in ONE (band, bh)
+    * bucket — all bands collide — and an unchunked self-join would compute
+    * that bucket's entire |bucket|² pair grid in a single task. Chunking
+    * spreads the grid over chunks² tasks. (The OUTPUT of a candidate
+    * generator is inherently quadratic in the bucket — compose
+    * `Dedup.exact` first when a corpus is known to carry exact-duplicate
+    * floods, so LSH only sees distinct texts.)
+    *
+    * Callers must pass a MATERIALIZED signature table: the join consumes
+    * `sig` on both sides, and an unmaterialized lineage (text scan, shingle
+    * explode, md5, 16-min aggregation) would execute once per side. */
   private def lshCandidates(sig: DataFrame, numHashes: Int,
-                            bands: Int): DataFrame = {
+                            bands: Int, chunks: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -126,17 +139,20 @@ object Dedup {
     }
     val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = buckets.as("a"); val b = buckets.as("b")
+    val (a, b, chunkCond) = Skew.chunkedSelfJoin(buckets, "doc_id", chunks)
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
+              chunkCond && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
   def minHashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                 shingleLen: Int = 3): DataFrame =
-    lshCandidates(minHashSignatures(docs, numHashes, shingleLen),
-      numHashes, bands)
+                 shingleLen: Int = 3, chunks: Int = 4): DataFrame =
+    // localCheckpoint: the signature build (the expensive md5 + 16-min
+    // aggregation) runs once, not once per join side; swap for reliable
+    // checkpoint on a real cluster (see duplicateClusters).
+    lshCandidates(minHashSignatures(docs, numHashes, shingleLen).localCheckpoint(),
+      numHashes, bands, chunks)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** MinHash candidates WITH the verification stage a production dedup
@@ -149,9 +165,13 @@ object Dedup {
     * signature table; the signatures are computed once and reused for
     * bucketing and verification. */
   def minHashVerified(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                      shingleLen: Int = 3, minEst: Double = 0.5): DataFrame = {
-    val sig = minHashSignatures(docs, numHashes, shingleLen)
-    val cand = lshCandidates(sig, numHashes, bands)
+                      shingleLen: Int = 3, minEst: Double = 0.5,
+                      chunks: Int = 4): DataFrame = {
+    // Materialized once, consumed three times (bucketing + both sides of
+    // the verification join) — unmaterialized, the signature build would
+    // execute three times.
+    val sig = minHashSignatures(docs, numHashes, shingleLen).localCheckpoint()
+    val cand = lshCandidates(sig, numHashes, bands, chunks)
     val agree = (0 until numHashes).map { i =>
       when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
     }.reduce(_ + _)
@@ -182,7 +202,8 @@ object Dedup {
     * (legitimately, approximately) missed.
     */
   val SimHashBits = 60
-  def simHash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHash(docs: DataFrame, maxHamming: Int = 3,
+              chunks: Int = 4): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
         .as("tok"))
@@ -195,7 +216,14 @@ object Dedup {
     val fp = (0 until SimHashBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    val sigs = votes.select(col("doc_id"), fp.as("simhash"))
+    // localCheckpoint: the banded self-join consumes the signature table on
+    // BOTH sides; unmaterialized, the whole lineage (text scan, tokenize
+    // explode, per-token md5, 60-column vote aggregation) executed once per
+    // side — a reproducible 2.2× wall-clock regression at sf0.1. The
+    // materialized table is (doc_id, one BIGINT) — bytes per document —
+    // so the barrier is all win; swap for reliable checkpoint on a real
+    // cluster (see duplicateClusters).
+    val sigs = votes.select(col("doc_id"), fp.as("simhash")).localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -203,9 +231,12 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val a = banded.as("a"); val b = banded.as("b")
+    // Chunked for the same boilerplate-flood reason as lshCandidates: all
+    // identical docs share every band, and one (band, bh) bucket must not
+    // pin its whole pair grid on a single task.
+    val (a, b, chunkCond) = Skew.chunkedSelfJoin(banded, "doc_id", chunks)
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              col("a.doc_id") < col("b.doc_id"))
+              chunkCond && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()

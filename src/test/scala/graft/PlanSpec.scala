@@ -64,6 +64,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("banded dedup self-joins are chunked over materialized signatures") {
+    for (q <- Seq("dd_minhash_lsh", "dd_simhash")) {
+      val p = plan(q)
+      // chunk keys in the join condition: a giant (band, bh) bucket spreads
+      // over chunks² tasks instead of pinning one
+      assert(p.contains("__ck"), s"$q lost its chunked self-join")
+      // the signature build must feed the join as a materialized
+      // (localCheckpoint) scan, not as a duplicated aggregation lineage:
+      // at most the one vote/min aggregation pair may remain upstream
+      assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+        s"$q signature table is not materialized before the self-join")
+    }
+  }
+
   test("rollup expands partially before the exchange") {
     val p = plan("r1_rollup")
     assert(p.contains("Expand"), "rollup lost its Expand node")

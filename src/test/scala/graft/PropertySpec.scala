@@ -190,6 +190,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("boilerplate flood: LSH and SimHash emit the full pair set, chunked") {
+    // The adversarial corpus for banded candidate generation: many IDENTICAL
+    // docs share every band, so one (band, bh) bucket holds them all and an
+    // unchunked self-join would compute the whole |bucket|² grid in a single
+    // task. With chunking the pair grid spreads over chunks² tasks; the
+    // emitted pair set must be exactly C(n,2) either way (+ nothing from the
+    // lone distinct doc). n = 300 keeps the quadratic OUTPUT (44 850 pairs)
+    // test-sized; the plan shape is identical at 10⁶.
+    val n = 300
+    val flood = ((1 to n).map(i =>
+        (i.toLong, "the same boilerplate sentence repeated verbatim everywhere", "en")) :+
+        (9999L, "entirely unrelated content about volcanoes and glaciers", "en"))
+      .toDF("doc_id", "text", "lang")
+    val expected = n.toLong * (n - 1) / 2
+    import graft.ops.Dedup
+    val lsh = Dedup.minHashLsh(flood)
+    assert(lsh.count() == expected)
+    val sh = Dedup.simHash(flood).filter(col("hamming") === 0)
+    assert(sh.count() == expected)
+    // chunking must not duplicate or drop pairs: spot-check distinctness
+    assert(lsh.distinct().count() == expected)
+  }
+
   test("dsum decimal aggregation is partition-order independent") {
     val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
     val one = vals.toDF("v").repartition(1)
