@@ -90,6 +90,23 @@ object Similarity {
     * probe costs ~nprobe/m of the corpus — with m ≈ √n the classic √n
     * speedup, all in plain DataFrame ops.
     */
+  /** Scale-honest centroid spacing: m ≈ √n requires centroidEvery ≈ √n —
+    * a FIXED spacing makes m grow linearly with the corpus, so the
+    * broadcast centroid set and the |corpus|·m assignment cost blow up at
+    * 100 TB. Derived from one count (parquet metadata — no scan). */
+  def autoCentroidEvery(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** ivfTopK with centroidEvery derived from the corpus size so the
+    * centroid count stays ≈ √n at any scale. The count() is a bounded
+    * driver-side action (parquet row-count metadata, no data scan); pass an
+    * explicit centroidEvery to `ivfTopK` when the cardinality is already
+    * known. Precondition (same as ivfTopK): vec_ids near-dense, so
+    * `vec_id % every = 0` actually selects ≈ n/every centroids. */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nprobe: Int = 2): DataFrame =
+    ivfTopK(corpus, queries, k, autoCentroidEvery(corpus.count()), nprobe)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
     val cent = broadcast(corpus.filter(col("vec_id") % centroidEvery === 0)

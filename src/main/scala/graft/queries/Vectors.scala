@@ -27,11 +27,13 @@ object Vectors extends QueryPack {
     }),
 
     // Approximate top-k via IVF cells (deterministic centroid subset,
-    // nprobe=2) — the scale path when the query side is also large.
+    // nprobe=2) — the scale path when the query side is also large. The
+    // centroid spacing is DERIVED (⌈√n⌉, so m ≈ √n at any corpus size);
+    // the oracle mirrors the derivation with a count subquery.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5,
-        centroidEvery = 50, nprobe = 2)
+      Similarity.ivfTopKAuto(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+        nprobe = 2)
     }),
 
     // Embedding-cosine near-dup pairs, blocked by label.
@@ -104,8 +106,11 @@ object Vectors extends QueryPack {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "sim_ivf_topk" ->
-      s"""WITH cent AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH ce AS (
+        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ce) = 0),
         |ca AS (
         |  SELECT vec_id, embedding, c_id FROM (
         |    SELECT v.vec_id, v.embedding, c.c_id,

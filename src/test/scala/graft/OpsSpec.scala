@@ -132,14 +132,30 @@ class OpsSpec extends SparkSpec {
     val exact = pairs(Similarity.bruteForceTopK(e, q, k = 5))
     val lsh = pairs(Similarity.signLshTopK(e, q, k = 5, signBits = 4))
     val ivf = pairs(Similarity.ivfTopK(e, q, k = 5, centroidEvery = 10, nprobe = 4))
+    val ivfAuto = pairs(Similarity.ivfTopKAuto(e, q, k = 5, nprobe = 4))
     val lshRecall = (lsh & exact).size.toDouble / exact.size
     val ivfRecall = (ivf & exact).size.toDouble / exact.size
+    val autoRecall = (ivfAuto & exact).size.toDouble / exact.size
     // Approximate results must be true subsets of the candidate space and
     // recover a meaningful share of the exact neighbours on random-ish data.
     assert(lsh.forall { case (a, b) => a != b })
     assert(lshRecall > 0.05, s"sign-LSH recall@5 collapsed: $lshRecall")
     assert(ivfRecall > 0.15, s"IVF recall@5 collapsed: $ivfRecall")
-    info(f"recall@5 — signLSH(4 bits): $lshRecall%.2f, IVF(nprobe=4): $ivfRecall%.2f")
+    assert(autoRecall > 0.15, s"auto-m IVF recall@5 collapsed: $autoRecall")
+    info(f"recall@5 — signLSH(4 bits): $lshRecall%.2f, IVF(nprobe=4): $ivfRecall%.2f, IVF(auto m): $autoRecall%.2f")
+  }
+
+  test("ivf auto centroid spacing keeps m ~ sqrt(n) at any scale") {
+    import graft.ops.Similarity.autoCentroidEvery
+    // spacing ⌈√n⌉ ⇒ m = n/spacing ≈ √n, so a 100× corpus grows the
+    // broadcast centroid set 10×, not 100×
+    for (n <- Seq(100L, 10000L, 1000000L, 4000000000L)) {
+      val every = autoCentroidEvery(n)
+      val m = n.toDouble / every
+      assert(every >= math.sqrt(n.toDouble) && every < math.sqrt(n.toDouble) + 1)
+      assert(m <= math.sqrt(n.toDouble) + 1, s"n=$n gives m=$m")
+    }
+    assert(autoCentroidEvery(0) == 1 && autoCentroidEvery(1) == 1)
   }
 
   test("hll sketch estimates distinct users within tolerance and merges") {
