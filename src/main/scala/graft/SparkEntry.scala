@@ -45,13 +45,22 @@ object SparkEntry {
     * never contains `\s`. */
   private[graft] def javaWhitespace(sql: String): String = {
     val bare = " \\t\\n\\x0b\\f\\r"
+    // The textual class tracker cannot see an ESCAPED bracket — `\[` would
+    // flip inClass and silently splice `\s` in the wrong form. Enforce the
+    // convention instead of silently miscompiling a future oracle.
+    require(!sql.contains("\\[") && !sql.contains("\\]"),
+      "oracle SQL must not contain escaped brackets (\\[ or \\]) — " +
+        "javaWhitespace tracks character-class state textually")
     val out = new StringBuilder(sql.length + 64)
     var inClass = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (c == '\\' && i + 1 < sql.length && sql.charAt(i + 1) == 's') {
-        out ++= (if (inClass) bare else s"[$bare]")
+      if (c == '\\' && i + 1 < sql.length) {
+        // consume the whole escape: only \s is rewritten; any other escaped
+        // char (incl. \\) passes through without touching class state
+        if (sql.charAt(i + 1) == 's') out ++= (if (inClass) bare else s"[$bare]")
+        else { out += c; out += sql.charAt(i + 1) }
         i += 2
       } else {
         if (c == '[') inClass = true

@@ -42,11 +42,16 @@ object AsOf {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__seq", lit(Long.MaxValue))
+    // NULL right seqs coalesce to Long.MaxValue — they win same-instant
+    // ties, and (crucially) the convention matches the SQL oracle twin,
+    // where Spark's native NULLS FIRST window ordering would not.
+    // Precondition: non-null seq values < Long.MaxValue, else a null and a
+    // MaxValue row at the same (key, time) tie nondeterministically.
     val r = right.select(
       by.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(0).as("__side"),
-        col(rightSeq).cast("long").as("__seq"),
+        coalesce(col(rightSeq).cast("long"), lit(Long.MaxValue)).as("__seq"),
         struct(rightCols.map(col): _*).as("__rpay")): _*)
     // left side gains a null __rpay, right side gains null left columns
     val u = l.unionByName(r, allowMissingColumns = true)

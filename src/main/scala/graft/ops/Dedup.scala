@@ -27,6 +27,16 @@ object Dedup {
     conv(substring(md5(concat_ws(":", lit(seed), v)), 1, 15), 16, 10)
       .cast("long")
 
+  /** JVM-side twin of seededHash for bounded driver-side probes (sketch
+    * point estimates): the same md5("seed:value") → first-60-bits
+    * arithmetic, kept HERE so a probe can never desynchronize from the
+    * distributed sketch cells. (First 8 digest bytes = 64 bits; >>> 4
+    * keeps the leading 15 hex chars, exactly what the SQL form parses.) */
+  def seededHashJvm(seed: Int, v: String): Long =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$v".getBytes("UTF-8"))
+      .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
+
   /** Exact dedup: one row per distinct text, keeping the smallest doc_id
     * (deterministic survivor). `dropDuplicates` generalization (SURVEY A1)
     * with an explicit, order-independent survivor rule. */

@@ -72,11 +72,15 @@ object Sketch {
     * integer (row, bucket, cnt) table. Merging sketches = summing cells;
     * a point estimate is min over rows of the key's cell counts (see
     * cmsEstimate) with the classic eps = e/width overcount bound. */
+  /** Seed base shared by cmsSketch and cmsEstimate — one definition, so the
+    * probe side can never drift from the sketch cells. */
+  private val CmsSeedBase = 100
+
   def cmsSketch(df: DataFrame, c: Column, depth: Int = 4,
                 width: Int = 64): DataFrame = {
     val cells = array((0 until depth).map { i =>
       struct(lit(i).as("row"),
-        pmod(Dedup.seededHash(100 + i, c), lit(width.toLong)).cast("int")
+        pmod(Dedup.seededHash(CmsSeedBase + i, c), lit(width.toLong)).cast("int")
           .as("bucket"))
     }: _*)
     df.select(explode(cells).as("cell"))
@@ -93,14 +97,13 @@ object Sketch {
       .agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("row"), col("bucket"))
 
-  /** Driver-side CMS point estimate for one key (min over depth rows). */
+  /** Driver-side CMS point estimate for one key (min over depth rows).
+    * Probe cells come from Dedup.seededHashJvm with the shared seed base —
+    * the single definition the sketch itself uses. */
   def cmsEstimate(sketch: DataFrame, key: String, depth: Int = 4,
                   width: Int = 64): Long = {
     val cellOf = (0 until depth).map { i =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${100 + i}:$key".getBytes("UTF-8"))
-        .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)) >>> 4
-      i -> (h % width).toInt
+      i -> (Dedup.seededHashJvm(CmsSeedBase + i, key) % width).toInt
     }.toMap
     val cells = sketch.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap

@@ -206,14 +206,29 @@ object TextOps extends QueryPack {
     "tx_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(table(s, dir, "documents"), k = 3)),
     // Quantile-threshold filter: documents STRICTLY above their language's
-    // median quality (corpus curation cut).
+    // median quality (corpus curation cut). The cut point is the LOWER
+    // median — an actual data element (the ⌈n/2⌉-th smallest quality),
+    // selected by integer rank — not an interpolated percentile: the
+    // midpoint of two adjacent 6-dp values can land on an exact …5
+    // boundary that Spark's round() (decimal HALF_UP) and DuckDB's
+    // (binary-double) resolve differently, a data-dependent parity flake.
+    // Rank selection involves no arithmetic on quality at all, so the
+    // comparison is between two identically-computed doubles in both
+    // engines. (At 100 TB the per-lang rank pass becomes a skewed sort —
+    // a production cut swaps in approx_percentile, whose t-digest sketch
+    // is mergeable map-side; exact rank is kept here for the oracle.)
     "tx_quality_filter" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val docs = table(s, dir, "documents")
       val q = TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality"))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      val med = q.groupBy(col("lang"))
-        .agg(round(expr("percentile(quality, 0.5)"), 6).as("med"))
+      val wl = Window.partitionBy(col("lang"))
+      val med = q
+        .withColumn("rn", row_number().over(wl.orderBy(col("quality"))))
+        .withColumn("n", count(lit(1)).over(wl))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("lang"), col("quality").as("med"))
       q.join(broadcast(med), "lang")
         .filter(col("quality") > col("med"))
         .select(col("doc_id"), col("lang"), col("quality"), col("med"))
@@ -368,8 +383,12 @@ object TextOps extends QueryPack {
         |  SELECT q.doc_id, d.lang, q.quality
         |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
         |med AS (
-        |  SELECT lang, round(quantile_cont(quality, 0.5), 6) AS med
-        |  FROM ql GROUP BY lang)
+        |  SELECT lang, quality AS med FROM (
+        |    SELECT lang, quality,
+        |      row_number() OVER (PARTITION BY lang ORDER BY quality) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS n
+        |    FROM ql) z
+        |  WHERE rn = (n + 1) // 2)
         |SELECT ql.doc_id, ql.lang, ql.quality, med.med
         |FROM ql JOIN med ON ql.lang = med.lang
         |WHERE ql.quality > med.med

@@ -32,6 +32,31 @@ class FunctionsSpec extends SparkSpec {
     assert(toks("rew").contains(",") && toks("rew").contains("!"))
   }
 
+  test("oracle \\s rewrite skips other escapes and rejects escaped brackets") {
+    // \\ then s must NOT be rewritten (it is an escaped backslash + literal
+    // s); \d passes through; class state survives an escaped backslash
+    val rew = SparkEntry.javaWhitespace("""a \\s b \d [x\s]""")
+    assert(rew.contains("""\\s b"""), rew)
+    assert(rew.contains("""\d"""), rew)
+    assert(rew.endsWith("""[x \t\n\x0b\f\r]"""), rew)
+    // escaped brackets would silently corrupt class tracking — rejected
+    intercept[IllegalArgumentException] {
+      SparkEntry.javaWhitespace("""select regexp('\[')""")
+    }
+    // every committed oracle satisfies the invariant (fails fast otherwise)
+    assert(SparkEntry.oracleSql.nonEmpty)
+  }
+
+  test("seededHashJvm is bit-identical to the distributed seededHash") {
+    import graft.ops.Dedup
+    val vals = Seq("click", "view", "", "tok7x", "a b c", "ünïcode")
+    val got = rows(vals.toDF("v")
+      .select($"v", Dedup.seededHash(107, $"v").as("h")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (v <- vals)
+      assert(Dedup.seededHashJvm(107, v) == got(v), s"mismatch on '$v'")
+  }
+
   test("F1 normalize_text collapses runs, trims, casts; idempotent") {
     val df = Seq("  a   b\t\nc  ", "x", "", "   ", "1  2").toDF("s")
       .select(F.normalizeText($"s").as("n"))
