@@ -153,4 +153,47 @@ class EtlSpec extends SparkSpec {
     val got = rows(out.orderBy("fuente")).map(_.getAs[String]("fuente_id"))
     assert(got == Seq("F001", "-1"))
   }
+
+  test("httpJson live: envelope parse, non-200 / wrong type / corrupt / timeout degrade") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(status: Int, contentType: String, body: String,
+                delayMs: Long = 0): HttpHandler = new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        if (delayMs > 0) Thread.sleep(delayMs)
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    }
+    val goodBody = """{"data":[{"id":1,"nombre":"Ana","meta":{"pais":"CL"}},
+                     |        {"id":2,"nombre":"Luis","meta":{"pais":"AR"}}]}""".stripMargin
+    server.createContext("/ok", handler(200, "application/json", goodBody))
+    server.createContext("/err", handler(500, "application/json", goodBody))
+    server.createContext("/html", handler(200, "text/html", "<html>nope</html>"))
+    server.createContext("/bad", handler(200, "application/json", "{not json!!"))
+    server.createContext("/slow", handler(200, "application/json", goodBody,
+      delayMs = 4000))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // 200 + JSON envelope: unwrap data[], flatten meta.pais -> meta_pais,
+      // normalize headers — the full api_extractor contract
+      val ok = Sources.httpJson(spark, s"$base/ok",
+        headers = Map("Authorization" -> "Bearer t"))
+      assert(ok.columns.toSeq.sorted == Seq("id", "meta_pais", "nombre"))
+      assert(rows(ok.orderBy("id")).map(_.getAs[String]("meta_pais")) ==
+        Seq("CL", "AR"))
+      // every failure mode degrades to an empty table, never throws
+      assert(Sources.httpJson(spark, s"$base/err").isEmpty)
+      assert(Sources.httpJson(spark, s"$base/html").isEmpty)
+      assert(Sources.httpJson(spark, s"$base/bad").isEmpty)
+      assert(Sources.httpJson(spark, s"$base/slow", timeoutSec = 1).isEmpty)
+      // connection refused (nothing listens on the next port)
+      assert(Sources.httpJson(spark,
+        s"http://127.0.0.1:${server.getAddress.getPort + 1}/ok").isEmpty)
+    } finally server.stop(0)
+  }
 }
