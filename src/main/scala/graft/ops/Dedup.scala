@@ -407,6 +407,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the pre-training hygiene pass: find
+    * corpus documents sharing any word n-gram with a benchmark/eval set,
+    * so evaluation data can be excluded from training. Returns
+    * (doc_id, n_shared = count of distinct shared n-gram hashes) for
+    * contaminated docs only, ordered by doc_id.
+    *
+    * Shape at scale: both sides reduce to DISTINCT (id, gram-hash) /
+    * (gram-hash) sets — hashes, not strings, so the shuffle carries 8
+    * bytes per gram — then ONE equi-join on the hash and a partial-agg
+    * count per doc. The benchmark side is typically small enough to
+    * broadcast; AQE decides. No quadratic anything: cost is linear in
+    * total grams + join output (true contamination volume). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    n: Int = 5): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame = {
+      val toks = split(F.normalizeText(lower(col("text"))), " ")
+      df.filter(size(toks) >= n)
+        .select(col("doc_id"), toks.as("toks"),
+          explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
+        .select(col("doc_id"),
+          seededHash(23,
+            concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
+    }
+    val d = gramHashes(docs).distinct()
+    val b = gramHashes(benchmark).select(col("gh")).distinct()
+    d.join(b, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup within deterministic blocks.
     *
     * Blocking: (lang, token-count bucket) — near-identical docs agree on

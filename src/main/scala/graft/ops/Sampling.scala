@@ -37,4 +37,28 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), seed) < cutoff)
   }
+
+  /** Domain-mix resampling: downsample every stratum (source/domain/lang)
+    * toward an EQUAL share of the corpus — the "don't let one crawl
+    * dominate the mixture" pass of a training-data pipeline. A stratum
+    * with more than total/k rows is hash-sampled down to ≈ total/k; smaller
+    * strata pass through whole (rate capped at 1).
+    *
+    * The keep decision is exact integer arithmetic end to end:
+    * keep ⟺ bucket/10⁴ < total/(k·actual) ⟺ bucket·k·actual < total·10⁴ —
+    * no floating division, no rounding, so no engine can disagree on a
+    * boundary row. Cost: one count aggregate per stratum (bounded rows,
+    * broadcast back) + a map-side filter over the corpus; the corpus
+    * itself never shuffles. */
+  def proportionalMix(df: DataFrame, strataCol: String, idCol: String,
+                      seed: Int = 17): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__actual"))
+    val totals = counts.agg(sum(col("__actual")).as("__total"),
+      count(lit(1)).as("__k"))
+    df.join(broadcast(counts), strataCol)
+      .crossJoin(broadcast(totals))
+      .filter(bucket(col(idCol), seed) * col("__k") * col("__actual") <
+        col("__total") * lit(Buckets))
+      .drop("__actual", "__total", "__k")
+  }
 }

@@ -87,6 +87,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition signals over word n-grams — the Gopher/C4-style boilerplate
+    * detectors a corpus-curation pass cuts on: `top_gram_share` (share of
+    * the single most repeated n-gram) and `rep_ratio` (fraction of n-gram
+    * slots occupied by repeats). Machine-generated/boilerplate text scores
+    * high on both; clean prose stays low.
+    *
+    * Shape at scale: one explode + two partial-aggregated groupBys keyed by
+    * doc_id (the second over the per-(doc, gram) counts) and a left join
+    * back to the doc list for the <n-token degenerate rows — cost is linear
+    * in corpus tokens, shuffles bounded by per-doc distinct-gram counts.
+    * Ratios divide two exact integers and round once, so the values are
+    * engine-exact. */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    val grams = docs.filter(size(toks) >= n)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+    val perGram = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perGram.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("total_grams"),
+      count(lit(1)).as("distinct_grams"),
+      max(col("c")).as("top_gram_count"))
+    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
+        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
+        coalesce(round(col("top_gram_count").cast("double")
+          / col("total_grams"), 6), lit(0.0)).as("top_gram_share"),
+        coalesce(round(lit(1.0) - col("distinct_grams").cast("double")
+          / col("total_grams"), 6), lit(0.0)).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language profiles for the n-gram/marker-word heuristic. Kept tiny and
     * deterministic; real pipelines would load larger profiles the same way. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

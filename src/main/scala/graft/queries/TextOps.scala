@@ -242,7 +242,27 @@ object TextOps extends QueryPack {
         rates = Map("en" -> 0.25, "zh" -> 0.6), defaultRate = 0.8)
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("lang"))
-        .orderBy(org.apache.spark.sql.functions.col("doc_id")))
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
+    // Gopher/C4-style repetition signals (boilerplate detectors).
+    "tx_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(table(s, dir, "documents"))),
+    // Benchmark decontamination: corpus docs sharing any 4-gram with the
+    // held-out benchmark slice (doc_id % 11 == 0 stands in for an eval set).
+    "dd_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminate(docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0), n = 4)
+    }),
+    // Domain-mix resampling: every source capped at an equal corpus share,
+    // exact-integer keep rule (no float rounding anywhere).
+    "sp2_domain_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.proportionalMix(table(s, dir, "documents"),
+        strataCol = "source", idCol = "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -415,6 +435,54 @@ object TextOps extends QueryPack {
         |  ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // 2-gram repetition signals; sum(c) is HUGEINT in DuckDB -> cast BIGINT.
+    "tx_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2) z),
+        |pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_grams,
+        |         count(*) AS distinct_grams, max(c) AS top_gram_count
+        |       FROM pg GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(st.total_grams, 0) AS total_grams,
+        |  coalesce(st.distinct_grams, 0) AS distinct_grams,
+        |  coalesce(st.top_gram_count, 0) AS top_gram_count,
+        |  coalesce(round(CAST(st.top_gram_count AS DOUBLE) / st.total_grams, 6), 0.0) AS top_gram_share,
+        |  coalesce(round(1.0 - CAST(st.distinct_grams AS DOUBLE) / st.total_grams, 6), 0.0) AS rep_ratio
+        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // 4-gram hash overlap vs the doc_id % 11 = 0 benchmark slice.
+    "dd_decontaminate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ${mh(23, "array_to_string(toks[i:i+3], ' ')")} AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        |        FROM t WHERE len(toks) >= 4) z),
+        |d AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 11 != 0),
+        |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 11 = 0)
+        |SELECT d.doc_id, count(*) AS n_shared
+        |FROM d JOIN b ON d.gh = b.gh
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // keep <=> bucket*k*actual < total*10000 — the same exact-integer rule
+    // as Sampling.proportionalMix (seed 17), no float division anywhere.
+    "sp2_domain_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS actual FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(actual) AS BIGINT) AS total, count(*) AS k FROM c)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+        |WHERE (${mh(17, "CAST(d.doc_id AS VARCHAR)")} % 10000) * t.k * c.actual
+        |      < t.total * 10000
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -158,6 +158,52 @@ class OpsSpec extends SparkSpec {
     assert(autoCentroidEvery(0) == 1 && autoCentroidEvery(1) == 1)
   }
 
+  test("repetition stats: boilerplate scores high, clean prose low, short docs zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam", "en"),          // one 2-gram repeated
+      (2L, "every word here is completely different okay", "en"),
+      (3L, "one", "en"))                                    // < n tokens
+      .toDF("doc_id", "text", "lang")
+    val got = rows(TextAnalysis.repetitionStats(docs))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("total_grams"), r.getAs[Long]("distinct_grams"),
+         r.getAs[Double]("top_gram_share"), r.getAs[Double]("rep_ratio"))).toMap
+    assert(got(1L) == ((5L, 1L, 1.0, 0.8)))   // 5 slots, all "spam spam"
+    assert(got(2L)._2 == got(2L)._1 && got(2L)._4 == 0.0) // all distinct
+    assert(got(3L) == ((0L, 0L, 0.0, 0.0)))   // degenerate row survives
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),   // shares the 5-gram
+      (2L, "totally clean text with no overlap at all", "en"),
+      (3L, "alpha beta gamma delta epsilon", "en"))        // exactly one shared gram
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = rows(Dedup.decontaminate(corpus, bench))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared")))
+    assert(got == Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("proportionalMix caps every stratum near an equal share, deterministically") {
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+              (1001 to 1050).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    import graft.ops.Sampling
+    val out = Sampling.proportionalMix(df, "source", "doc_id")
+    val by = rows(out.groupBy($"source").count())
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    // equal share target = 950/2 = 475: the big stratum samples down toward
+    // it (hash granularity gives a few % slack), the small one passes whole
+    assert(by("small") == 50L)
+    assert(by("big") < 600L && by("big") > 350L, s"big kept ${by("big")}")
+    // deterministic: same rows kept on re-run
+    val again = rows(Sampling.proportionalMix(df, "source", "doc_id")
+      .orderBy($"doc_id")).map(_.getAs[Long]("doc_id"))
+    assert(again == rows(out.orderBy($"doc_id")).map(_.getAs[Long]("doc_id")))
+  }
+
   test("hll sketch estimates distinct users within tolerance and merges") {
     import graft.ops.Sketch
     val events = graft.queries.table(spark, "/root/testdata/sf0.001", "events")
