@@ -51,6 +51,72 @@ object Events extends QueryPack {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Stateful streaming sessionization, judged END TO END: the
+    // flatMapGroupsWithState path (custom per-key state, not a windowed
+    // aggregate) drains the same events as ev_sessionize and must produce
+    // the identical session table. Events stage as THREE time-ordered
+    // single-file micro-batches (first half, second half, per-user flush
+    // sentinels past the gap) with strictly increasing modification times,
+    // so the file source replays them in order and session state genuinely
+    // carries ACROSS micro-batches; the flush batch closes every open
+    // session (append mode emits only closed sessions), and the flush
+    // sessions themselves stay open and are never emitted.
+    "ev_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = tmpStage(dir, "evsess")
+      val ev = table(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+      if (!Files.exists(Paths.get(s"$staged/_STAGED"))) {
+        val minTs = ev.agg(min(col("ts"))).first().getTimestamp(0)
+        val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                     mtimeSec: Long): Unit = {
+          val tmp = s"$staged/_tmp_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Paths.get(tmp)).filter(p =>
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          val dest = Paths.get(s"$staged/$name.parquet")
+          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+          Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+        val flush = ev.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"),
+            lit(new java.sql.Timestamp(maxTs.getTime + 3600L * 1000L)).as("ts"),
+            col("user_id"), lit("__flush").as("event_type"),
+            lit(0.0).as("value"))
+        val base = System.currentTimeMillis() / 1000L
+        writeOne(ev.filter(col("ts") <= lit(cut)), "b0", base)
+        writeOne(ev.filter(col("ts") > lit(cut)), "b1", base + 2)
+        writeOne(flush, "b2", base + 4)
+        Files.createFile(Paths.get(s"$staged/_STAGED"))
+      }
+      import s.implicits._
+      val stream = StreamOps.readEventStream(s, staged,
+        s.read.parquet(s"$staged/b0.parquet"))
+      val out = StreamOps.sessionize(stream.as[StreamOps.Event], gapMin = 30,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      val drained = StreamOps.drainToTable(out.toDF(),
+        s"ev_stream_sess$sf".replace(".", "_"), mode = "append")
+      drained
+        // defensive: a flush-only session can never be emitted (it stays
+        // open at drain end), but make the exclusion explicit
+        .filter(col("first_ts") <= lit(maxTs))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("first_ts").cast("timestamp_ntz").as("first_ts"),
+          col("last_ts").cast("timestamp_ntz").as("last_ts"),
+          col("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // Grouped HLL: one mergeable distinct-user sketch per event type — the
     // per-source/per-day shape a 100 TB pipeline stores.
     "ev_hll_by_type" -> ((s, dir) => {
@@ -235,6 +301,27 @@ object Events extends QueryPack {
     // Sessionization: session boundary when gap > 30min (strict), per user,
     // ties broken by event_id; session_id = running count of boundaries.
     "ev_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // The streaming path must reproduce the batch sessionization exactly —
+    // the oracle IS the batch definition (same as ev_sessionize).
+    "ev_stream_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
