@@ -66,4 +66,40 @@ object AsOf {
       .select(lcols.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
+
+  /** Forward as-of join: for every left row, the single EARLIEST right row
+    * of the same key at or after the left row's time (the "next touch"
+    * direction of pandas/polars merge_asof). Same union-and-carry shape as
+    * `backward` — one shuffle on the key, no range blow-up — with the
+    * running window reversed: ordered by (t DESC, side, seq DESC) so the
+    * carried payload is the nearest FUTURE right row, and same-instant
+    * right rows resolve to the SMALLEST seq (the first to occur).
+    * NULL right seqs coalesce to Long.MinValue (they win same-instant
+    * ties under the reversed ordering — the mirror of backward's
+    * convention); precondition: non-null seqs > Long.MinValue. */
+  def forward(left: DataFrame, right: DataFrame, by: Seq[String],
+              leftTime: String, rightTime: String, rightSeq: String,
+              rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val lcols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__seq", lit(Long.MinValue))
+    val r = right.select(
+      by.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        coalesce(col(rightSeq).cast("long"), lit(Long.MinValue)).as("__seq"),
+        struct(rightCols.map(col): _*).as("__rpay")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // right rows at the same instant sort BEFORE left rows (side 0 < 1)
+    // under t DESC too, so >= visibility falls out of the ordering
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").desc, col("__side"), col("__seq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lcols.map(col) ++
+        rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
+  }
 }

@@ -172,6 +172,23 @@ object Events extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: every purchase matched to the user's EARLIEST click at
+    // or after it ("next touch") — the direction twin of aj1, same
+    // union-and-carry shape with the running window reversed.
+    "aj2_asof_forward" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOf.forward(purchases, clicks, by = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightSeq = "event_id",
+        rightCols = Seq("ts", "event_id"), prefix = "next_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("next_ts"), col("next_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi-structured props: JSON field extraction + aggregation (the
     // API-source JSON surface, S3 family, applied to an event stream).
     "ev_props_json" -> ((s, dir) => {
@@ -288,6 +305,28 @@ object Events extends QueryPack {
         |    ORDER BY t, side, coalesce(seq, 9223372036854775807)
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, ts, click_ts, click_event_id
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    // aj1 with the running window reversed (t DESC, seq DESC): the carried
+    // payload is the nearest FUTURE click, smallest event_id on ties.
+    "aj2_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS t, 1 AS side, CAST(NULL AS BIGINT) AS seq,
+        |         event_id, ts, CAST(NULL AS TIMESTAMP) AS r_ts,
+        |         CAST(NULL AS BIGINT) AS r_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, NULL, ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(r_ts IGNORE NULLS) OVER ord AS next_ts,
+        |    last_value(r_id IGNORE NULLS) OVER ord AS next_event_id
+        |  FROM u
+        |  WINDOW ord AS (PARTITION BY user_id
+        |    ORDER BY t DESC, side, coalesce(seq, -9223372036854775807 - 1) DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, next_ts, next_event_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "ev_props_json" ->

@@ -165,6 +165,30 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("forward as-of matches the brute-force per-row argmin on random events") {
+    import graft.ops.AsOf
+    val rnd = new scala.util.Random(19)
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val left = (1 to 60).map(i =>
+      (i.toLong, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(500).toLong)))
+    val right = (1 to 120).map(i =>
+      (1000L + i, (rnd.nextInt(5) + 1).toLong, ts(rnd.nextInt(500).toLong)))
+    // earliest right row at-or-after; same-instant ties to the SMALLEST id
+    val want = left.map { case (id, u, t) =>
+      val cands = right.filter(r => r._2 == u && !r._3.before(t))
+      id -> (if (cands.isEmpty) None
+             else Some(cands.minBy(r => (r._3.getTime, r._1))._1))
+    }.toMap
+    val got = rows(AsOf.forward(
+      left.toDF("event_id", "user_id", "ts"),
+      right.toDF("event_id", "user_id", "ts"),
+      by = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      rightSeq = "event_id", rightCols = Seq("event_id"), prefix = "m_"))
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m_event_id")).map(_.toLong)).toMap
+    assert(got == want)
+  }
+
   test("range join matches brute-force containment on random points/ranges") {
     import graft.ops.RangeJoin
     val rnd = new scala.util.Random(11)
