@@ -132,6 +132,13 @@ object Events extends QueryPack {
         org.apache.spark.sql.functions.col("event_type"),
         depth = 4, width = 64)),
 
+    // Fixed-bin histogram over event values: the mergeable quantile/
+    // distribution sketch; judged artifact is the exact (bin, cnt) table,
+    // quantile estimates stay driver-side (Sketch.histogramQuantile).
+    "ev_histogram" -> ((s, dir) =>
+      graft.ops.Sketch.histogram(table(s, dir, "events"),
+        org.apache.spark.sql.functions.col("value"), width = 0.5)),
+
     // Interval join: views inside each purchase's 30-minute attribution
     // window, via the bucketized equi-join (no per-key nested loop).
     "rj1_range_join" -> ((s, dir) => {
@@ -266,6 +273,13 @@ object Events extends QueryPack {
         |SELECT row, bucket, count(*) AS cnt
         |FROM cells GROUP BY row, bucket ORDER BY row, bucket""".stripMargin
     },
+
+    // floor(v / width): IEEE double division + floor — bit-identical in
+    // both engines; bins are exact integers.
+    "ev_histogram" ->
+      """SELECT CAST(floor("value" / 0.5) AS BIGINT) AS bin, count(*) AS cnt
+        |FROM events WHERE "value" IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rj1_range_join" ->
       """WITH p AS (

@@ -401,6 +401,28 @@ class OpsSpec extends SparkSpec {
     assert(neg == Seq(-64L, 127L))
   }
 
+  test("histogram sketch: exact bins, merge adds, quantile within bin width") {
+    import graft.ops.Sketch
+    val vals = (1 to 1000).map(_ / 100.0)  // 0.01 .. 10.00, uniform
+    val df = vals.toDF("v")
+    val h = Sketch.histogram(df, $"v", width = 0.5)
+    val bins = rows(h).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bins.values.sum == 1000L)
+    assert(bins(0L) == 49L)   // 0.01..0.49
+    assert(bins(1L) == 50L)   // 0.50..0.99
+    // quantile estimate within one bin width of the true quantile
+    val q50 = Sketch.histogramQuantile(h, width = 0.5, q = 0.5)
+    assert(math.abs(q50 - 5.0) <= 0.5, s"q50=$q50")
+    val q90 = Sketch.histogramQuantile(h, width = 0.5, q = 0.9)
+    assert(math.abs(q90 - 9.0) <= 0.5, s"q90=$q90")
+    // merge = histogram of the union
+    val (a, b) = (vals.take(400), vals.drop(400))
+    val merged = Sketch.histogramMerge(Seq(
+      Sketch.histogram(a.toDF("v"), $"v", 0.5),
+      Sketch.histogram(b.toDF("v"), $"v", 0.5)))
+    assert(rows(merged).map(r => r.getLong(0) -> r.getLong(1)).toMap == bins)
+  }
+
   test("cms sketch: estimate bounds true count above; merge = sketch of union") {
     import graft.ops.Sketch
     val events = graft.queries.table(spark, "/root/testdata/sf0.001", "events")
