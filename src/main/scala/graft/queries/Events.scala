@@ -8,6 +8,54 @@ import graft.ops.EventWindows
   */
 object Events extends QueryPack {
 
+  /** Time-ordered micro-batch staging shared by the stateful streaming
+    * queries: three single parquet files (first time-half, second half,
+    * per-user flush sentinels past every gap/window) with strictly
+    * increasing modification times, so the file source replays them in
+    * order and state genuinely carries across micro-batches. Returns
+    * (stagedDir, maxRealTs). The flush events carry event_type "__flush" /
+    * event_id -1 so every consumer can exclude them. */
+  private[queries] def stagedEventBatches(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, java.sql.Timestamp) = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staged = tmpStage(dir, "evsess")
+    val ev = table(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+    if (!Files.exists(Paths.get(s"$staged/_STAGED"))) {
+      val minTs = ev.agg(min(col("ts"))).first().getTimestamp(0)
+      val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtimeSec: Long): Unit = {
+        val tmp = s"$staged/_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        val dest = Paths.get(s"$staged/$name.parquet")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+        Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      val flush = ev.select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 3600L * 1000L)).as("ts"),
+          col("user_id"), lit("__flush").as("event_type"),
+          lit(0.0).as("value"))
+      val base = System.currentTimeMillis() / 1000L
+      writeOne(ev.filter(col("ts") <= lit(cut)), "b0", base)
+      writeOne(ev.filter(col("ts") > lit(cut)), "b1", base + 2)
+      writeOne(flush, "b2", base + 4)
+      Files.createFile(Paths.get(s"$staged/_STAGED"))
+    }
+    (staged, maxTs)
+  }
+
   val queries: Map[String, QFn] = Map(
     "ev_tumbling_window" -> ((s, dir) =>
       EventWindows.tumbling(table(s, dir, "events"), sizeMin = 15)),
@@ -64,41 +112,8 @@ object Events extends QueryPack {
     "ev_stream_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
-      import java.nio.file.{Files, Paths, StandardCopyOption}
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evsess")
-      val ev = table(s, dir, "events")
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
-      if (!Files.exists(Paths.get(s"$staged/_STAGED"))) {
-        val minTs = ev.agg(min(col("ts"))).first().getTimestamp(0)
-        val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
-        def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                     mtimeSec: Long): Unit = {
-          val tmp = s"$staged/_tmp_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = Files.list(Paths.get(tmp)).filter(p =>
-            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          val dest = Paths.get(s"$staged/$name.parquet")
-          Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-          Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
-          Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-        }
-        val flush = ev.select(col("user_id")).distinct()
-          .select(lit(-1L).as("event_id"),
-            lit(new java.sql.Timestamp(maxTs.getTime + 3600L * 1000L)).as("ts"),
-            col("user_id"), lit("__flush").as("event_type"),
-            lit(0.0).as("value"))
-        val base = System.currentTimeMillis() / 1000L
-        writeOne(ev.filter(col("ts") <= lit(cut)), "b0", base)
-        writeOne(ev.filter(col("ts") > lit(cut)), "b1", base + 2)
-        writeOne(flush, "b2", base + 4)
-        Files.createFile(Paths.get(s"$staged/_STAGED"))
-      }
+      val (staged, maxTs) = stagedEventBatches(s, dir)
       import s.implicits._
       val stream = StreamOps.readEventStream(s, staged,
         s.read.parquet(s"$staged/b0.parquet"))
@@ -177,6 +192,40 @@ object Events extends QueryPack {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("click_ts"), col("click_event_id"))
         .orderBy(col("event_id"))
+    }),
+
+    // Watermarked STREAM-STREAM interval self-join, judged end to end: the
+    // views and purchases of the same event stream join on user within the
+    // purchase's 30-minute attribution window. Both sides carry a 1-hour
+    // watermark and the range condition bounds the join state, so Spark
+    // evicts rows the watermark proves can no longer match — the bounded-
+    // state shape a 100 TB stream needs (an unconstrained stream join
+    // would buffer forever). The staged batches are time-ordered halves,
+    // so eviction genuinely happens between micro-batches; the drained
+    // pair set must equal the batch interval join exactly.
+    "ev_stream_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val (staged, _) = stagedEventBatches(s, dir)
+      val schemaFrom = s.read.parquet(s"$staged/b0.parquet")
+      val purchases = StreamOps.readEventStream(s, staged, schemaFrom)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val views = StreamOps.readEventStream(s, staged, schemaFrom)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val joined = purchases.join(views,
+        expr("p_user = v_user AND " +
+          "v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
+        .select(col("purchase_id"), col("view_id"))
+      val drained = StreamOps.drainToTable(joined,
+        s"ev_stream_attr$sf".replace(".", "_"), mode = "append")
+      drained.orderBy(col("purchase_id"), col("view_id"))
     }),
 
     // Forward as-of: every purchase matched to the user's EARLIEST click at
@@ -273,6 +322,15 @@ object Events extends QueryPack {
         |SELECT row, bucket, count(*) AS cnt
         |FROM cells GROUP BY row, bucket ORDER BY row, bucket""".stripMargin
     },
+
+    // The stream-stream join must emit exactly the batch interval join's
+    // pair set.
+    "ev_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+        |ORDER BY purchase_id, view_id""".stripMargin,
 
     // floor(v / width): IEEE double division + floor — bit-identical in
     // both engines; bins are exact integers.
