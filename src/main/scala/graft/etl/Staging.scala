@@ -86,6 +86,47 @@ object Staging {
     } finally fs.delete(tmp, true)
   }
 
+  /** SCD Type-2 merge — the dimension-history discipline the reference's
+    * staging→DW sync (sync_dimensions_dw.py:16-145) replaces wholesale;
+    * a real warehouse keeps every version. History schema: key ++ attrs ++
+    * (valid_from: date, valid_to: date nullable, is_current: boolean).
+    * For each update row: if the key's CURRENT attrs differ, the current
+    * version closes (valid_to = batchDate, is_current = false) and the new
+    * version appends (valid_from = batchDate, open-ended); identical attrs
+    * are a no-op (so the merge is idempotent); unknown keys insert as new
+    * current rows. Historical (non-current) rows pass through untouched.
+    *
+    * Scale shape: the history only ever meets the updates through KEY
+    * equi-joins (one inner for change detection, one left_anti for
+    * new-key detection) — updates are the small side and broadcast; the
+    * wide history is never shuffled on anything but its key, and
+    * unchanged partitions stream through the union untouched. Null-safe
+    * (<=>) attr comparison so a null attr versions correctly. */
+  def scd2Merge(history: DataFrame, updates: DataFrame, key: Seq[String],
+                attrs: Seq[String],
+                batchDate: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val upd = updates.select((key ++ attrs).map(col): _*)
+    val keyCond = key.map(k => col(s"c.$k") === col(s"u.$k")).reduce(_ && _)
+    val diffCond = attrs.map(a => !(col(s"c.$a") <=> col(s"u.$a"))).reduce(_ || _)
+    val cur = history.filter(col("is_current"))
+    // keys whose current version genuinely changed
+    val changedKeys = cur.as("c").join(upd.as("u"), keyCond && diffCond)
+      .select(key.map(k => col(s"c.$k")): _*).distinct()
+    val closed = cur.join(changedKeys, key)
+      .withColumn("valid_to", batchDate.cast("date"))
+      .withColumn("is_current", lit(false))
+    val keep = history.join(changedKeys, key, "left_anti")
+    val newKeys = upd.join(cur.select(key.map(col): _*), key, "left_anti")
+      .select((key ++ attrs).map(col): _*)
+    val inserted = upd.join(changedKeys, key).unionByName(newKeys)
+      .withColumn("valid_from", batchDate.cast("date"))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    keep.unionByName(closed).unionByName(
+      inserted.select(history.columns.map(col): _*))
+  }
+
   /** K4 — index DDL analogue (load_to_staging.py:7-16): no index concept in
     * Spark; the physical equivalent is a sorted, optionally partitioned
     * layout so downstream scans prune + skip via parquet min/max stats. */

@@ -154,6 +154,42 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq("F001", "-1"))
   }
 
+  test("scd2Merge: change closes+appends, no-change is a no-op, new key inserts") {
+    import graft.etl.Staging
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val history = Seq(
+      (1L, "ana", 10.0, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true),
+      (2L, "bob", 20.0, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true),
+      // key 3 already has history: one closed + one current version
+      (3L, "eva", 5.0, d("2023-01-01"), d("2024-01-01"), false),
+      (3L, "eva", 7.0, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true))
+      .toDF("k", "name", "bal", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "ana", 99.0),   // changed -> version
+      (2L, "bob", 20.0),   // identical -> no-op
+      (4L, "zoe", 1.0))    // new key -> insert
+      .toDF("k", "name", "bal")
+    val batch = lit(d("2024-06-01"))
+    val once = Staging.scd2Merge(history, updates, Seq("k"),
+      Seq("name", "bal"), batch)
+    val got = rows(once.orderBy("k", "valid_from"))
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal"),
+        Option(r.getAs[java.sql.Date]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current")))
+    assert(got == Seq(
+      (1L, 10.0, Some("2024-06-01"), false),  // closed
+      (1L, 99.0, None, true),                 // new version
+      (2L, 20.0, None, true),                 // untouched (no-op)
+      (3L, 5.0, Some("2024-01-01"), false),   // historical row passes through
+      (3L, 7.0, None, true),
+      (4L, 1.0, None, true)))                 // inserted
+    // idempotent: merging the same batch again changes nothing
+    val twice = Staging.scd2Merge(once, updates, Seq("k"),
+      Seq("name", "bal"), batch)
+    assert(rows(twice.orderBy("k", "valid_from")).toList ==
+      rows(once.orderBy("k", "valid_from")).toList)
+  }
+
   test("httpJson live: envelope parse, non-200 / wrong type / corrupt / timeout degrade") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
