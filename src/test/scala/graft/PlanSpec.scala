@@ -121,9 +121,44 @@ class PlanSpec extends SparkSpec {
   }
 
   test("as-of join is union-and-carry: a window, never a join") {
-    val p = plan("aj1_asof")
-    assert(!p.contains("Join"), "as-of regressed to a join formulation")
-    assert(p.contains("Window"), "as-of lost its carry window")
+    for (q <- Seq("aj1_asof", "aj2_asof_forward")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q regressed to a join formulation")
+      assert(p.contains("Window"), s"$q lost its carry window")
+    }
+  }
+
+  test("decontaminate joins on gram hashes, never gram strings or cartesian") {
+    val p = plan("dd_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the equi-join key is the 8-byte hash column, so the shuffle/broadcast
+    // carries longs, not n-gram strings
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString("\n")
+    assert(joinLines.contains("gh"), s"join not keyed on gram hash:\n$joinLines")
+  }
+
+  test("domain mix broadcasts the per-stratum counts; corpus never shuffles") {
+    val p = plan("sp2_domain_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "stratum counts lost their broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side shuffled to meet the bounded counts table")
+  }
+
+  test("scd2 history meets updates only via key equi-joins") {
+    // Static estimates keep these as SMJ; AQE converts the bounded update
+    // side to broadcast at runtime. The invariant worth pinning is that no
+    // join degenerates to a nested loop / cartesian (attr comparison must
+    // ride the key equi-join, not become the join condition itself).
+    val p = plan("etl_scd2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "scd2 join degenerated to a non-equi join")
+  }
+
+  test("histogram sketch aggregates partially before its single exchange") {
+    val p = plan("ev_histogram")
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
   }
 
   test("range join stays an equi-join on (key, bucket), never a nested loop") {
