@@ -180,6 +180,29 @@ object TextOps extends QueryPack {
     "tx_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(table(s, dir, "documents"))),
 
     "dd_exact"         -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
+    // Exact dedup ONLINE: the same fingerprint aggregation as dd_exact but
+    // run as a streaming aggregation over the document stream (file source,
+    // one file per micro-batch) and drained in complete mode — min/count
+    // are order-insensitive, so the drained table equals the batch result
+    // no matter how the corpus is batched. State is one row per distinct
+    // fingerprint; a 100 TB ingest would run update mode + downstream
+    // upsert instead of complete, with identical per-key semantics.
+    "dd_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = tmpStage(dir, "docstream")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+        table(s, dir, "documents").select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(staged)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val agg = stream.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      StreamOps.drainToTable(agg,
+        s"dd_stream_dedup$sf".replace(".", "_"), mode = "complete")
+        .orderBy(col("keep_id"))
+    }),
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)),
     "dd_minhash_lsh"   -> ((s, dir) => Dedup.minHashLsh(table(s, dir, "documents"))),
@@ -341,6 +364,11 @@ object TextOps extends QueryPack {
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "dd_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // The streaming path must converge to the identical batch dedup.
+    "dd_stream_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
