@@ -120,7 +120,8 @@ object Events extends QueryPack {
       val out = StreamOps.sessionize(stream.as[StreamOps.Event], gapMin = 30,
         timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
       val drained = StreamOps.drainToTable(out.toDF(),
-        s"ev_stream_sess$sf".replace(".", "_"), mode = "append")
+        s"ev_stream_sess$sf".replace(".", "_"), mode = "append",
+        shufflePartitions = Some(8))
       drained
         // defensive: a flush-only session can never be emitted (it stays
         // open at drain end), but make the exclusion explicit
@@ -224,7 +225,8 @@ object Events extends QueryPack {
           "v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
         .select(col("purchase_id"), col("view_id"))
       val drained = StreamOps.drainToTable(joined,
-        s"ev_stream_attr$sf".replace(".", "_"), mode = "append")
+        s"ev_stream_attr$sf".replace(".", "_"), mode = "append",
+        shufflePartitions = Some(8))
       drained.orderBy(col("purchase_id"), col("view_id"))
     }),
 

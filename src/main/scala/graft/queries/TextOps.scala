@@ -195,12 +195,15 @@ object TextOps extends QueryPack {
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$staged/_SUCCESS")))
         table(s, dir, "documents").select(col("doc_id"), col("text"))
+          .coalesce(4)  // 4 files = 4 micro-batches; 32 would pay 8x the
+                        // per-batch state-store maintenance for no coverage
           .write.mode("overwrite").parquet(staged)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val agg = stream.groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       StreamOps.drainToTable(agg,
-        s"dd_stream_dedup$sf".replace(".", "_"), mode = "complete")
+        s"dd_stream_dedup$sf".replace(".", "_"), mode = "complete",
+        shufflePartitions = Some(8))
         .orderBy(col("keep_id"))
     }),
     "dd_ngram_jaccard" -> ((s, dir) =>

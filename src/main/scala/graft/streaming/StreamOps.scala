@@ -120,15 +120,30 @@ object StreamOps {
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result (test/dev harness; production would writeStream to a sink).
     * Use "complete" mode for aggregates — "append" withholds every window
-    * the final watermark has not passed, silently truncating the drain. */
-  def drainToTable(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    * the final watermark has not passed, silently truncating the drain.
+    *
+    * `shufflePartitions`: every stateful operator keeps ONE state store per
+    * shuffle partition, checkpointed per micro-batch — so a bounded drain
+    * with small per-batch volumes pays (partitions × batches × stores) in
+    * store maintenance regardless of data size. Stateful drains pass a
+    * small value here; a real cluster sizes it to key cardinality instead.
+    * The session conf is restored after the drain (streaming queries pin
+    * their partition count at start, batch queries read it live). */
+  def drainToTable(df: DataFrame, name: String, mode: String,
+                   shufflePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q: StreamingQuery = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 }
