@@ -161,8 +161,17 @@ object Dedup {
     // localCheckpoint: the signature build (the expensive md5 + 16-min
     // aggregation) runs once, not once per join side; swap for reliable
     // checkpoint on a real cluster (see duplicateClusters).
-    lshCandidates(minHashSignatures(docs, numHashes, shingleLen).localCheckpoint(),
+    minHashPairsFromSignatures(
+      minHashSignatures(docs, numHashes, shingleLen).localCheckpoint(),
       numHashes, bands, chunks)
+
+  /** Banded-LSH pairs over an ALREADY-MATERIALIZED signature table (staged
+    * parquet, checkpoint, cached) — the entry point for pipelines that
+    * compute signatures once and reuse them across LSH, verification, and
+    * clustering stages rather than rebuilding per query. */
+  def minHashPairsFromSignatures(sig: DataFrame, numHashes: Int = 16,
+                                 bands: Int = 4, chunks: Int = 4): DataFrame =
+    lshCandidates(sig, numHashes, bands, chunks)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** MinHash candidates WITH the verification stage a production dedup
@@ -176,11 +185,19 @@ object Dedup {
     * bucketing and verification. */
   def minHashVerified(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                       shingleLen: Int = 3, minEst: Double = 0.5,
-                      chunks: Int = 4): DataFrame = {
+                      chunks: Int = 4): DataFrame =
     // Materialized once, consumed three times (bucketing + both sides of
     // the verification join) — unmaterialized, the signature build would
     // execute three times.
-    val sig = minHashSignatures(docs, numHashes, shingleLen).localCheckpoint()
+    minHashVerifiedFromSignatures(
+      minHashSignatures(docs, numHashes, shingleLen).localCheckpoint(),
+      numHashes, bands, minEst, chunks)
+
+  /** Verified-pair twin of minHashPairsFromSignatures over a materialized
+    * signature table (see minHashVerified for semantics). */
+  def minHashVerifiedFromSignatures(sig: DataFrame, numHashes: Int = 16,
+                                    bands: Int = 4, minEst: Double = 0.5,
+                                    chunks: Int = 4): DataFrame = {
     val cand = lshCandidates(sig, numHashes, bands, chunks)
     val agree = (0 until numHashes).map { i =>
       when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
@@ -435,6 +452,41 @@ object Dedup {
     d.join(b, "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Chunk-level exact dedup — the C4/RefinedWeb "line dedup" pass
+    * re-expressed over fixed-size token chunks (the synthetic corpus has no
+    * newlines; on real data the splitter is `split(text, '\n')` and nothing
+    * else changes). The corpus is cut into consecutive `chunkTokens`-token
+    * chunks; a chunk is KEPT only at its globally-first occurrence —
+    * lexicographically smallest (doc_id, position) — and counted as a
+    * repeat everywhere else. Returns per-document retention stats
+    * (n_chunks, n_kept, kept_ratio): the curation signal that finds
+    * boilerplate-diluted documents that whole-doc dedup can never flag.
+    *
+    * Shape at scale: one explode (map-side), one groupBy on the chunk hash
+    * with a packed-BIGINT min() (primitive buffer → partial HashAggregate;
+    * the shuffle carries one row per DISTINCT chunk), one equi-join back on
+    * the hash, one partial-agg rollup per doc. Linear in corpus tokens; no
+    * windows, no quadratic stage. Precondition: < 2²⁰ tokens per document
+    * (the packed position field); doc_id < 2⁴³. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 8): DataFrame = {
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    val packed = col("doc_id") * lit(1L << 20) + col("i")
+    val chunks = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(chunkTokens))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(chunkTokens))))
+          .as("ch"))
+    val firsts = chunks.groupBy(col("ch")).agg(min(packed).as("first_pk"))
+    chunks.join(firsts, "ch")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(packed === col("first_pk"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_chunks"), 6))
       .orderBy(col("doc_id"))
   }
 

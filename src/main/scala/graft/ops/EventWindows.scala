@@ -62,4 +62,44 @@ object EventWindows {
            (max(tsUs) - min(tsUs)).as("dur_us"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Ordered conversion funnel: per user, the first `stages(0)` event, the
+    * first `stages(1)` event STRICTLY after it, and so on — the
+    * product-analytics "viewed, then clicked, then purchased, in that
+    * order" cut. Returns one row per user with each stage's entry
+    * timestamp (null once the chain breaks) and `funnel_stage` = number of
+    * stages completed.
+    *
+    * Shape at scale: one filtered partial-agg groupBy per stage plus a
+    * user-keyed equi-join chain — no window over raw events, no self-join
+    * blow-up; each stage's state is one timestamp per user, so the whole
+    * funnel costs |stages| bounded aggregations regardless of how many
+    * events a hot user has. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var acc = events.select(col("user_id")).distinct()
+    var prev: Option[String] = None
+    for (st <- stages) {
+      val tcol = s"t_$st"
+      val stageEvents = events.filter(col("event_type") === st)
+      val reached = prev match {
+        case None =>
+          stageEvents.groupBy(col("user_id")).agg(min(col("ts")).as(tcol))
+        case Some(p) =>
+          stageEvents
+            .join(acc.filter(col(s"t_$p").isNotNull)
+              .select(col("user_id"), col(s"t_$p").as("__pt")), "user_id")
+            .filter(col("ts") > col("__pt"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as(tcol))
+      }
+      acc = acc.join(reached, Seq("user_id"), "left")
+      prev = Some(st)
+    }
+    // deepest non-null stage wins; stage i+1 implies stage i by construction
+    val stageNum = stages.zipWithIndex.foldLeft(lit(0L)) {
+      case (els, (st, i)) =>
+        when(col(s"t_$st").isNotNull, lit((i + 1).toLong)).otherwise(els)
+    }
+    acc.withColumn("funnel_stage", stageNum).orderBy(col("user_id"))
+  }
 }

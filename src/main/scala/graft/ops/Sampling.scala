@@ -38,6 +38,26 @@ object Sampling {
     df.filter(bucket(col(idCol), seed) < cutoff)
   }
 
+  /** Fixed-SIZE deterministic sample: the k rows with the smallest
+    * (hash, id) per stratum — the reservoir-sampling contract (exactly
+    * min(k, |stratum|) rows, uniform under the hash family) made
+    * deterministic and engine-reproducible: the kept set is a pure
+    * function of the data, stable across runs, partitionings, and engines.
+    *
+    * Cost is the per-stratum rank. At 100 TB the standard two-phase cut
+    * applies: a loose map-side rate prefilter (stratifiedByHash at
+    * ~4k/|stratum|) shrinks each stratum to O(k) candidates before the
+    * exact rank, so the window never sorts the raw corpus. Kept separate
+    * so this operator's contract stays exact. */
+  def topKByHash(df: DataFrame, strataCol: String, idCol: String, k: Int,
+                 seed: Int = 31): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(Dedup.seededHash(seed, col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Domain-mix resampling: downsample every stratum (source/domain/lang)
     * toward an EQUAL share of the corpus — the "don't let one crawl
     * dominate the mixture" pass of a training-data pipeline. A stratum

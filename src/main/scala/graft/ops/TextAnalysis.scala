@@ -156,6 +156,109 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model score — the CCNet-style quality signal: the
+    * average negative log-likelihood of each document's tokens under the
+    * corpus's own unigram distribution. High avg_nll = the document is
+    * "surprising" relative to the corpus (OCR noise, gibberish); very low
+    * = degenerate/boilerplate. A production pipeline scores against a
+    * trusted reference corpus (e.g. Wikipedia) and cuts both tails.
+    *
+    * Per-term −ln p terms are summed under the dsum decimal discipline
+    * (order-independent, so partial aggregation can't change the value);
+    * ln itself is IEEE double in both engines, with any 1-ulp divergence
+    * quantized away by the 10-dp decimal cast (same contract as tx_tfidf).
+    *
+    * Shape at scale: explode + partial-agg term counts (shuffle bounded by
+    * the distinct vocabulary, not corpus tokens), broadcast of the one-row
+    * total, a term-keyed equi-join, one partial-agg rollup per doc. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = docs.select(col("doc_id"),
+      explode(split(F.normalizeText(lower(col("text"))), " ")).as("term"))
+    val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("n_total"))
+    val nll = -log(col("c").cast("double") / col("n_total"))
+    terms.join(freq, "term").crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(nll.cast(DecimalType(30, 10))).cast("double") /
+          count(lit(1)), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source curation profile — the dashboard cut a multi-source corpus
+    * pipeline reviews before changing its sampling mix: document count,
+    * token volume, quality aggregates (decimal-exact mean, so the value is
+    * independent of partial-aggregation order), and each source's share of
+    * the corpus.
+    *
+    * Shape at scale: the per-doc quality pass is map-only; the profile is
+    * one partial-aggregated groupBy over |sources| keys plus a broadcast of
+    * the one-row corpus count. The doc_id join between quality and source
+    * disappears on a real deployment (quality is computed with source in
+    * flight); it exists here only because qualityScore's projection is
+    * pinned by its own oracle. */
+  def sourceProfile(docs: DataFrame): DataFrame = {
+    import graft.queries.davg
+    val q = qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    q.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        davg(col("quality"), 6).as("avg_quality"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .crossJoin(broadcast(tot))
+      .withColumn("corpus_share",
+        round(col("n_docs").cast("double") / col("n_total"), 6))
+      .drop("n_total")
+      .orderBy(col("source"))
+  }
+
+  /** PII patterns, deliberately conservative: pure-ASCII classes, bounded
+    * quantifiers, no backreferences/lookaround — the subset where Java's
+    * regex (Spark) and RE2 (DuckDB, Go tooling) agree match-for-match, so
+    * the scrub is reproducible across engines. No `\b`/`\d` shorthands:
+    * explicit classes leave nothing to dialect defaults. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** PII scrub — the redaction pass a training corpus needs before anything
+    * ships: emails, IPv4 literals, and international-format phone numbers
+    * are replaced with typed placeholder tokens, with per-document match
+    * counts so curation can drop PII-dense documents outright.
+    *
+    * Counts are independent leftmost matches of each pattern against the
+    * RAW text; the scrub then applies email → IP → phone sequentially (an
+    * email is scrubbed before its digits can look like anything else).
+    * Emitted as counts + md5 of the scrubbed text + the length delta —
+    * everything needed to verify the scrub without materializing scrubbed
+    * text in the result. Map-only (regex per row, no shuffle): linear scan
+    * at any corpus size, stays inside whole-stage codegen. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val raw = col(textCol)
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(raw, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(raw, lit(EmailRe), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(raw, lit(Ipv4Re), lit(0))).cast("long")
+          .as("n_ips"),
+        size(regexp_extract_all(raw, lit(PhoneRe), lit(0))).cast("long")
+          .as("n_phones"),
+        md5(scrubbed).as("scrub_fp"),
+        (length(raw) - length(scrubbed)).cast("long").as("len_delta"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text, plus a rolling
     * shingle fingerprint (min md5 over word 5-grams — stable under content
     * reordering of surrounding docs, position-independent).

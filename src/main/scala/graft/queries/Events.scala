@@ -247,6 +247,13 @@ object Events extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Ordered conversion funnel: view -> click -> purchase, strictly
+    // ordered per user; one bounded agg + join per stage, no event-level
+    // window (hot users cost the same as cold ones).
+    "ev_funnel" -> ((s, dir) =>
+      graft.ops.EventWindows.funnel(table(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
     // Semi-structured props: JSON field extraction + aggregation (the
     // API-source JSON surface, S3 family, applied to an event stream).
     "ev_props_json" -> ((s, dir) => {
@@ -402,6 +409,30 @@ object Events extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, ts, next_ts, next_event_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    // Stage timestamps chain on strict >; deepest reached stage wins.
+    "ev_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2
+        |            WHEN v.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS funnel_stage
+        |FROM u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

@@ -29,6 +29,37 @@ object TextOps extends QueryPack {
     s.read.parquet(staged)
   }
 
+  /** MinHash signature stage shared by dd_minhash_lsh and
+    * dd_minhash_verified — same convention as stagedClusters: the signature
+    * build (shingle explode + md5 + 16-way min aggregation) dominates both
+    * queries, is identical between them, and depends only on the immutable
+    * corpus, so it is computed once per SF and staged to parquet. Bump the
+    * `_v1` tag with any signature-code change. */
+  private def stagedMinHashSigs(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val staged = tmpStage(dir, "mhsig_v1")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      Dedup.minHashSignatures(table(s, dir, "documents"))
+        .write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged)
+  }
+
+  /** Documents staged as a 4-file parquet directory — the micro-batch
+    * source shared by the streaming dedup queries (4 files = 4 batches; 32
+    * would pay 8x the per-batch state-store maintenance for no coverage). */
+  private def stagedDocStream(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val staged = tmpStage(dir, "docstream")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .coalesce(4)
+        .write.mode("overwrite").parquet(staged)
+    staged
+  }
+
   /** DuckDB twin of Dedup.seededHash. */
   private def mh(seed: Int, v: String): String =
     s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
@@ -191,13 +222,7 @@ object TextOps extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "docstream")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
-        table(s, dir, "documents").select(col("doc_id"), col("text"))
-          .coalesce(4)  // 4 files = 4 micro-batches; 32 would pay 8x the
-                        // per-batch state-store maintenance for no coverage
-          .write.mode("overwrite").parquet(staged)
+      val staged = stagedDocStream(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val agg = stream.groupBy(md5(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -208,9 +233,11 @@ object TextOps extends QueryPack {
     }),
     "dd_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)),
-    "dd_minhash_lsh"   -> ((s, dir) => Dedup.minHashLsh(table(s, dir, "documents"))),
+    "dd_minhash_lsh"   -> ((s, dir) =>
+      Dedup.minHashPairsFromSignatures(stagedMinHashSigs(s, dir))),
     "dd_minhash_verified" -> ((s, dir) =>
-      Dedup.minHashVerified(table(s, dir, "documents"), minEst = 0.5)),
+      Dedup.minHashVerifiedFromSignatures(stagedMinHashSigs(s, dir),
+        minEst = 0.5)),
     "dd_simhash"       -> ((s, dir) => Dedup.simHash(table(s, dir, "documents"))),
     "dd_dup_clusters"  -> ((s, dir) => stagedClusters(s, dir)
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
@@ -288,6 +315,75 @@ object TextOps extends QueryPack {
         strataCol = "source", idCol = "doc_id")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+    // Fixed-size deterministic sample: exactly min(k, |stratum|) docs per
+    // language, selected by smallest (hash, doc_id) — the reservoir
+    // contract, reproducible across runs and engines.
+    "sp3_reservoir" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.topKByHash(table(s, dir, "documents"),
+        strataCol = "lang", idCol = "doc_id", k = 20)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("doc_id"))
+    }),
+    // CCNet-style unigram LM quality signal: avg -ln p(token) under the
+    // corpus's own unigram distribution.
+    "tx_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(table(s, dir, "documents"))),
+    // PII scrub over deterministically-derived contact strings: the
+    // synthetic corpus carries no emails/IPs/phones, so each doc gets a
+    // doc_id-derived contact line appended before scrubbing — the operator
+    // (and its cross-engine regex parity) is what's under test, and every
+    // row exercises all three patterns.
+    "tx_pii_scrub" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      val withPii = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@example.com")),
+          concat(lit("from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string")),
+          concat(lit("tel +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 7, "0"))).as("text"))
+      TextAnalysis.piiScrub(withPii)
+    }),
+    // C4-style chunk-level exact dedup: per-doc retention stats under
+    // global first-occurrence survivorship.
+    "dd_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(table(s, dir, "documents"), chunkTokens = 8)),
+    // Per-source curation dashboard: doc counts, token volume, quality
+    // aggregates, corpus share — the monitoring cut a multi-source corpus
+    // pipeline reviews before changing its mix.
+    "tx_source_profile" -> ((s, dir) =>
+      TextAnalysis.sourceProfile(table(s, dir, "documents"))),
+    // Streaming exact dedup in UPDATE mode with a downstream keyed upsert —
+    // the unbounded-ingest shape (complete mode rewrites the whole result
+    // every micro-batch; update emits only touched keys and the merge keeps
+    // the store current). Must converge to the identical batch dedup.
+    "dd_stream_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val staged = stagedDocStream(s, dir)
+      val target = tmpStage(dir, "ddupsert")
+      val ckpt = tmpStage(dir, s"ddupsert_ckpt_${System.nanoTime()}")
+      // Rebuild from batch 0 every call: an upsert target left by older
+      // code could leak stale keys (upsert only ever replaces keys the
+      // stream re-emits), and the stream's checkpoint must die with it.
+      val hconf = s.sparkContext.hadoopConfiguration
+      val tp = new org.apache.hadoop.fs.Path(target)
+      val tfs = tp.getFileSystem(hconf)
+      if (tfs.exists(tp)) tfs.delete(tp, true)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val agg = stream.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      try StreamOps.drainUpsert(agg, target, ckpt, Seq("fp"),
+        shufflePartitions = Some(8))
+      finally {
+        val cp = new org.apache.hadoop.fs.Path(ckpt)
+        cp.getFileSystem(hconf).delete(cp, true)
+      }
+      s.read.parquet(target).orderBy(col("keep_id"))
     })
   )
 
@@ -504,6 +600,107 @@ object TextOps extends QueryPack {
         |SELECT d.doc_id, count(*) AS n_shared
         |FROM d JOIN b ON d.gh = b.gh
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // Same (hash, doc_id) rank, same seed-31 hash family.
+    "sp3_reservoir" ->
+      s"""SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ${mh(31, "CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+        |  FROM documents) z
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    // Same factoring as the Spark side: per-term -ln(c/total) cast to
+    // DECIMAL(30,10) before the order-independent sum, double divide,
+    // round 6 (the dsum/davg discipline).
+    "tx_unigram_logprob" ->
+      """WITH tm AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, count(*) AS c FROM tm GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM f)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(-ln(CAST(c AS DOUBLE) / n_total) AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM tm JOIN f USING(term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same derived contact line, same three conservative (Java-regex ∩ RE2)
+    // patterns, applied email -> IP -> phone with 'g'.
+    "tx_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      val phone = "\\+[0-9][0-9-]{6,}[0-9]"
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' user' || doc_id || '@example.com from 10.0.' ||
+        |    (doc_id % 256) || '.' || (doc_id % 100) || ' tel +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS raw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(raw,
+        |      '$email', '<EMAIL>', 'g'),
+        |      '$ip', '<IP>', 'g'),
+        |      '$phone', '<PHONE>', 'g') AS scrubbed
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phones,
+        |  md5(scrubbed) AS scrub_fp,
+        |  CAST(length(raw) - length(scrubbed) AS BIGINT) AS len_delta
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // Chunk grid + global first occurrence by packed (doc_id, position).
+    "dd_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS ch
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS i
+        |        FROM t) z),
+        |f AS (SELECT ch, min(doc_id * 1048576 + i) AS first_pk
+        |      FROM c GROUP BY ch)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN c.doc_id * 1048576 + c.i = f.first_pk
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN c.doc_id * 1048576 + c.i = f.first_pk
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS kept_ratio
+        |FROM c JOIN f ON c.ch = f.ch
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // tx_quality's score joined to source; decimal-exact mean (davg twin).
+    "tx_source_profile" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    round(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    round(least(stopword_ratio * 4.0, 1.0) * 0.5 +
+        |          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5, 6) AS quality
+        |  FROM m),
+        |tot AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_quality,
+        |  min(quality) AS min_quality, max(quality) AS max_quality,
+        |  round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6) AS corpus_share
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // The update-mode upsert drain must converge to the identical batch
+    // dedup, no matter how the corpus was micro-batched.
+    "dd_stream_upsert" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
     // keep <=> bucket*k*actual < total*10000 — the same exact-integer rule
     // as Sampling.proportionalMix (seed 17), no float division anywhere.

@@ -146,4 +146,36 @@ object StreamOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
+
+  /** Drain a streaming aggregate in UPDATE mode through a per-micro-batch
+    * keyed upsert into a parquet table — the shape an unbounded ingest
+    * actually runs (complete mode rewrites the whole result every batch;
+    * update emits only the keys the batch touched, and the downstream merge
+    * keeps the store current). Each emitted row carries the aggregate's
+    * CURRENT value for its key, so upserting batches in order leaves the
+    * final table equal to the batch aggregation over the same input —
+    * regardless of how the input was micro-batched.
+    *
+    * foreachBatch is bound via an explicit Scala function value: the
+    * lambda-form overload is ambiguous against the Java VoidFunction2
+    * variant under Scala 2.13. */
+  def drainUpsert(df: DataFrame, path: String, checkpoint: String,
+                  key: Seq[String],
+                  shufflePartitions: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val merge: (Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => graft.etl.Staging.upsert(batch.toDF(), path, key)
+    try {
+      val q: StreamingQuery = df.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(merge)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

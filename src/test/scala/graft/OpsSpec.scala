@@ -52,6 +52,39 @@ class OpsSpec extends SparkSpec {
     assert(nh((10L, 11L)) == 4) // deterministic: seededHash is md5-derived
   }
 
+  test("chunk dedup: repeated chunks kept only at first (doc_id, pos)") {
+    // 8-token chunks; doc 1 = A B, doc 2 = A C (A repeats), doc 3 = B
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val in = Seq((1L, s"$a $b"), (2L, s"$a $c"), (3L, b))
+      .toDF("doc_id", "text")
+    val got = rows(Dedup.chunkDedup(in, chunkTokens = 8))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"))).toMap
+    assert(got(1L) == (2L, 2L)) // first occurrence of both A and B
+    assert(got(2L) == (2L, 1L)) // A is a repeat, C is fresh
+    assert(got(3L) == (1L, 0L)) // B already seen in doc 1
+  }
+
+  test("pii scrub: counts and placeholders for email, ip, phone") {
+    val in = Seq(
+      (1L, "write to alice.smith+x@sub.example.org or 192.168.0.1 tel +1-555-0100"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.piiScrub(in))
+    val r1 = got.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[Long]("n_emails") == 1L)
+    assert(r1.getAs[Long]("n_ips") == 1L)
+    assert(r1.getAs[Long]("n_phones") == 1L)
+    val expected = "write to <EMAIL> or <IP> tel <PHONE>"
+    assert(r1.getAs[String]("scrub_fp") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val r2 = got.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(r2.getAs[Long]("n_emails") == 0L && r2.getAs[Long]("len_delta") == 0L)
+  }
+
   test("duplicate clusters: min-label connected components over pair edges") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
       .toDF("doc_a", "doc_b")

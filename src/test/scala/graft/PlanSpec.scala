@@ -70,12 +70,39 @@ class PlanSpec extends SparkSpec {
       // chunk keys in the join condition: a giant (band, bh) bucket spreads
       // over chunks² tasks instead of pinning one
       assert(p.contains("__ck"), s"$q lost its chunked self-join")
-      // the signature build must feed the join as a materialized
-      // (localCheckpoint) scan, not as a duplicated aggregation lineage:
-      // at most the one vote/min aggregation pair may remain upstream
-      assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+      // the signature build must feed the join as a materialized scan —
+      // a localCheckpoint (ExistingRDD) or the staged signature parquet —
+      // not as a duplicated aggregation lineage executing once per side
+      assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") ||
+        p.contains("mhsig"),
         s"$q signature table is not materialized before the self-join")
     }
+  }
+
+  test("pii scrub is a pure map-side pass (no join, no aggregate)") {
+    val p = plan("tx_pii_scrub")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("chunk dedup joins on the chunk hash with partial aggregation") {
+    val p = plan("dd_chunk_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the first-occurrence min() collapses map-side: one row per DISTINCT
+    // chunk crosses the wire, not one per occurrence
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "first-occurrence aggregation is not a partial HashAggregate")
+    // formatted explain puts equi-join keys on "Left/Right keys" detail lines
+    val keyLines = p.linesIterator.filter(_.contains("keys")).mkString("\n")
+    assert(keyLines.contains("ch#"), s"join not keyed on chunk hash:\n$keyLines")
+  }
+
+  test("source profile broadcasts the corpus count; aggregation is partial") {
+    val p = plan("tx_source_profile")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "one-row corpus count lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
   }
 
   test("rollup expands partially before the exchange") {

@@ -41,6 +41,28 @@ class StreamingSpec extends SparkSpec {
       r.getLong(2), r.getDouble(3))) == want)
   }
 
+  test("update-mode drain + keyed upsert converges to the batch aggregate") {
+    // Duplicates span micro-batch boundaries, so the second batch must
+    // UPDATE keys the first batch already wrote (n_copies grows, keep_id
+    // shrinks) — the case where append mode or a blind insert would be
+    // wrong, and exactly what the downstream upsert is for.
+    val base = java.nio.file.Files.createTempDirectory("drain_upsert").toString
+    Seq((5L, "dup"), (6L, "solo")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/in")
+    Seq((2L, "dup")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$base/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val agg = in.groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    StreamOps.drainUpsert(agg, s"$base/out", s"$base/ckpt", Seq("fp"),
+      shufflePartitions = Some(2))
+    val got = rows(spark.read.parquet(s"$base/out").orderBy($"keep_id"))
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(got == Seq((2L, 2L), (6L, 1L)))
+  }
+
   test("streaming sessionize closes a session when the gap passes in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
