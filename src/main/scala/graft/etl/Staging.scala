@@ -116,7 +116,13 @@ object Staging {
     val closed = cur.join(changedKeys, key)
       .withColumn("valid_to", batchDate.cast("date"))
       .withColumn("is_current", lit(false))
-    val keep = history.join(changedKeys, key, "left_anti")
+    // Only the CURRENT slice competes with `closed` — historical (already
+    // closed) versions of a changed key must pass through untouched, so the
+    // anti-join runs against the current rows alone, and the non-current
+    // rows union in unconditionally. (Anti-joining the whole history here
+    // would silently drop a key's prior versions on its second change.)
+    val keep = history.filter(!col("is_current"))
+      .unionByName(cur.join(changedKeys, key, "left_anti"))
     val newKeys = upd.join(cur.select(key.map(col): _*), key, "left_anti")
       .select((key ++ attrs).map(col): _*)
     val inserted = upd.join(changedKeys, key).unionByName(newKeys)

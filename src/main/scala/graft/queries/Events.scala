@@ -31,16 +31,21 @@ object Events extends QueryPack {
       val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
                    mtimeSec: Long): Unit = {
+        import scala.util.Using
         val tmp = s"$staged/_tmp_$name"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).filter(p =>
-          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        // Files.list/walk return OPEN directory streams — close them, or
+        // each staging leaks descriptors for the life of the JVM
+        val part = Using.resource(Files.list(Paths.get(tmp)))(
+          _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get())
         val dest = Paths.get(s"$staged/$name.parquet")
         Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
-        Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
+        Using.resource(Files.walk(Paths.get(tmp)))(
+          _.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p)))
       }
       val flush = ev.select(col("user_id")).distinct()
         .select(lit(-1L).as("event_id"),

@@ -16,11 +16,12 @@ object TextOps extends QueryPack {
     * convention: `_SUCCESS`-marked dir keyed by SF, reused verbatim on the
     * next call in this or any later process). The inputs are immutable
     * testdata, so the staged result can go stale only when the
-    * pair-generation/clustering CODE changes — the `_v1` tag in the stage
-    * name must be bumped with any such change. */
+    * pair-generation/clustering CODE changes — the stage tag lives next to
+    * that code (Dedup.ClusterStageTag) and must be bumped with any such
+    * change; Verify/Bench additionally wipe all stages at startup. */
   private def stagedClusters(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
-    val staged = tmpStage(dir, "ddclusters_v1")
+    val staged = tmpStage(dir, graft.ops.Dedup.ClusterStageTag)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$staged/_SUCCESS")))
       Dedup.duplicateClusters(
@@ -33,11 +34,11 @@ object TextOps extends QueryPack {
     * dd_minhash_verified — same convention as stagedClusters: the signature
     * build (shingle explode + md5 + 16-way min aggregation) dominates both
     * queries, is identical between them, and depends only on the immutable
-    * corpus, so it is computed once per SF and staged to parquet. Bump the
-    * `_v1` tag with any signature-code change. */
+    * corpus, so it is computed once per SF and staged to parquet. The stage
+    * tag lives next to the signature code (Dedup.MinHashStageTag). */
   private def stagedMinHashSigs(s: org.apache.spark.sql.SparkSession,
                                 dir: String): org.apache.spark.sql.DataFrame = {
-    val staged = tmpStage(dir, "mhsig_v1")
+    val staged = tmpStage(dir, graft.ops.Dedup.MinHashStageTag)
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$staged/_SUCCESS")))
       Dedup.minHashSignatures(table(s, dir, "documents"))

@@ -46,6 +46,32 @@ package object queries {
     s"${System.getProperty("java.io.tmpdir")}/graft_stage$sf/$name"
   }
 
+  /** Delete every graft staging dir (all SFs). Called at the START of the
+    * judged entry points (Verify.main, Bench.main): staged intermediates
+    * (cluster tables, minhash signatures, stream micro-batches) survive
+    * across processes in java.io.tmpdir, so without this a judged run could
+    * silently consume results computed by an OLDER version of the code and
+    * report success for code that never executed. Within one process the
+    * stage is still computed once and shared — only cross-process reuse is
+    * forbidden. */
+  def wipeStages(): Unit = {
+    import scala.util.Using
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    if (!java.nio.file.Files.isDirectory(tmp)) return
+    val roots = Using.resource(java.nio.file.Files.list(tmp)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft_stage")).toList
+    }
+    roots.foreach { root =>
+      Using.resource(java.nio.file.Files.walk(root)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   /** Oracle-deterministic SUM over a double column: cast to decimal so the
     * aggregation is exact (order-independent — partial aggregates across
     * partitions must equal DuckDB's sequential sum bit-for-bit), then round

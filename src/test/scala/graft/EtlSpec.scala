@@ -190,6 +190,28 @@ class EtlSpec extends SparkSpec {
       rows(once.orderBy("k", "valid_from")).toList)
   }
 
+  test("scd2Merge: updating a key with an existing closed version keeps that history") {
+    import graft.etl.Staging
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // key 3 has one closed + one current version, and THIS batch changes it
+    // again — the second change must not drop the first closed row
+    val history = Seq(
+      (3L, "eva", 5.0, d("2023-01-01"), d("2024-01-01"), false),
+      (3L, "eva", 7.0, d("2024-01-01"), null.asInstanceOf[java.sql.Date], true))
+      .toDF("k", "name", "bal", "valid_from", "valid_to", "is_current")
+    val updates = Seq((3L, "eva", 9.0)).toDF("k", "name", "bal")
+    val merged = Staging.scd2Merge(history, updates, Seq("k"),
+      Seq("name", "bal"), lit(d("2024-06-01")))
+    val got = rows(merged.orderBy("valid_from"))
+      .map(r => (r.getAs[Double]("bal"),
+        Option(r.getAs[java.sql.Date]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current")))
+    assert(got == Seq(
+      (5.0, Some("2024-01-01"), false),  // pre-existing closed version SURVIVES
+      (7.0, Some("2024-06-01"), false),  // current closes
+      (9.0, None, true)))                // new current
+  }
+
   test("httpJson live: envelope parse, non-200 / wrong type / corrupt / timeout degrade") {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
