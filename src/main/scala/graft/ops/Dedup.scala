@@ -150,16 +150,24 @@ object Dedup {
     * Callers must pass a MATERIALIZED signature table: the join consumes
     * `sig` on both sides, and an unmaterialized lineage (text scan, shingle
     * explode, md5, 16-min aggregation) would execute once per side. */
-  private def lshCandidates(sig: DataFrame, numHashes: Int,
-                            bands: Int, chunks: Int): DataFrame = {
+  /** (doc_id, band, bh) bucket rows for a signature table — the LSH
+    * blocking key shared by the self-join (lshCandidates) and the
+    * batch-vs-corpus join (incrementalLsh). */
+  private def bandBuckets(sig: DataFrame, numHashes: Int,
+                          bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws(",", cols: _*).as("bh")).as(s"b$b")
     }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  private def lshCandidates(sig: DataFrame, numHashes: Int,
+                            bands: Int, chunks: Int): DataFrame = {
+    val buckets = bandBuckets(sig, numHashes, bands)
     val (a, b, chunkCond) = Skew.chunkedSelfJoin(buckets, "doc_id", chunks)
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               chunkCond && col("a.doc_id") < col("b.doc_id"))
@@ -203,6 +211,35 @@ object Dedup {
     minHashVerifiedFromSignatures(
       minHashSignatures(docs, numHashes, shingleLen).localCheckpoint(),
       numHashes, bands, minEst, chunks)
+
+  /** Incremental (batch-vs-corpus) LSH dedup — the ingestion-time shape:
+    * a NEW batch of documents is checked against the already-indexed
+    * corpus without ever self-joining the corpus. Both sides band their
+    * (materialized) MinHash signatures; the batch's bucket rows — the
+    * small side, bands × |batch| rows — broadcast into an equi-join on
+    * (band, bh) against the corpus buckets, so the corpus signature table
+    * streams through ONE map-side join with no shuffle of corpus data.
+    * Returns one row per new document with ≥ 1 corpus collision:
+    * (doc_id, n_matches = distinct colliding corpus docs, first_match =
+    * smallest such doc_id), ordered by doc_id.
+    *
+    * At 100 TB the corpus signature table lives bucketed-by-band-hash on
+    * disk; a daily batch's buckets broadcast (MBs), and the scan prunes to
+    * colliding buckets — the pattern this operator pins. Compose
+    * `Dedup.exact` over the batch first when batches carry exact-dup
+    * floods (same caveat as lshCandidates). */
+  def incrementalLsh(batchSig: DataFrame, corpusSig: DataFrame,
+                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val nb = bandBuckets(batchSig, numHashes, bands)
+    val cb = bandBuckets(corpusSig, numHashes, bands)
+    broadcast(nb.select(col("doc_id").as("new_doc"), col("band"), col("bh")))
+      .join(cb, Seq("band", "bh"))
+      .select(col("new_doc"), col("doc_id").as("dup_of"))
+      .distinct()
+      .groupBy(col("new_doc"))
+      .agg(count(lit(1)).as("n_matches"), min(col("dup_of")).as("first_match"))
+      .orderBy(col("new_doc"))
+  }
 
   /** Verified-pair twin of minHashPairsFromSignatures over a materialized
     * signature table (see minHashVerified for semantics). */
@@ -449,20 +486,75 @@ object Dedup {
     * total grams + join output (true contamination volume). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     n: Int = 5): DataFrame = {
-    def gramHashes(df: DataFrame): DataFrame = {
-      val toks = split(F.normalizeText(lower(col("text"))), " ")
-      df.filter(size(toks) >= n)
-        .select(col("doc_id"), toks.as("toks"),
-          explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
-        .select(col("doc_id"),
-          seededHash(23,
-            concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
-    }
-    val d = gramHashes(docs).distinct()
-    val b = gramHashes(benchmark).select(col("gh")).distinct()
+    val d = gramHashes(docs, n).distinct()
+    val b = gramHashes(benchmark, n).select(col("gh")).distinct()
     d.join(b, "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, gh) of every n-token gram, seed-23 hashed — shared by the
+    * exact (decontaminate) and bloom (bloomDecontaminate) paths. */
+  private def gramHashes(df: DataFrame, n: Int): DataFrame = {
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    df.filter(size(toks) >= n)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
+      .select(col("doc_id"),
+        seededHash(23,
+          concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
+  }
+
+  /** Bloom-filter decontamination — the shape the exact hash-join variant
+    * (decontaminate) takes when the benchmark side must not be shuffled at
+    * all: the benchmark's grams compress into an `mBits`-bit Bloom bitmap
+    * (k = 3 positions per gram, carved from disjoint 16-bit slices of the
+    * one seeded 60-bit hash — the Kirsch-Mitzenmacher construction with
+    * independent md5 bits), which broadcasts to every task as a literal
+    * long array (8 KB at 2¹⁶ bits). The corpus side then needs ZERO
+    * shuffle for the membership test — each distinct doc-gram probes three
+    * bits map-side — and only the per-doc count aggregation moves data.
+    *
+    * At 100 TB this is the decontamination you actually run: the benchmark
+    * set (1e6–1e8 grams) fits a few-MB bitmap broadcast where the exact
+    * join's benchmark side would shuffle against every corpus partition.
+    * False positives are inherent (never false negatives): a doc is
+    * flagged `contaminated` when ANY gram probe hits, so the output is a
+    * conservative superset to pass to the exact join for confirmation.
+    * The bitmap build collects ≤ mBits/64 rows (the bitmap itself) — a
+    * constant bounded by the filter size, not the data.
+    *
+    * Returns one row per corpus doc with ≥ 1 gram: (doc_id, n_grams,
+    * n_hits, contaminated), ordered by doc_id. */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         n: Int = 5, mBits: Int = 1 << 16): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    val m = lit(mBits.toLong)
+    // three positions per gram from disjoint bit ranges of the 60-bit hash
+    def positions(gh: Column): Seq[Column] = Seq(
+      gh % m, shiftrightunsigned(gh, 16) % m, shiftrightunsigned(gh, 32) % m)
+    val words = gramHashes(benchmark, n).select(col("gh")).distinct()
+      .select(explode(array(positions(col("gh")): _*)).as("pos"))
+      .select(shiftrightunsigned(col("pos"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
+          .as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
+      .collect()
+    val bitmap = Array.fill[Long](mBits / 64)(0L)
+    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    val bm = typedlit(bitmap.toSeq)
+    def hit(pos: Column): Column =
+      element_at(bm, shiftrightunsigned(pos, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (pos % 64).cast("int"))) =!= 0L
+    val probe = positions(col("gh")).map(hit).reduce(_ && _)
+    gramHashes(docs, n).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(probe, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
       .orderBy(col("doc_id"))
   }
 

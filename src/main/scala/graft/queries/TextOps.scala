@@ -308,6 +308,24 @@ object TextOps extends QueryPack {
       Dedup.decontaminate(docs.filter(col("doc_id") % 11 =!= 0),
         docs.filter(col("doc_id") % 11 === 0), n = 4)
     }),
+    // Same benchmark slice through the BLOOM path: the benchmark grams
+    // compress to a broadcast bitmap and the corpus probes it map-side —
+    // zero shuffle of either side until the per-doc count.
+    "dd_bloom_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = table(s, dir, "documents")
+      Dedup.bloomDecontaminate(docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0), n = 4)
+    }),
+    // Ingestion-time dedup: the doc_id % 5 = 0 slice plays the incoming
+    // batch, the rest the indexed corpus; signatures come from the shared
+    // staged table and the batch's band buckets broadcast.
+    "dd_incremental_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val sigs = stagedMinHashSigs(s, dir)
+      Dedup.incrementalLsh(sigs.filter(col("doc_id") % 5 === 0),
+        sigs.filter(col("doc_id") % 5 =!= 0))
+    }),
     // Domain-mix resampling: every source capped at an equal corpus share,
     // exact-integer keep rule (no float rounding anywhere).
     "sp2_domain_mix" -> ((s, dir) => {
