@@ -83,8 +83,11 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       // localCheckpoints (connected-components loops) stay persisted after
       // their query finishes; dropped eagerly so block-manager pressure
-      // from one query never bleeds into the next one's measurement
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // from one query never bleeds into the next one's measurement.
+      // BLOCKING: async removal races the next query's timed window — the
+      // r4 ev_hll_sketch "regression" (0.8 s -> 2.0 s, code untouched) sat
+      // right after the checkpoint-heavy dedup queries in bench order
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       t
     }
     val baseline = loadBaseline()

@@ -28,6 +28,23 @@ object Dedup {
     * (queries.wipeStages), so a judged run always recomputes at least once. */
   val ClusterStageTag = "ddclusters_v1"
   val MinHashStageTag = "mhsig_v1"
+  /** Fingerprints gramHashes (seed, normalization, explode shape) at the
+    * n=4 the decontamination queries use. */
+  val GramStageTag = "ddgrams4_v1"
+  /** Fingerprints bandBuckets over the staged signatures (band count,
+    * bh encoding) — the bucketed corpus band table. */
+  val BandStageTag = "corpusbands_v1"
+
+  /** Lineage barrier for iterative/self-joined intermediates: reliable
+    * `checkpoint` when the session has a checkpoint dir configured (a real
+    * cluster — executor-local blocks die with executors, so localCheckpoint
+    * there loses partitions mid-query), `localCheckpoint` otherwise (single
+    * JVM, where the block manager is as durable as the process and skips
+    * the HDFS round-trip). This makes the "swap for reliable checkpoint on
+    * a cluster" contract a config switch, not a code edit. */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   /** Seeded 60-bit hash both engines can compute: low 15 hex chars of
     * md5("seed:value") parsed base-16. DuckDB twin:
@@ -153,8 +170,8 @@ object Dedup {
   /** (doc_id, band, bh) bucket rows for a signature table — the LSH
     * blocking key shared by the self-join (lshCandidates) and the
     * batch-vs-corpus join (incrementalLsh). */
-  private def bandBuckets(sig: DataFrame, numHashes: Int,
-                          bands: Int): DataFrame = {
+  def bandBuckets(sig: DataFrame, numHashes: Int = 16,
+                  bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
@@ -181,7 +198,7 @@ object Dedup {
     // aggregation) runs once, not once per join side; swap for reliable
     // checkpoint on a real cluster (see duplicateClusters).
     minHashPairsFromSignatures(
-      minHashSignatures(docs, numHashes, shingleLen).localCheckpoint(),
+      materialize(minHashSignatures(docs, numHashes, shingleLen)),
       numHashes, bands, chunks)
 
   /** Banded-LSH pairs over an ALREADY-MATERIALIZED signature table (staged
@@ -209,7 +226,7 @@ object Dedup {
     // the verification join) — unmaterialized, the signature build would
     // execute three times.
     minHashVerifiedFromSignatures(
-      minHashSignatures(docs, numHashes, shingleLen).localCheckpoint(),
+      materialize(minHashSignatures(docs, numHashes, shingleLen)),
       numHashes, bands, minEst, chunks)
 
   /** Incremental (batch-vs-corpus) LSH dedup — the ingestion-time shape:
@@ -229,11 +246,30 @@ object Dedup {
     * `Dedup.exact` over the batch first when batches carry exact-dup
     * floods (same caveat as lshCandidates). */
   def incrementalLsh(batchSig: DataFrame, corpusSig: DataFrame,
-                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val nb = bandBuckets(batchSig, numHashes, bands)
-    val cb = bandBuckets(corpusSig, numHashes, bands)
-    broadcast(nb.select(col("doc_id").as("new_doc"), col("band"), col("bh")))
-      .join(cb, Seq("band", "bh"))
+                     numHashes: Int = 16, bands: Int = 4): DataFrame =
+    incrementalLshFromBuckets(batchSig, bandBuckets(corpusSig, numHashes, bands),
+      numHashes, bands)
+
+  /** incrementalLsh against an ALREADY-BANDED corpus — the form the 100 TB
+    * layout actually runs: the corpus band table lives on disk bucketed by
+    * its join key (graft.queries.TextOps stages it via bucketBy), so the
+    * corpus side arrives pre-partitioned and never shuffles — not for the
+    * broadcast join the judged query plans (batch buckets are MBs), and not
+    * even when the batch outgrows broadcast and the planner falls back to a
+    * sort-merge join (only the batch side exchanges; PlanSpec pins both
+    * shapes). `corpusBuckets` must be (doc_id, band, bh) rows as produced
+    * by bandBuckets.
+    *
+    * @param broadcastBatch hint the batch side into every task (default —
+    *        a daily batch's buckets are MBs against a corpus of TBs); pass
+    *        false to let the planner choose (the SMJ fallback path). */
+  def incrementalLshFromBuckets(batchSig: DataFrame, corpusBuckets: DataFrame,
+                                numHashes: Int = 16, bands: Int = 4,
+                                broadcastBatch: Boolean = true): DataFrame = {
+    val nb0 = bandBuckets(batchSig, numHashes, bands)
+      .select(col("doc_id").as("new_doc"), col("band"), col("bh"))
+    val nb = if (broadcastBatch) broadcast(nb0) else nb0
+    nb.join(corpusBuckets, Seq("band", "bh"))
       .select(col("new_doc"), col("doc_id").as("dup_of"))
       .distinct()
       .groupBy(col("new_doc"))
@@ -298,7 +334,7 @@ object Dedup {
     // materialized table is (doc_id, one BIGINT) — bytes per document —
     // so the barrier is all win; swap for reliable checkpoint on a real
     // cluster (see duplicateClusters).
-    val sigs = votes.select(col("doc_id"), fp.as("simhash")).localCheckpoint()
+    val sigs = materialize(votes.select(col("doc_id"), fp.as("simhash")))
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -377,8 +413,9 @@ object Dedup {
     * and strictly decreases unless BOTH ops are already at their fixpoint
     * (a star forest) — one tiny scalar aggregate per round, no
     * edges-vs-previous join. Decimal sum so huge id spaces can't overflow.
-    * `localCheckpoint` truncates lineage each round so plans don't grow
-    * exponentially (swap for reliable `checkpoint` on a real cluster).
+    * `materialize` truncates lineage each round so plans don't grow
+    * exponentially (localCheckpoint here; reliable checkpoint when the
+    * session has a checkpoint dir — see materialize).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -386,7 +423,7 @@ object Dedup {
     // min over the full neighborhood ∪ self, per node
     def nbrMin(nbrs: DataFrame): DataFrame =
       nbrs.groupBy(col("src").as("u"))
-        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+        .agg(least(min(col("dst")), min(col("src"))).as("m"))
     // large-star: for each u, connect neighbors v > u to m(u)
     def largeStar(edges: DataFrame): DataFrame = {
       val nbrs = edges.union(
@@ -411,12 +448,12 @@ object Dedup {
     def phi(df: DataFrame): java.math.BigDecimal =
       df.agg(sum((col("src") + col("dst")).cast(DecimalType(38, 0))))
         .first().getDecimal(0)
-    var edges = e0.distinct().localCheckpoint()
+    var edges = materialize(e0.distinct())
     var prevPhi = phi(edges)
     var iter = 0
     var converged = prevPhi == null // no edges at all: trivially done
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = materialize(smallStar(largeStar(edges)))
       val s = phi(edges)
       converged = s != null && s.compareTo(prevPhi) == 0
       prevPhi = s
@@ -485,18 +522,27 @@ object Dedup {
     * broadcast; AQE decides. No quadratic anything: cost is linear in
     * total grams + join output (true contamination volume). */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
-                    n: Int = 5): DataFrame = {
-    val d = gramHashes(docs, n).distinct()
-    val b = gramHashes(benchmark, n).select(col("gh")).distinct()
-    d.join(b, "gh")
+                    n: Int = 5): DataFrame =
+    decontaminateFromGrams(gramHashes(docs, n).distinct(),
+      gramHashes(benchmark, n).distinct())
+
+  /** decontaminate over ALREADY-DISTINCT (doc_id, gh) gram tables — the
+    * entry point for pipelines that hash grams once and reuse them across
+    * the exact and Bloom paths (graft.queries.TextOps stages one gram table
+    * per SF and both judged decontamination queries read it, so neither
+    * pays the explode+md5 twice). */
+  def decontaminateFromGrams(corpusGrams: DataFrame,
+                             benchGrams: DataFrame): DataFrame =
+    corpusGrams.join(benchGrams.select(col("gh")).distinct(), "gh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"))
-  }
 
   /** (doc_id, gh) of every n-token gram, seed-23 hashed — shared by the
-    * exact (decontaminate) and bloom (bloomDecontaminate) paths. */
-  private def gramHashes(df: DataFrame, n: Int): DataFrame = {
+    * exact (decontaminate) and bloom (bloomDecontaminate) paths. NOT
+    * distinct: callers dedup per their need (per-doc distinct for the
+    * joins; the staged table is written distinct once). */
+  def gramHashes(df: DataFrame, n: Int): DataFrame = {
     val toks = split(F.normalizeText(lower(col("text"))), " ")
     df.filter(size(toks) >= n)
       .select(col("doc_id"), toks.as("toks"),
@@ -528,14 +574,24 @@ object Dedup {
     * Returns one row per corpus doc with ≥ 1 gram: (doc_id, n_grams,
     * n_hits, contaminated), ordered by doc_id. */
   def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
-                         n: Int = 5, mBits: Int = 1 << 16): DataFrame = {
+                         n: Int = 5, mBits: Int = 1 << 16): DataFrame =
+    bloomDecontaminateFromGrams(gramHashes(docs, n).distinct(),
+      gramHashes(benchmark, n).distinct(), mBits)
+
+  /** bloomDecontaminate over ALREADY-DISTINCT (doc_id, gh) gram tables —
+    * see decontaminateFromGrams for the shared-staging rationale. The
+    * marginal cost over the staged grams is exactly what the operator
+    * promises: one bounded bitmap build plus a map-side probe. */
+  def bloomDecontaminateFromGrams(corpusGrams: DataFrame,
+                                  benchGrams: DataFrame,
+                                  mBits: Int = 1 << 16): DataFrame = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
       s"mBits must be a power of two >= 64, got $mBits")
     val m = lit(mBits.toLong)
     // three positions per gram from disjoint bit ranges of the 60-bit hash
     def positions(gh: Column): Seq[Column] = Seq(
       gh % m, shiftrightunsigned(gh, 16) % m, shiftrightunsigned(gh, 32) % m)
-    val words = gramHashes(benchmark, n).select(col("gh")).distinct()
+    val words = benchGrams.select(col("gh")).distinct()
       .select(explode(array(positions(col("gh")): _*)).as("pos"))
       .select(shiftrightunsigned(col("pos"), 6).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
@@ -550,7 +606,7 @@ object Dedup {
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (pos % 64).cast("int"))) =!= 0L
     val probe = positions(col("gh")).map(hit).reduce(_ && _)
-    gramHashes(docs, n).distinct()
+    corpusGrams
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(probe, 1L).otherwise(0L)).as("n_hits"))

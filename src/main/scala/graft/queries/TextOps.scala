@@ -46,6 +46,57 @@ object TextOps extends QueryPack {
     s.read.parquet(staged)
   }
 
+  /** Distinct (doc_id, gh) 4-gram hash table over the whole documents
+    * corpus — the stage shared by all three decontamination queries
+    * (dd_decontaminate, dd_bloom_decontaminate, dd_bloom_confirmed): the
+    * gram explode + md5 dominates each of them and is identical across
+    * them, so it is computed once per SF. Both the corpus (% 11 != 0) and
+    * benchmark (% 11 = 0) slices are filters over this one table. Stage
+    * tag lives next to the gram code (Dedup.GramStageTag). */
+  private def stagedGramHashes(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val staged = tmpStage(dir, graft.ops.Dedup.GramStageTag)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      Dedup.gramHashes(table(s, dir, "documents"), n = 4).distinct()
+        .write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged)
+  }
+
+  /** Corpus band buckets staged as a BUCKETED table — the storage layout
+    * incremental LSH documents for 100 TB: (doc_id, band, bh) rows written
+    * `bucketBy(8, band, bh)` so the corpus arrives pre-partitioned on its
+    * join key and never shuffles, even when the batch outgrows broadcast
+    * and the join falls back to sort-merge (PlanSpec pins that shape).
+    * Bucketed metadata lives in the session catalog; when the files
+    * survive from an earlier process (the parquet stage convention) the
+    * bucket spec is re-registered over them with CREATE TABLE ... CLUSTERED
+    * BY ... LOCATION — bucket ids ride the file names, so the layout is
+    * process-independent. */
+  private[graft] def stagedCorpusBands(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val loc = tmpStage(dir, graft.ops.Dedup.BandStageTag)
+    val tbl = ("graft_corpus_bands" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+      .toLowerCase
+    if (!s.catalog.tableExists(tbl)) {
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$loc/_SUCCESS"))) {
+        val schema = s.read.parquet(loc).schema.toDDL
+        s.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
+          "CLUSTERED BY (band, bh) SORTED BY (band, bh) INTO 8 BUCKETS " +
+          s"LOCATION '$loc'")
+      } else
+        Dedup.bandBuckets(
+            stagedMinHashSigs(s, dir).filter(col("doc_id") % 5 =!= 0))
+          .write.mode("overwrite")
+          .bucketBy(8, "band", "bh").sortBy("band", "bh")
+          .option("path", loc).saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
   /** Documents staged as a 4-file parquet directory — the micro-batch
     * source shared by the streaming dedup queries (4 files = 4 batches; 32
     * would pay 8x the per-batch state-store maintenance for no coverage). */
@@ -163,6 +214,75 @@ object TextOps extends QueryPack {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Banded-signature oracle for the batch-vs-corpus join: the same sigCtes
+    * as dd_minhash_lsh, split by the doc_id % 5 batch rule instead of
+    * self-joined — band/bh arithmetic is BIGINT-exact in both engines. */
+  private val incrementalLshOracle: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val bh = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $sigCtes,
+      |banded AS (
+      |  $bandSelects),
+      |m AS (
+      |  SELECT DISTINCT a.doc_id AS new_doc, c.doc_id AS dup_of
+      |  FROM banded a JOIN banded c ON a.band = c.band AND a.bh = c.bh
+      |  WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 != 0)
+      |SELECT new_doc, count(*) AS n_matches, min(dup_of) AS first_match
+      |FROM m GROUP BY new_doc ORDER BY new_doc""".stripMargin
+  }
+
+  /** Shared 4-gram-hash CTEs of the decontamination queries (seed 23, the
+    * same normalize/split/slice shape as Dedup.gramHashes), ending with
+    * `d` (distinct corpus (doc_id, gh)) and `b` (distinct benchmark gh). */
+  private val gramCtes: String =
+    s"""t AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, ${mh(23, "array_to_string(toks[i:i+3], ' ')")} AS gh
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+      |        FROM t WHERE len(toks) >= 4) z),
+      |d AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 11 != 0),
+      |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 11 = 0)""".stripMargin
+
+  // 4-gram hash overlap vs the doc_id % 11 = 0 benchmark slice. Also the
+  // oracle of dd_bloom_confirmed: Bloom probes admit false positives but
+  // never false negatives, so bitmap-prefilter + exact-confirm returns
+  // exactly the exact join's rows.
+  private val decontaminateOracle: String =
+    s"""WITH $gramCtes
+      |SELECT d.doc_id, count(*) AS n_shared
+      |FROM d JOIN b ON d.gh = b.gh
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** Bloom twin: a probe hits iff ALL THREE positions (disjoint 16-bit
+    * slices of the 60-bit gram hash, mod 2¹⁶ — identical arithmetic to
+    * Dedup.bloomDecontaminateFromGrams) are set in the bitmap, and a bit is
+    * set iff SOME benchmark gram produced that position — so bit membership
+    * IS membership in the distinct benchmark position set, and the oracle
+    * needs no word packing (DuckDB BIGINT `1 << 63` overflows; set
+    * semantics sidestep shift parity entirely). */
+  private val bloomOracle: String =
+    s"""WITH $gramCtes,
+      |bpos AS (
+      |  SELECT DISTINCT pos FROM (
+      |    SELECT unnest([gh % 65536, (gh >> 16) % 65536, (gh >> 32) % 65536]) AS pos
+      |    FROM b) z),
+      |dp AS (
+      |  SELECT doc_id, gh,
+      |    unnest([gh % 65536, (gh >> 16) % 65536, (gh >> 32) % 65536]) AS pos
+      |  FROM d),
+      |ph AS (
+      |  SELECT dp.doc_id, dp.gh, bool_and(bpos.pos IS NOT NULL) AS hit
+      |  FROM dp LEFT JOIN bpos ON dp.pos = bpos.pos
+      |  GROUP BY dp.doc_id, dp.gh)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  (sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0) AS contaminated
+      |FROM ph GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared recursive-closure cluster CTEs (same edge set as
     * dd_ngram_jaccard; min-reachable-id labeling is a unique fixpoint, so
@@ -301,30 +421,50 @@ object TextOps extends QueryPack {
     "tx_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(table(s, dir, "documents"))),
     // Benchmark decontamination: corpus docs sharing any 4-gram with the
-    // held-out benchmark slice (doc_id % 11 == 0 stands in for an eval set).
+    // held-out benchmark slice (doc_id % 11 == 0 stands in for an eval
+    // set). Gram hashes come from the shared staged table — the explode +
+    // md5 is paid once per SF across all three decontamination queries.
     "dd_decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val docs = table(s, dir, "documents")
-      Dedup.decontaminate(docs.filter(col("doc_id") % 11 =!= 0),
-        docs.filter(col("doc_id") % 11 === 0), n = 4)
+      val g = stagedGramHashes(s, dir)
+      Dedup.decontaminateFromGrams(g.filter(col("doc_id") % 11 =!= 0),
+        g.filter(col("doc_id") % 11 === 0))
     }),
     // Same benchmark slice through the BLOOM path: the benchmark grams
     // compress to a broadcast bitmap and the corpus probes it map-side —
-    // zero shuffle of either side until the per-doc count.
+    // zero shuffle of either side until the per-doc count. Over the shared
+    // gram stage its marginal cost is exactly the operator's promise: one
+    // bounded bitmap build plus a map-side probe.
     "dd_bloom_decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val docs = table(s, dir, "documents")
-      Dedup.bloomDecontaminate(docs.filter(col("doc_id") % 11 =!= 0),
-        docs.filter(col("doc_id") % 11 === 0), n = 4)
+      val g = stagedGramHashes(s, dir)
+      Dedup.bloomDecontaminateFromGrams(g.filter(col("doc_id") % 11 =!= 0),
+        g.filter(col("doc_id") % 11 === 0))
+    }),
+    // The composition the Bloom doc promises: the bitmap's conservative
+    // superset (no false negatives) prefilters the corpus, the exact join
+    // confirms — so the result EQUALS dd_decontaminate (same oracle SQL),
+    // while at 100 TB only flagged docs' grams ever reach the exact join.
+    "dd_bloom_confirmed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val g = stagedGramHashes(s, dir)
+      val corpus = g.filter(col("doc_id") % 11 =!= 0)
+      val bench = g.filter(col("doc_id") % 11 === 0)
+      val flagged = Dedup.bloomDecontaminateFromGrams(corpus, bench)
+        .filter(col("contaminated")).select(col("doc_id"))
+      Dedup.decontaminateFromGrams(
+        corpus.join(broadcast(flagged), "doc_id"), bench)
     }),
     // Ingestion-time dedup: the doc_id % 5 = 0 slice plays the incoming
     // batch, the rest the indexed corpus; signatures come from the shared
-    // staged table and the batch's band buckets broadcast.
+    // staged table, the corpus bands from the BUCKETED band table (the
+    // on-disk layout the operator documents), and the batch's band buckets
+    // broadcast — the corpus is never shuffled, never self-joined.
     "dd_incremental_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val sigs = stagedMinHashSigs(s, dir)
-      Dedup.incrementalLsh(sigs.filter(col("doc_id") % 5 === 0),
-        sigs.filter(col("doc_id") % 5 =!= 0))
+      Dedup.incrementalLshFromBuckets(sigs.filter(col("doc_id") % 5 === 0),
+        stagedCorpusBands(s, dir))
     }),
     // Domain-mix resampling: every source capped at an equal corpus share,
     // exact-integer keep rule (no float rounding anywhere).
@@ -605,20 +745,10 @@ object TextOps extends QueryPack {
         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    // 4-gram hash overlap vs the doc_id % 11 = 0 benchmark slice.
-    "dd_decontaminate" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, ${mh(23, "array_to_string(toks[i:i+3], ' ')")} AS gh
-        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
-        |        FROM t WHERE len(toks) >= 4) z),
-        |d AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 11 != 0),
-        |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 11 = 0)
-        |SELECT d.doc_id, count(*) AS n_shared
-        |FROM d JOIN b ON d.gh = b.gh
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "dd_decontaminate" -> decontaminateOracle,
+    "dd_bloom_decontaminate" -> bloomOracle,
+    "dd_bloom_confirmed" -> decontaminateOracle,
+    "dd_incremental_lsh" -> incrementalLshOracle,
 
     // Same (hash, doc_id) rank, same seed-31 hash family.
     "sp3_reservoir" ->

@@ -219,6 +219,24 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (3L, 1L)))
   }
 
+  test("incrementalLsh flags batch-vs-corpus collisions, never corpus-corpus") {
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),   // batch
+      (1L, "the quick brown fox jumps over the lazy dog"),   // corpus dup of 0
+      (2L, "totally different text with many unique tokens here"),
+      (3L, "the quick brown fox jumps over the lazy dog"),   // corpus dup of 0
+      (5L, "another unrelated document entirely about spark engines")) // batch
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(all)
+    val got = rows(Dedup.incrementalLsh(sigs.filter($"doc_id" % 5 === 0),
+      sigs.filter($"doc_id" % 5 =!= 0)))
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("n_matches"),
+        r.getAs[Long]("first_match")))
+    // doc 0 collides with BOTH corpus dups (n_matches counts distinct
+    // corpus docs); doc 5 is clean; the 1-3 corpus-corpus dup never appears
+    assert(got == Seq((0L, 2L, 1L)))
+  }
+
   test("proportionalMix caps every stratum near an equal share, deterministically") {
     val df = ((1 to 900).map(i => (i.toLong, "big")) ++
               (1001 to 1050).map(i => (i.toLong, "small")))

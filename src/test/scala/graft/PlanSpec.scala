@@ -214,6 +214,69 @@ class PlanSpec extends SparkSpec {
       s"unexpected shuffle feeding the bucketed join ($shuffles mentions)\n${p.take(900)}")
   }
 
+  test("decontamination queries read the SHARED staged gram table") {
+    // all three queries must scan the one staged (doc_id, gh) parquet —
+    // a plan that re-derives grams from documents pays the explode + md5
+    // again and the stage sharing silently regressed
+    for (q <- Seq("dd_decontaminate", "dd_bloom_decontaminate",
+                  "dd_bloom_confirmed")) {
+      val p = plan(q)
+      assert(p.contains(graft.ops.Dedup.GramStageTag),
+        s"$q does not scan the staged gram table")
+      assert(!p.contains("md5"), s"$q recomputes gram hashes from text")
+    }
+  }
+
+  test("incremental lsh: batch buckets broadcast; corpus bands arrive " +
+       "from the bucketed table") {
+    val p = plan("dd_incremental_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "batch band buckets lost their broadcast")
+    assert(p.contains("corpus_bands"),
+      "corpus side no longer reads the staged bucketed band table")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("incremental lsh SMJ fallback: bucketed corpus side joins with no " +
+       "exchange of its own") {
+    // When the batch outgrows broadcast, the join falls back to sort-merge;
+    // the corpus band table is bucketed on the join key, so ONLY the batch
+    // side exchanges. Shuffle nodes in the whole plan: batch-side
+    // bucketing, pair distinct, per-doc agg, final sort = 4 (formatted
+    // explain names each node twice = 8 mentions); a 5th would mean the
+    // corpus side shuffled and the bucketed layout stopped being used.
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = graft.ops.Dedup.minHashSignatures(
+        queries.table(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 0))
+      val p = graft.ops.Dedup.incrementalLshFromBuckets(batch,
+          graft.queries.TextOps.stagedCorpusBands(spark, dir),
+          broadcastBatch = false)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), "fallback did not plan an SMJ")
+      assert(p.contains("Bucketed: true"),
+        "corpus band scan lost its bucketed layout")
+      // Structural check on the SMJ's corpus branch: in the formatted tree
+      // the batch branch's lines all carry the ":" continuation prefix,
+      // the corpus branch's (printed last, between the join node and its
+      // scan) carry none — so the corpus subtree is exactly the non-":"
+      // lines in that window, and must contain no Exchange. (A global
+      // shuffle count would be fragile: the batch side legitimately
+      // shuffles for its signature build and bucketing.)
+      val tree = p.split("\n\n")(0).linesIterator.toSeq
+      val smj = tree.indexWhere(_.contains("SortMergeJoin"))
+      val scan = tree.indexWhere(_.contains("graft_corpus_bands"))
+      assert(smj >= 0 && scan > smj, s"unexpected tree shape\n${tree.mkString("\n")}")
+      val corpusBranch = tree.slice(smj + 1, scan + 1).filterNot(_.contains(":"))
+      assert(corpusBranch.forall(!_.contains("Exchange")),
+        s"corpus side shuffled to meet the batch:\n${corpusBranch.mkString("\n")}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)

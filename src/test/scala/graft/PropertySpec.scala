@@ -115,6 +115,41 @@ class PropertySpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("bloom decontamination: zero false negatives; FP rate tracks " +
+       "(1-e^(-kn/m))^k") {
+    import graft.ops.Dedup
+    // Disjoint token vocabularies -> the gram sets share NOTHING: every
+    // Bloom hit on this corpus is a false positive by construction.
+    def mk(tag: String, n: Int) = (0 until n).map(i =>
+      (i.toLong, (0 until 14).map(j => s"$tag${i}x$j").mkString(" ")))
+    val bench = mk("b", 200).toDF("doc_id", "text")   // 200·11 distinct grams
+    val corpus = mk("c", 1000).toDF("doc_id", "text") // 1000·11 probe grams
+    val mBits = 1 << 12 // small filter so the FP rate is macroscopic
+    val res = Dedup.bloomDecontaminate(corpus, bench, n = 4, mBits = mBits)
+      .agg(sum($"n_grams"), sum($"n_hits")).first()
+    val (grams, hits) = (res.getLong(0), res.getLong(1))
+    assert(grams == 11000L)
+    // exact join on the same inputs: zero contamination, confirming every
+    // bloom hit above is a false positive (the documented superset contract)
+    assert(Dedup.decontaminate(corpus, bench, n = 4).count() == 0L)
+    val nBench = Dedup.gramHashes(bench, 4).select($"gh").distinct().count()
+    val fill = 1.0 - math.exp(-3.0 * nBench / mBits)
+    val theo = math.pow(fill, 3)
+    val rate = hits.toDouble / grams
+    // deterministic seeded hashes: this is a fixed number, bounded loosely
+    // so only a real break in the position/bitmap math can move it
+    assert(math.abs(rate - theo) < 0.08,
+      s"FP rate $rate drifted from theoretical $theo (fill $fill)")
+    // Zero false negatives: re-feed the benchmark texts as the corpus —
+    // every gram is genuinely shared, so every probe must hit.
+    val echo = bench.select(($"doc_id" + 10000L).as("doc_id"), $"text")
+    rows(Dedup.bloomDecontaminate(echo, bench, n = 4, mBits = mBits))
+      .foreach { r =>
+        assert(r.getAs[Long]("n_hits") == r.getAs[Long]("n_grams") &&
+          r.getAs[Boolean]("contaminated"), s"false negative on $r")
+      }
+  }
+
   test("star-contraction connected components match union-find on random graphs") {
     import graft.ops.Dedup
     val rnd = new scala.util.Random(42)
