@@ -71,6 +71,9 @@ object Bench {
       try SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // drop the warm-up pass's broadcast/shuffle residue before the first
+    // timed query (see the GC note in timeOne)
+    System.gc()
 
     var failed = Set.empty[String]
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
@@ -88,6 +91,14 @@ object Bench {
       // r4 ev_hll_sketch "regression" (0.8 s -> 2.0 s, code untouched) sat
       // right after the checkpoint-heavy dedup queries in bench order
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // Broadcast variables and shuffle state are torn down by the
+      // ContextCleaner only when the DRIVER garbage-collects their
+      // references — a bench loop holds none, but the JVM may not GC for
+      // many queries, and the accumulated executor-side residue compounds:
+      // measured at r5, dd_incremental_lsh cost 2.9 s run alone but 17.4 s
+      // run after three broadcast-heavy decontamination queries. Forcing a
+      // GC here bounds every query's measurement to its own plan's cost.
+      System.gc()
       t
     }
     val baseline = loadBaseline()

@@ -34,6 +34,9 @@ object Dedup {
   /** Fingerprints bandBuckets over the staged signatures (band count,
     * bh encoding) — the bucketed corpus band table. */
   val BandStageTag = "corpusbands_v1"
+  /** Fingerprints bloomBitmapWords (position slices, k=3, the judged
+    * mBits=2¹⁶) over the staged benchmark grams. */
+  val BloomStageTag = "bloombits16_v1"
 
   /** Lineage barrier for iterative/self-joined intermediates: reliable
     * `checkpoint` when the session has a checkpoint dir configured (a real
@@ -584,28 +587,63 @@ object Dedup {
     * promises: one bounded bitmap build plus a map-side probe. */
   def bloomDecontaminateFromGrams(corpusGrams: DataFrame,
                                   benchGrams: DataFrame,
-                                  mBits: Int = 1 << 16): DataFrame = {
+                                  mBits: Int = 1 << 16): DataFrame =
+    bloomProbe(corpusGrams,
+      bitmapFromWords(bloomBitmapWords(benchGrams, mBits), mBits), mBits)
+
+  private def requireM(mBits: Int): Unit =
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
       s"mBits must be a power of two >= 64, got $mBits")
+
+  /** Three positions per gram from disjoint 16-bit slices of the 60-bit
+    * hash (Kirsch-Mitzenmacher with independent md5 bits). */
+  private def positions(gh: Column, mBits: Int): Seq[Column] = {
     val m = lit(mBits.toLong)
-    // three positions per gram from disjoint bit ranges of the 60-bit hash
-    def positions(gh: Column): Seq[Column] = Seq(
-      gh % m, shiftrightunsigned(gh, 16) % m, shiftrightunsigned(gh, 32) % m)
-    val words = benchGrams.select(col("gh")).distinct()
-      .select(explode(array(positions(col("gh")): _*)).as("pos"))
+    Seq(gh % m, shiftrightunsigned(gh, 16) % m, shiftrightunsigned(gh, 32) % m)
+  }
+
+  /** The Bloom bitmap as a (w, bits) WORD TABLE — <= mBits/64 rows, the
+    * stageable/shippable form of the filter (build it once per benchmark
+    * set, reuse across every corpus slice it screens; graft.queries.TextOps
+    * stages it per SF). No distinct on the grams: bit_or absorbs
+    * duplicates, and the w-grouped partial aggregate collapses to bitmap
+    * size map-side — a distinct would add a full shuffle of the gram set
+    * to save nothing. */
+  def bloomBitmapWords(benchGrams: DataFrame, mBits: Int = 1 << 16): DataFrame = {
+    requireM(mBits)
+    benchGrams
+      .select(explode(array(positions(col("gh"), mBits): _*)).as("pos"))
       .select(shiftrightunsigned(col("pos"), 6).cast("int").as("w"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
           .as("bit"))
       .groupBy(col("w")).agg(expr("bit_or(bit)").as("bits"))
-      .collect()
+  }
+
+  /** Collapse a word table to the dense long-array bitmap (collects
+    * <= mBits/64 rows — bounded by the filter size, never the data). */
+  def bitmapFromWords(words: DataFrame, mBits: Int = 1 << 16): Array[Long] = {
+    requireM(mBits)
     val bitmap = Array.fill[Long](mBits / 64)(0L)
-    words.foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    words.select(col("w"), col("bits")).collect()
+      .foreach(r => bitmap(r.getInt(0)) = r.getLong(1))
+    bitmap
+  }
+
+  /** Map-side membership probe of distinct (doc_id, gh) corpus grams
+    * against a prebuilt bitmap: the bitmap rides the closure as a literal
+    * long array (8 KB at 2¹⁶ bits), each gram tests three bits, and only
+    * the per-doc count aggregation moves data. */
+  def bloomProbe(corpusGrams: DataFrame, bitmap: Array[Long],
+                 mBits: Int = 1 << 16): DataFrame = {
+    requireM(mBits)
+    require(bitmap.length == mBits / 64,
+      s"bitmap has ${bitmap.length} words, expected ${mBits / 64}")
     val bm = typedlit(bitmap.toSeq)
     def hit(pos: Column): Column =
       element_at(bm, shiftrightunsigned(pos, 6).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (pos % 64).cast("int"))) =!= 0L
-    val probe = positions(col("gh")).map(hit).reduce(_ && _)
+    val probe = positions(col("gh"), mBits).map(hit).reduce(_ && _)
     corpusGrams
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -63,6 +63,22 @@ object TextOps extends QueryPack {
     s.read.parquet(staged)
   }
 
+  /** Bloom bitmap WORD TABLE for the benchmark slice, staged per SF — the
+    * "build the filter once, screen every corpus slice with it" shape:
+    * both Bloom queries collect the same <= 1024-row table instead of each
+    * re-aggregating the benchmark grams. Tag: Dedup.BloomStageTag. */
+  private def stagedBloomBitmap(s: org.apache.spark.sql.SparkSession,
+                                dir: String): Array[Long] = {
+    import org.apache.spark.sql.functions.col
+    val staged = tmpStage(dir, graft.ops.Dedup.BloomStageTag)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      Dedup.bloomBitmapWords(
+          stagedGramHashes(s, dir).filter(col("doc_id") % 11 === 0))
+        .write.mode("overwrite").parquet(staged)
+    Dedup.bitmapFromWords(s.read.parquet(staged))
+  }
+
   /** Corpus band buckets staged as a BUCKETED table — the storage layout
     * incremental LSH documents for 100 TB: (doc_id, band, bh) rows written
     * `bucketBy(8, band, bh)` so the corpus arrives pre-partitioned on its
@@ -437,9 +453,9 @@ object TextOps extends QueryPack {
     // bounded bitmap build plus a map-side probe.
     "dd_bloom_decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val g = stagedGramHashes(s, dir)
-      Dedup.bloomDecontaminateFromGrams(g.filter(col("doc_id") % 11 =!= 0),
-        g.filter(col("doc_id") % 11 === 0))
+      Dedup.bloomProbe(
+        stagedGramHashes(s, dir).filter(col("doc_id") % 11 =!= 0),
+        stagedBloomBitmap(s, dir))
     }),
     // The composition the Bloom doc promises: the bitmap's conservative
     // superset (no false negatives) prefilters the corpus, the exact join
@@ -449,11 +465,11 @@ object TextOps extends QueryPack {
       import org.apache.spark.sql.functions.{broadcast, col}
       val g = stagedGramHashes(s, dir)
       val corpus = g.filter(col("doc_id") % 11 =!= 0)
-      val bench = g.filter(col("doc_id") % 11 === 0)
-      val flagged = Dedup.bloomDecontaminateFromGrams(corpus, bench)
+      val flagged = Dedup.bloomProbe(corpus, stagedBloomBitmap(s, dir))
         .filter(col("contaminated")).select(col("doc_id"))
       Dedup.decontaminateFromGrams(
-        corpus.join(broadcast(flagged), "doc_id"), bench)
+        corpus.join(broadcast(flagged), "doc_id"),
+        g.filter(col("doc_id") % 11 === 0))
     }),
     // Ingestion-time dedup: the doc_id % 5 = 0 slice plays the incoming
     // batch, the rest the indexed corpus; signatures come from the shared
