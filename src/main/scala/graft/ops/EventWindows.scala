@@ -63,6 +63,39 @@ object EventWindows {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Weekly cohort retention — the product-analytics "did week-N users come
+    * back k weeks later" matrix: each user's cohort is the epoch-aligned
+    * 7-day week of their first event; a (cohort, offset) cell counts users
+    * from that cohort active in cohort+offset. Weeks are integer arithmetic
+    * over epoch microseconds (floor to the week multiple) — engine-exact,
+    * no calendar/timezone semantics to disagree on.
+    *
+    * Shape at scale: one distinct over (user, week) — the only shuffle that
+    * sees event-level data, and it collapses map-side to each user's active
+    * weeks; cohort assignment is a partial-agg min per user; the join back
+    * is user-keyed; the final rollup has |weeks|² cells at most. A hot user
+    * with millions of events costs the same as one with two. */
+  def retention(events: DataFrame, weekDays: Int = 7): DataFrame = {
+    val weekUs = weekDays.toLong * 24L * 3600L * 1000000L
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    // tsUs - pmod is exactly divisible, so the double division is exact
+    val wk = ((tsUs - pmod(tsUs, lit(weekUs))) / lit(weekUs)).cast("long")
+    val weeks = events.select(col("user_id"), wk.as("wk")).distinct()
+    val cohort = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_users"))
+    weeks.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("cohort_users"),
+        round(col("n_active").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
   /** Ordered conversion funnel: per user, the first `stages(0)` event, the
     * first `stages(1)` event STRICTLY after it, and so on — the
     * product-analytics "viewed, then clicked, then purchased, in that

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training — mapping documents onto fixed-size
+  * context windows. Tokenized documents are concatenated in deterministic
+  * (shard, doc_id) order and cut every `ctxTokens` tokens; each document is
+  * assigned the sequence containing its first token plus its offset inside
+  * it — the bookkeeping a dataloader needs to pack batches without
+  * materializing the concatenation.
+  *
+  * Shape at scale: one window prefix-sum PER SHARD (lang/source/file), so
+  * no global sort ever happens — each shard's running total sorts within
+  * its own partitions, and shards pack independently exactly like a real
+  * pipeline packs per input shard. The cost is the per-shard sort; at
+  * 100 TB the shard column is the ingest file/partition id, bounding every
+  * window to one task's data.
+  */
+object Packing {
+
+  /** (doc_id, shard, n_tokens, seq_id, seq_offset) per document. seq_id
+    * counts fixed-`ctxTokens` windows within the shard; seq_offset is the
+    * document's first-token position inside its sequence. Whitespace token
+    * count stands in for the tokenizer (swap the column expression for a
+    * real BPE count; nothing else changes). */
+  def sequencePack(docs: DataFrame, ctxTokens: Int = 2048,
+                   shardCol: String = "lang"): DataFrame = {
+    val nTok = size(split(col("text"), "\\s+")).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ctx = lit(ctxTokens.toLong)
+    val start = col("end_tok") - col("n_tokens")
+    docs.select(col("doc_id"), col(shardCol).as("shard"), nTok.as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(w))
+      // start - pmod(start, ctx) is exactly divisible -> exact double div
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        ((start - pmod(start, ctx)) / ctx).cast("long").as("seq_id"),
+        pmod(start, ctx).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -58,6 +58,27 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Deterministic train/val/test assignment — the split a training corpus
+    * must make exactly once and never drift on: each row's subset is a pure
+    * function of its id (hash bucket vs cumulative cut points), so re-runs,
+    * repartitions, engines, and later incremental batches all agree, and a
+    * document can never migrate between train and eval. `cuts` are
+    * cumulative upper bounds in hash-bucket space (1/10000 granularity),
+    * last cut must be 10000. Map-only: adds one column, no shuffle. */
+  def hashSplit(df: DataFrame, idCol: String,
+                cuts: Seq[(String, Int)] =
+                  Seq("train" -> 9800, "val" -> 9900, "test" -> 10000),
+                seed: Int = 41): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == Buckets &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be ascending cumulative bounds ending at $Buckets")
+    val b = bucket(col(idCol), seed)
+    val subset = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), els) => when(b < cut, lit(name)).otherwise(els)
+    }
+    df.withColumn("subset", subset)
+  }
+
   /** Domain-mix resampling: downsample every stratum (source/domain/lang)
     * toward an EQUAL share of the corpus — the "don't let one crawl
     * dominate the mixture" pass of a training-data pipeline. A stratum

@@ -259,6 +259,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style rule gate — the multi-rule document filter (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A1.1) re-expressed with INTEGER-exact thresholds so
+    * no engine can disagree on a boundary document:
+    *   r_tokens   — token count within [minTokens, maxTokens]
+    *   r_word_len — mean token length in [3, 10] chars,
+    *                tested as 3·n ≤ Σlen(tok) ≤ 10·n (no division)
+    *   r_alpha    — ≥ 80% of tokens contain a letter: 5·n_alpha ≥ 4·n
+    *   r_symbol   — symbol chars ≤ 10% of text: 10·n_sym ≤ len(text)
+    *   r_stop     — ≥ 2 distinct stopwords present
+    * `keep` is the conjunction; the per-rule booleans are emitted so
+    * curation can see WHY a document was cut, not just that it was.
+    * Map-only (pure column expressions): linear scan, zero shuffle. */
+  def gopherRules(docs: DataFrame, minTokens: Int = 50,
+                  maxTokens: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlphaTok = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nSym = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val nStop = size(array_intersect(toks, typedlit(stopwords))).cast("long")
+    docs.select(
+        col("doc_id"), nTok.as("n_tokens"),
+        (nTok >= minTokens && nTok <= maxTokens).as("r_tokens"),
+        (sumTokLen >= nTok * 3 && sumTokLen <= nTok * 10).as("r_word_len"),
+        (nAlphaTok * 5 >= nTok * 4).as("r_alpha"),
+        (nSym * 10 <= length(col("text")).cast("long")).as("r_symbol"),
+        (nStop >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_tokens") && col("r_word_len") && col("r_alpha") &&
+          col("r_symbol") && col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram language-model score — unigramLogProb's sharper sibling: the
+    * average −ln P(wᵢ | wᵢ₋₁) with P = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·), both counts from
+    * the corpus's own bigram table. Word-salad text that fools a unigram
+    * model (common words, impossible order) scores high here. Documents
+    * shorter than 2 tokens carry no bigram and are excluded.
+    *
+    * Same determinism contract as unigramLogProb: per-bigram −ln p cast to
+    * DECIMAL(30,10) before the order-independent sum, so partial
+    * aggregation cannot change the value and a 1-ulp ln divergence
+    * quantizes away.
+    *
+    * Shape at scale: one explode into (doc, w₁, w₂); bigram counts and
+    * their per-prefix rollup are partial-aggregated (shuffles bounded by
+    * the bigram vocabulary, not corpus tokens); the score join is keyed on
+    * the bigram, the rollup per doc is one partial agg. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    val pairs = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("toks"), col("i")).as("w1"),
+        element_at(col("toks"), col("i") + 1).as("w2"))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // context totals roll up from the bigram counts (far fewer rows than
+    // re-counting the pair stream)
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+    val nll = -log(col("cb").cast("double") / col("cp"))
+    pairs.join(bg, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(nll.cast(DecimalType(30, 10))).cast("double") /
+          count(lit(1)), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: md5 of the normalized text, plus a rolling
     * shingle fingerprint (min md5 over word 5-grams — stable under content
     * reordering of surrounding docs, position-independent).

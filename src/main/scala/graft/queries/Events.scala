@@ -259,6 +259,11 @@ object Events extends QueryPack {
       graft.ops.EventWindows.funnel(table(s, dir, "events"),
         Seq("view", "click", "purchase"))),
 
+    // Weekly cohort retention matrix: epoch-aligned integer weeks, one
+    // (user, week) distinct as the only event-level shuffle.
+    "ev_retention" -> ((s, dir) =>
+      graft.ops.EventWindows.retention(table(s, dir, "events"))),
+
     // Semi-structured props: JSON field extraction + aggregation (the
     // API-source JSON surface, S3 family, applied to an event stream).
     "ev_props_json" -> ((s, dir) => {
@@ -438,6 +443,24 @@ object Events extends QueryPack {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    // Same epoch-week integer arithmetic: // floors like Spark's exact
+    // (t - pmod)/week division; counts are over distinct (user, week).
+    "ev_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY user_id),
+        |s AS (SELECT cohort_wk, count(*) AS cohort_users FROM c GROUP BY cohort_wk),
+        |a AS (
+        |  SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+        |    count(*) AS n_active
+        |  FROM w JOIN c ON w.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT a.cohort_wk, a.week_offset, a.n_active, s.cohort_users,
+        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
+        |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
+        |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

@@ -532,6 +532,27 @@ object TextOps extends QueryPack {
     // pipeline reviews before changing its mix.
     "tx_source_profile" -> ((s, dir) =>
       TextAnalysis.sourceProfile(table(s, dir, "documents"))),
+    // Gopher-rule gate: per-rule booleans + keep, integer-exact thresholds.
+    "tx_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(table(s, dir, "documents"))),
+    // Bigram LM quality signal: avg -ln P(w_i | w_{i-1}) under the corpus's
+    // own bigram table (catches in-vocabulary word salad unigrams miss).
+    "tx_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(table(s, dir, "documents"))),
+    // Deterministic train/val/test split: subset is a pure function of
+    // doc_id (98/1/1 hash cut), so later batches can never migrate a
+    // document across the train/eval boundary.
+    "sp4_split" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.hashSplit(table(s, dir, "documents"), idCol = "doc_id")
+        .select(col("doc_id"), col("lang"), col("subset"))
+        .orderBy(col("doc_id"))
+    }),
+    // Sequence packing: per-shard prefix sums map documents onto fixed
+    // 2048-token training windows (seq_id, seq_offset) with no global sort.
+    "tp1_sequence_pack" -> ((s, dir) =>
+      graft.ops.Packing.sequencePack(table(s, dir, "documents"),
+        ctxTokens = 2048, shardCol = "lang")),
     // Streaming exact dedup in UPDATE mode with a downstream keyed upsert —
     // the unbounded-ingest shape (complete mode rewrites the whole result
     // every micro-batch; update emits only touched keys and the merge keeps
@@ -860,6 +881,78 @@ object TextOps extends QueryPack {
         |  min(quality) AS min_quality, max(quality) AS max_quality,
         |  round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6) AS corpus_share
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same integer-exact rule thresholds: no division anywhere, so a
+    // boundary document cannot flip between engines.
+    "tx_gopher_rules" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_sym,
+        |    CAST(len(list_distinct(list_filter(toks, x -> x IN ($stop)))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  (n_tokens >= 50 AND n_tokens <= 100000) AS r_tokens,
+        |  (sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10) AS r_word_len,
+        |  (n_alpha * 5 >= n_tokens * 4) AS r_alpha,
+        |  (n_sym * 10 <= len) AS r_symbol,
+        |  (n_stop >= 2) AS r_stop,
+        |  ((n_tokens >= 50 AND n_tokens <= 100000)
+        |   AND (sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10)
+        |   AND (n_alpha * 5 >= n_tokens * 4)
+        |   AND (n_sym * 10 <= len)
+        |   AND (n_stop >= 2)) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Same factoring as the Spark side: bigram counts, per-prefix rollup
+    // from the bigram table, per-term -ln p through DECIMAL(30,10) before
+    // the order-independent sum (the tx_unigram_logprob discipline).
+    "tx_bigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2) z),
+        |bg AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cp FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(-ln(CAST(cb AS DOUBLE) / cp) AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM p JOIN bg USING (w1, w2) JOIN cx USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same seed-41 hash family, same cumulative 98/1/1 cut points.
+    "sp4_split" ->
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN ${mh(41, "CAST(doc_id AS VARCHAR)")} % 10000 < 9800 THEN 'train'
+        |       WHEN ${mh(41, "CAST(doc_id AS VARCHAR)")} % 10000 < 9900 THEN 'val'
+        |       ELSE 'test' END AS subset
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same per-shard prefix sum over (shard, doc_id) order; // and % are
+    // exact integer ops in both engines.
+    "tp1_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(start_tok // 2048 AS BIGINT) AS seq_id,
+        |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // The update-mode upsert drain must converge to the identical batch
     // dedup, no matter how the corpus was micro-batched.

@@ -36,6 +36,29 @@ object Vectors extends QueryPack {
         nprobe = 2)
     }),
 
+    // ANN evaluation: recall@5 of the sign-LSH path against the exact
+    // brute-force ranking, per query — the "measure the approximation,
+    // don't guess" harness a pipeline must run before trusting an ANN
+    // index at scale. Composes the two paths above; both sides ship
+    // (q_id, vec_id) sets and the recall is one bounded join + rollup.
+    "sim_lsh_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.signLshTopK(e, q, k = 5, signBits = 8)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
@@ -130,6 +153,32 @@ object Vectors extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Both rankings rebuilt with the same CTE machinery as their own
+    // oracles, intersected per query; left join keeps 0-hit queries.
+    "sim_lsh_recall" ->
+      s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |bscored AS (
+        |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
+        |b AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) t WHERE rank <= 5),
+        |lb AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
+        |lq AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM lb WHERE vec_id % 100 = 0),
+        |lscored AS (
+        |  SELECT lq.q_id, e.vec_id, ${cos("lq.q_emb", "e.embedding")} AS sim
+        |  FROM lb e JOIN lq USING (bucket) WHERE e.vec_id != lq.q_id),
+        |l AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM lscored) t WHERE rank <= 5),
+        |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN l USING (q_id, vec_id) GROUP BY 1),
+        |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+        |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
+        |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
 
     "sim_cosine_dedup" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -315,6 +315,81 @@ class OpsSpec extends SparkSpec {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("gopher rules: clean doc keeps; short doc and symbol floods flagged") {
+    val clean = "the and " + (1 to 58).map(i => s"word$i").mkString(" ")
+    val symbols = "the and " + (1 to 58).map(_ => "@@@@@").mkString(" ")
+    val in = Seq((1L, clean), (2L, "short text here"), (3L, symbols))
+      .toDF("doc_id", "text")
+    val got = rows(TextAnalysis.gopherRules(in))
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("r_tokens") && !got(2L).getAs[Boolean]("keep"))
+    assert(!got(3L).getAs[Boolean]("r_alpha") && !got(3L).getAs[Boolean]("r_symbol"))
+  }
+
+  test("bigram logprob: corpus-conditional probabilities, exact rounding") {
+    // corpus bigrams: (x,y):2 (y,x):1 (x,z):1; prefix totals: x:3, y:1
+    val in = Seq((1L, "x y x y"), (2L, "x z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = rows(TextAnalysis.bigramLogProb(in))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    // doc 1: (-ln(2/3) + -ln(1/1) + -ln(2/3)) / 3
+    assert(got(1L) == ((3L, 0.27031)))
+    // doc 2: -ln(1/3)
+    assert(got(2L) == ((1L, 1.098612)))
+    assert(!got.contains(3L)) // single-token doc has no bigram
+  }
+
+  test("hash split: total partition, ~98/1/1, pure function of the id") {
+    import graft.ops.{Dedup, Sampling}
+    val in = (1L to 1000L).toDF("doc_id")
+    val got = rows(Sampling.hashSplit(in, "doc_id"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("subset")).toMap
+    assert(got.size == 1000)
+    val byName = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName("train") > 900 && byName.values.sum == 1000)
+    // the assignment is the documented pure function of the id hash
+    for (id <- Seq(1L, 500L, 999L)) {
+      val b = Dedup.seededHashJvm(41, id.toString) % 10000L
+      val expect = if (b < 9800) "train" else if (b < 9900) "val" else "test"
+      assert(got(id) == expect, s"id $id bucket $b")
+    }
+  }
+
+  test("sequence pack: per-shard prefix sums assign windows and offsets") {
+    val in = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" "), "en"), // start 0
+      (2L, "a b c", "en"),                                 // start 5
+      (3L, "x y", "de")                                    // start 0, own shard
+    ).toDF("doc_id", "text", "lang")
+    val got = rows(graft.ops.Packing.sequencePack(in, ctxTokens = 4))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((1L, 1L))) // starts at token 5 = window 1, offset 1
+    assert(got(3L) == ((0L, 0L))) // shards pack independently
+  }
+
+  test("retention: epoch-week cohorts, offsets count returning users") {
+    val week = 604800L * 1000L // ms
+    def ts(wk: Long, off: Long) = new java.sql.Timestamp(wk * week + off)
+    val ev = Seq(
+      (100L, ts(2800, 1000L)), (100L, ts(2801, 5000L)), // cohort 2800, returns
+      (200L, ts(2800, 2000L)),                          // cohort 2800, one week
+      (300L, ts(2801, 0L)), (300L, ts(2803, 9L))        // cohort 2801, skips one
+    ).toDF("user_id", "ts")
+    val got = rows(EventWindows.retention(ev))
+      .map(r => (r.getAs[Long]("cohort_wk"), r.getAs[Long]("week_offset")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("cohort_users"),
+          r.getAs[Double]("retention"))).toMap
+    assert(got((2800L, 0L)) == ((2L, 2L, 1.0)))
+    assert(got((2800L, 1L)) == ((1L, 2L, 0.5)))
+    assert(got((2801L, 0L)) == ((1L, 1L, 1.0)))
+    assert(got((2801L, 2L)) == ((1L, 1L, 1.0)))
+    assert(!got.contains((2801L, 1L)))
+  }
+
   private lazy val events = Seq(
     // user 100: two sessions split by a 45-min gap
     (1L, "2024-01-01 10:00:00", 100L, "click", 1.0),

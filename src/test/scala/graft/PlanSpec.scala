@@ -277,6 +277,52 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("gopher rules and hash split are pure map-side passes") {
+    for (q <- Seq("tx_gopher_rules", "sp4_split")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q is no longer map-only\n${p.take(600)}")
+    }
+  }
+
+  test("sequence packing: one per-shard window, no join, no global sort " +
+       "before the prefix sum") {
+    val p = plan("tp1_sequence_pack")
+    assert(!p.contains("Join"))
+    // formatted explain names each node twice: exactly one Window node
+    assert(p.split("\\bWindow\\b").length - 1 <= 2,
+      s"extra window crept into sequence packing\n${p.take(600)}")
+    // the prefix sum partitions by shard — hashpartitioning, not a global
+    // range partitioning of the corpus
+    val details = p.linesIterator.filter(_.contains("Arguments")).mkString("\n")
+    assert(p.contains("hashpartitioning"),
+      s"per-shard window lost its hash partitioning\n$details")
+  }
+
+  test("retention aggregates partially; only (user, week) pairs shuffle") {
+    val p = plan("ev_retention")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "retention lost map-side partial aggregation")
+  }
+
+  test("bigram logprob joins on bigram keys, never cartesian") {
+    val p = plan("tx_bigram_logprob")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // formatted explain puts equi-join keys on "Left/Right keys" detail lines
+    val keyLines = p.linesIterator.filter(_.contains("keys")).mkString("\n")
+    assert(keyLines.contains("w1#"), s"join not keyed on bigram prefix:\n$keyLines")
+  }
+
+  test("lsh recall composes the two rankings without a cartesian blow-up") {
+    val p = plan("sim_lsh_recall")
+    // brute force's =!= join is an intended broadcast nested loop of a
+    // BOUNDED query set; an unbounded CartesianProduct is not
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
