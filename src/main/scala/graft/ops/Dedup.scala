@@ -652,6 +652,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Doc-in-doc containment over a DISTINCT (doc_id, gh) gram table:
+    * C(a,b) = |G_a ∩ G_b| / min(|G_a|, |G_b|) — the asymmetric-size
+    * near-dup measure Jaccard blocking can never catch (a 100-token quote
+    * inside a 10k-token page has J ≈ 0.01 but C ≈ 1). Pairs are generated
+    * by an equi-join on the gram hash itself, made safe by the standard
+    * frequent-shingle cut: grams with document frequency > maxDf are
+    * boilerplate (navigation chrome, licenses) and are dropped BEFORE pair
+    * generation, so the join fans out at most maxDf² per distinct gram —
+    * never the df² of a corpus-wide stop-gram. Grams with df = 1 can't
+    * produce a pair and are cut in the same pass. |G| counts KEPT grams
+    * (post-cut), keeping the ratio self-consistent with the pair counts.
+    *
+    * Shape at scale: one df partial-agg per distinct gram, one hash
+    * equi-join of the df-bounded gram table with itself, one (a,b)
+    * partial-agg count, two bounded joins back to per-doc sizes. Every
+    * shuffle is hash-keyed; nothing is quadratic in documents. */
+  def gramContainment(grams: DataFrame, maxDf: Long = 64,
+                      threshold: Double = 0.6): DataFrame = {
+    val dfTab = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val kept = grams.join(dfTab.select(col("gh")), "gh")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+    val shared = kept.as("x").join(kept.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val containment = round(col("n_shared").cast("double") /
+      least(col("ng_a"), col("ng_b")).cast("double"), 6)
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), "doc_b")
+      .filter(containment >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        containment.as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Chunk-level exact dedup — the C4/RefinedWeb "line dedup" pass
     * re-expressed over fixed-size token chunks (the synthetic corpus has no
     * newlines; on real data the splitter is `split(text, '\n')` and nothing

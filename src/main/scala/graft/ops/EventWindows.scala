@@ -96,6 +96,64 @@ object EventWindows {
       .orderBy(col("cohort_wk"), col("week_offset"))
   }
 
+  /** Traffic-spike detection over epoch-aligned minute buckets: a bucket is
+    * a spike when its event count exceeds 2× the average of the `trailing`
+    * preceding ACTIVE buckets of the same type — written integer-exact
+    * (n > 2·(Σ trailing)/trailing ⟺ n·trailing > 2·Σ, no division), so no
+    * engine can disagree on a boundary bucket. Buckets with no events don't exist in the series;
+    * the trailing frame therefore spans the last `trailing` OBSERVED
+    * buckets (the conservative choice for bursty low-volume types — a
+    * quiet gap never dilutes the baseline), and the first `trailing`
+    * buckets of each type emit no verdict (trail_k guard).
+    *
+    * Shape at scale: the only event-level shuffle is the (type, bucket)
+    * partial-agg count — everything after runs over |types|·|buckets|
+    * rows, and the per-type window sorts those tiny series, never raw
+    * events. A hot type with millions of events per bucket costs the same
+    * as a cold one. */
+  def spikes(events: DataFrame, bucketMin: Int = 60, trailing: Int = 4): DataFrame = {
+    val bucketUs = bucketMin.toLong * 60L * 1000000L
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    // tsUs - pmod is exactly divisible, so the double division is exact
+    val bk = ((tsUs - pmod(tsUs, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val counts = events.groupBy(col("event_type"), bk.as("bk"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bk"))
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("trail_n", sum(col("n")).over(w))
+      .withColumn("trail_k", count(lit(1)).over(w))
+      .filter(col("trail_k") === trailing)
+      .select(col("event_type"), col("bk"), col("n"), col("trail_n"),
+        (col("n") * trailing > col("trail_n") * 2L).as("spike"))
+      .orderBy(col("event_type"), col("bk"))
+  }
+
+  /** Per-user event-type Shannon entropy — the behavioral-diversity score
+    * (bot/script accounts hammer one event type; organic users spread):
+    * H = ln N − (Σ c·ln c)/N over the user's per-type counts c. Each
+    * c·ln c is a deterministic double (same libm value in both engines —
+    * the tx_unigram_logprob precedent), cast to DECIMAL(30,10) before the
+    * sum so partial aggregation order can't move the 6-dp result.
+    *
+    * Shape at scale: two partial-agg groupBys — (user, type) counts, then
+    * per-user rollup; state per user is |types| rows, independent of the
+    * user's event volume. */
+  def typeEntropy(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum((col("c").cast("double") * log(col("c").cast("double")))
+              .cast(DecimalType(30, 10))).cast("double") /
+              sum(col("c")).cast("double"), 6).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
   /** Ordered conversion funnel: per user, the first `stages(0)` event, the
     * first `stages(1)` event STRICTLY after it, and so on — the
     * product-analytics "viewed, then clicked, then purchased, in that

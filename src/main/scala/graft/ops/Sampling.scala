@@ -79,6 +79,34 @@ object Sampling {
     df.withColumn("subset", subset)
   }
 
+  /** Temperature-scaled mixture weights (α = 0.5) — the multilingual /
+    * multi-source rebalancing rule (sample stratum s with probability
+    * ∝ n_s^α): w_s = √n_s / Σ√n_t, plus an integer document quota against
+    * a total budget. α is FIXED at 0.5 because IEEE sqrt is correctly
+    * rounded — both engines produce the identical double — where pow(x, α)
+    * carries no such guarantee; quotas use floor (exact), not round
+    * (HALF_UP vs banker's disagreement at ties). Each √n is cast to
+    * DECIMAL(30,10) before the normalizer sum so partial-aggregation order
+    * can't move the result.
+    *
+    * Shape at scale: one partial-agg count per stratum (|strata| rows) and
+    * a broadcast one-row normalizer — the corpus is scanned once and never
+    * shuffled. */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+                         budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val z = counts.agg(
+      sum(sqrt(col("n_docs").cast("double")).cast(DecimalType(30, 10)))
+        .as("__z"))
+    val weight = sqrt(col("n_docs").cast("double")) / col("__z").cast("double")
+    counts.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"),
+        round(weight, 6).as("weight"),
+        floor(weight * budget).cast("long").as("quota"))
+      .orderBy(col(strataCol))
+  }
+
   /** Domain-mix resampling: downsample every stratum (source/domain/lang)
     * toward an EQUAL share of the corpus — the "don't let one crawl
     * dominate the mixture" pass of a training-data pipeline. A stratum

@@ -52,6 +52,80 @@ object Analytics extends QueryPack {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // TPC-H Q5 shape: revenue per nation within one region, where the
+    // SUPPLIER and the CUSTOMER share the nation — the classic cyclic-join
+    // benchmark query. The region filter semi-reduces nation -> supplier
+    // BEFORE any fact row moves (the dims broadcast), so lineitem is cut to
+    // the region's suppliers map-side; the only big shuffle is
+    // lineitem⋈orders on orderkey. At 100 TB customer stops broadcasting
+    // and AQE picks the shuffle join — the plan shape survives.
+    "q5_region_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      val o = table(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val c = table(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      val sup = table(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+      val n = table(s, dir, "nation")
+        .select($"n_nationkey", $"n_regionkey", $"n_name")
+      val r = table(s, dir, "region").filter($"r_name" === "ASIA")
+        .select($"r_regionkey")
+      val asiaSup = sup
+        .join(broadcast(n.join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+      li.join(broadcast(asiaSup), $"l_suppkey" === $"s_suppkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c),
+          $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"n_name")
+    }),
+
+    // Whole-partition frame semantics: first/last/nth over UNBOUNDED
+    // PRECEDING..UNBOUNDED FOLLOWING (last_value under the default frame is
+    // the running last — the classic off-by-a-frame bug this query pins).
+    "w4_first_last" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_orderkey").over(w).as("first_key"),
+          last($"o_orderkey").over(w).as("last_key"),
+          nth_value($"o_orderkey", 2).over(w).as("second_key"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Pearson correlation per group, decimal-exact: the five sums
+    // accumulate as DECIMAL(30,10) (order-independent), the closed-form
+    // combines them in doubles (every op IEEE-deterministic, sqrt
+    // correctly rounded) — built-in corr() uses a streaming co-moment
+    // update whose float order differs between engines, so the closed form
+    // over exact sums is the only hash-matchable formulation.
+    "st2_corr" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(30, 10)
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(d)).cast(DoubleType).as("sx"),
+          sum($"l_extendedprice".cast(d)).cast(DoubleType).as("sy"),
+          sum(($"l_quantity" * $"l_extendedprice").cast(d)).cast(DoubleType).as("sxy"),
+          sum(($"l_quantity" * $"l_quantity").cast(d)).cast(DoubleType).as("sxx"),
+          sum(($"l_extendedprice" * $"l_extendedprice").cast(d)).cast(DoubleType).as("syy"))
+        .select($"l_returnflag", $"n",
+          round(($"n".cast(DoubleType) * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx") *
+             sqrt($"n".cast(DoubleType) * $"syy" - $"sy" * $"sy")), 6)
+            .as("corr_qty_price"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Hierarchical rollup over the star join: region -> nation -> total.
     "r1_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -227,6 +301,46 @@ object Analytics extends QueryPack {
         |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |    o_orderdate) AS BIGINT) AS gap_days
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "w4_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // Identical operand order to the Spark closed form — (n·sxy − sx·sy) /
+    // (sqrt(n·sxx − sx²)·sqrt(n·syy − sy²)) — over the same decimal sums.
+    "st2_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "r1_rollup" ->
       """SELECT r_name, n_name,

@@ -264,6 +264,18 @@ object Events extends QueryPack {
     "ev_retention" -> ((s, dir) =>
       graft.ops.EventWindows.retention(table(s, dir, "events"))),
 
+    // Traffic-spike detection: hour buckets vs 2× the trailing-4-bucket
+    // average, integer-exact rule; only the (type, bucket) count sees
+    // event-level data.
+    "ev_spike" -> ((s, dir) =>
+      graft.ops.EventWindows.spikes(table(s, dir, "events"),
+        bucketMin = 60, trailing = 4)),
+
+    // Behavioral diversity: per-user Shannon entropy over event-type
+    // counts (bots hammer one type; organic users spread).
+    "ev_entropy" -> ((s, dir) =>
+      graft.ops.EventWindows.typeEntropy(table(s, dir, "events"))),
+
     // Semi-structured props: JSON field extraction + aggregation (the
     // API-source JSON surface, S3 family, applied to an event stream).
     "ev_props_json" -> ((s, dir) => {
@@ -461,6 +473,39 @@ object Events extends QueryPack {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
         |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
         |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
+
+    // Hour buckets by the same epoch-floor integer arithmetic; the trailing
+    // frame spans the last 4 OBSERVED buckets (rows, not ranges) and the
+    // first 4 buckets of each type emit no verdict; the spike rule is
+    // division-free (n·4 > 2·Σ).
+    "ev_spike" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bk
+        |  FROM events),
+        |c AS (SELECT event_type, bk, count(*) AS n FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bk, n,
+        |    CAST(sum(n) OVER t AS BIGINT) AS trail_n,
+        |    count(*) OVER t AS trail_k
+        |  FROM c
+        |  WINDOW t AS (PARTITION BY event_type ORDER BY bk
+        |    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bk, n, trail_n, (n * 4 > trail_n * 2) AS spike
+        |FROM w WHERE trail_k = 4 ORDER BY event_type, bk""".stripMargin,
+
+    // H = ln N − (Σ c·ln c)/N; each c·ln c is the identical libm double in
+    // both engines (the tx_unigram_logprob precedent), DECIMAL(30,10)-cast
+    // before the sum so partial-agg order can't move the 6-dp result.
+    "ev_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  count(*) AS n_types,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) -
+        |    CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ev_props_json" ->
       """SELECT event_type,

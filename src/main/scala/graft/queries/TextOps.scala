@@ -482,6 +482,17 @@ object TextOps extends QueryPack {
       Dedup.incrementalLshFromBuckets(sigs.filter(col("doc_id") % 5 === 0),
         stagedCorpusBands(s, dir))
     }),
+    // Doc-in-doc containment (|shared| / min(|G_a|,|G_b|)) over the shared
+    // staged gram table — the asymmetric-size near-dup cut Jaccard blocking
+    // can't see; stop-grams (df > 64) and singletons cut before pairing.
+    "dd_containment" -> ((s, dir) =>
+      Dedup.gramContainment(stagedGramHashes(s, dir), maxDf = 64,
+        threshold = 0.6)),
+    // Temperature-scaled (α = 0.5) source mixture weights + integer quotas
+    // against a 10k-document budget — the multilingual rebalancing rule.
+    "sp5_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureWeights(table(s, dir, "documents"),
+        strataCol = "source", budget = 10000L)),
     // Domain-mix resampling: every source capped at an equal corpus share,
     // exact-integer keep rule (no float rounding anywhere).
     "sp2_domain_mix" -> ((s, dir) => {
@@ -786,6 +797,41 @@ object TextOps extends QueryPack {
     "dd_bloom_decontaminate" -> bloomOracle,
     "dd_bloom_confirmed" -> decontaminateOracle,
     "dd_incremental_lsh" -> incrementalLshOracle,
+
+    // Same 4-gram/seed-23 hashing as the decontamination CTEs, over the
+    // whole corpus; df cut (2..64) before pairing; the rounded containment
+    // is what the threshold compares (Spark filters the rounded column).
+    "dd_containment" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, ${mh(23, "array_to_string(toks[i:i+3], ' ')")} AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+        |        FROM t WHERE len(toks) >= 4) z),
+        |dfc AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2 AND count(*) <= 64),
+        |k AS (SELECT g.doc_id, g.gh FROM g JOIN dfc USING (gh)),
+        |sz AS (SELECT doc_id, count(*) AS ng FROM k GROUP BY doc_id),
+        |p AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM k x JOIN k y ON x.gh = y.gh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / least(sa.ng, sb.ng), 6) AS containment
+        |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+        |       JOIN sz sb ON p.doc_b = sb.doc_id
+        |WHERE round(CAST(n_shared AS DOUBLE) / least(sa.ng, sb.ng), 6) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // √n is IEEE-correctly-rounded (identical doubles in both engines);
+    // the normalizer sums DECIMAL(30,10)-cast terms; quotas use floor.
+    "sp5_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |z AS (SELECT sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,10))) AS z FROM c)
+        |SELECT source, n_docs,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / CAST(z.z AS DOUBLE), 6) AS weight,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / CAST(z.z AS DOUBLE) * 10000) AS BIGINT) AS quota
+        |FROM c CROSS JOIN z ORDER BY source""".stripMargin,
 
     // Same (hash, doc_id) rank, same seed-31 hash family.
     "sp3_reservoir" ->

@@ -78,6 +78,24 @@ object Vectors extends QueryPack {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // Per-dimension distribution profile of the QUANTIZED embeddings — the
+    // calibration check a pipeline runs before shipping an int8 index
+    // (a dimension pinned at ±127 or all-zero means the symmetric scale is
+    // wrong for it). Integer-exact end to end: counts, min/max, zero
+    // counts, and an exact-integer-sum mean. One explode + one partial-agg
+    // groupBy over |dims| keys; no shuffle sees vector-level data twice.
+    "emb_dim_stats" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.vecQuantize
+      table(s, dir, "embeddings")
+        .select(posexplode(vecQuantize(col("embedding"))).as(Seq("dim", "q")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"),
+          sum(when(col("q") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          round(sum(col("q")).cast("double") / count(lit(1)), 6).as("mean_q"))
+        .orderBy(col("dim"))
+    }),
+
     // Multimodal metadata decode (stub decoder — deterministic arithmetic
     // over the payload bytes, so it IS oracle-checkable).
     "mm_decode_meta" -> ((s, dir) =>
@@ -205,6 +223,28 @@ object Vectors extends QueryPack {
         |SELECT vec_id, max_abs,
         |  unnest(range(len(q))) AS dim, unnest(q) AS q
         |FROM qv ORDER BY vec_id, dim""".stripMargin,
+
+    // Same quantization CTE as emb_quantize (scale factored x·(127/mx)),
+    // rolled up per dimension with integer-exact aggregates.
+    "emb_dim_stats" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT)) END AS q
+        |  FROM m),
+        |e AS (
+        |  SELECT CAST(unnest(range(len(q))) AS BIGINT) AS dim, unnest(q) AS q
+        |  FROM qv)
+        |SELECT dim, count(*) AS n, min(q) AS min_q, max(q) AS max_q,
+        |  CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_q
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (

@@ -573,6 +573,81 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_.getAs[Long]("channels") == 3L))
   }
 
+  test("spikes: 2x-trailing-average rule, full-history guard, per type") {
+    // type A: four quiet hours then a 3x burst -> spike; type B never has
+    // 4 prior buckets -> no verdict rows at all
+    val rows_ = (0 until 4).map(h => (h.toLong, f"2024-01-01 0$h:30:00", 1L, "A", 0.0)) ++
+      Seq((10L, "2024-01-01 04:10:00", 1L, "A", 0.0),
+          (11L, "2024-01-01 04:20:00", 1L, "A", 0.0),
+          (12L, "2024-01-01 04:40:00", 1L, "A", 0.0),
+          (20L, "2024-01-01 00:00:00", 2L, "B", 0.0))
+    val ev = rows_.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val got = rows(EventWindows.spikes(ev, bucketMin = 60, trailing = 4))
+    assert(got.length == 1)                       // only A's 5th bucket judged
+    val r = got.head
+    assert(r.getAs[String]("event_type") == "A" && r.getAs[Long]("n") == 3L &&
+      r.getAs[Long]("trail_n") == 4L && r.getAs[Boolean]("spike")) // 3*4 > 4*2
+    // exactly at 2x the average is NOT a spike: counts 1,1,1,1 then 2
+    val flat = ((0 until 4).map(h => (h.toLong, f"2024-01-01 0$h:00:00")) ++
+      Seq((8L, "2024-01-01 04:00:00"), (9L, "2024-01-01 04:30:00")))
+      .map { case (id, t) => (id, t, 1L, "A", 0.0) }
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    assert(!rows(EventWindows.spikes(flat, 60, 4)).head.getAs[Boolean]("spike"))
+  }
+
+  test("typeEntropy: uniform spread maxes, single type zeroes") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:02:00", 2L, "a", 0.0),
+      (4L, "2024-01-01 10:03:00", 2L, "a", 0.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val got = rows(EventWindows.typeEntropy(ev))
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("entropy")).toMap
+    assert(math.abs(got(1L) - math.log(2.0)) < 1e-6) // two types, 1 each
+    assert(got(2L) == 0.0)                           // one type only
+  }
+
+  test("temperatureWeights: sqrt flattening, weights sum to ~1, floor quotas") {
+    val d = (1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small"))
+    val got = rows(graft.ops.Sampling.temperatureWeights(
+      d.toDF("doc_id", "source"), "source", budget = 1000L))
+    val w = got.map(r => r.getAs[String]("source") ->
+      (r.getAs[Double]("weight"), r.getAs[Long]("quota"))).toMap
+    // raw share 90% flattens to sqrt(90)/(sqrt(90)+sqrt(10)) = 75%
+    assert(math.abs(w("big")._1 - 0.75) < 1e-6)
+    assert(math.abs(w("big")._1 + w("small")._1 - 1.0) < 1e-5)
+    // floor never over-allocates: the exact ratios sit a hair under .75/.25
+    // (the normalizer's 10-dp decimal rounding), so quotas land at 749/249
+    assert(w("big")._2 == 749L && w("small")._2 == 249L)
+    assert(got.map(_.getAs[Long]("quota")).sum <= 1000L)
+  }
+
+  test("gramContainment: quote-in-page caught, stop-grams cut, df=1 can't pair") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val page = quote + " " + (1 to 40).map(i => s"p$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, quote), (2L, page), (3L, other)).toDF("doc_id", "text")
+    val grams = Dedup.gramHashes(d, n = 4).distinct()
+    val got = rows(Dedup.gramContainment(grams, maxDf = 64, threshold = 0.6))
+    assert(got.length == 1)
+    val r = got.head
+    // every kept gram of the quote is inside the page: containment = 1
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L &&
+      r.getAs[Double]("containment") == 1.0)
+    // a gram shared by EVERY doc is boilerplate: with maxDf = 2 nothing
+    // clears the cut between quote and page if all their shared grams
+    // appear in 3 docs
+    val boiler = "common one two three"
+    val d2 = Seq((1L, s"$boiler a b"), (2L, s"$boiler c d"), (3L, s"$boiler e f"))
+      .toDF("doc_id", "text")
+    val g2 = Dedup.gramHashes(d2, n = 4).distinct()
+    assert(rows(Dedup.gramContainment(g2, maxDf = 2, threshold = 0.1)).isEmpty)
+  }
+
   test("multimodal frame sample strides over fake frames; resize preserves ratio") {
     val d = Seq((1L, "x" * 100)).toDF("doc_id", "text")   // 100 bytes -> 7 frames
     val frames = rows(Multimodal.frameSample(d, stride = 2))

@@ -323,6 +323,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("q5: dims broadcast; no cartesian; fact aggregation is partial") {
+    val p = plan("q5_region_revenue")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("spike + entropy: event-level data only shuffles through partial aggs") {
+    for (q <- Seq("ev_spike", "ev_entropy")) {
+      val p = plan(q)
+      assert(p.split("HashAggregate").length - 1 >= 2, s"$q lost partial agg")
+      assert(!p.contains("Join"), s"$q grew a join over event rows")
+    }
+    // the spike window runs over (type, bucket) counts, not raw events:
+    // exactly one Window node (counted via its details-section header,
+    // "(n) Window", which appears once per node)
+    assert(plan("ev_spike").linesIterator
+      .count(_.matches("\\(\\d+\\) Window\\s*")) == 1)
+  }
+
+  test("containment: equi-joins on the gram hash, never cartesian") {
+    val p = plan("dd_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val keyLines = p.linesIterator.filter(_.contains("keys")).mkString("\n")
+    assert(keyLines.contains("gh#"), s"pair join not keyed on gram hash:\n$keyLines")
+  }
+
+  test("temperature weights broadcast the one-row normalizer") {
+    val p = plan("sp5_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "normalizer lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("corr + dim stats: one partial-aggregated pass, no interpreted lambdas") {
+    for (q <- Seq("st2_corr", "emb_dim_stats")) {
+      val p = plan(q)
+      assert(p.split("HashAggregate").length - 1 >= 2, s"$q lost partial agg")
+      assert(!p.contains("LambdaFunction"), s"$q fell back to interpreted HOFs")
+    }
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
