@@ -307,8 +307,13 @@ object TextAnalysis {
     *
     * Shape at scale: one explode into (doc, w₁, w₂); bigram counts and
     * their per-prefix rollup are partial-aggregated (shuffles bounded by
-    * the bigram vocabulary, not corpus tokens); the score join is keyed on
-    * the bigram, the rollup per doc is one partial agg. */
+    * the bigram vocabulary, not corpus tokens). The per-prefix totals are
+    * folded into the bigram table FIRST (a vocab-sized ⋈ vocab-sized join
+    * — the w₁-keyed stream there is bounded by the vocabulary, so a hot
+    * prefix like "the" skews a vocab row set, not the corpus), and the
+    * pair stream then meets ONE score table keyed on the full bigram —
+    * well-hashed keys, a single big-stream join instead of two, and no
+    * corpus-sized stream ever shuffles on the skewed prefix alone. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toks = split(F.normalizeText(lower(col("text"))), " ")
@@ -322,11 +327,13 @@ object TextAnalysis {
     // context totals roll up from the bigram counts (far fewer rows than
     // re-counting the pair stream)
     val ctx = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
-    val nll = -log(col("cb").cast("double") / col("cp"))
-    pairs.join(bg, Seq("w1", "w2")).join(ctx, Seq("w1"))
+    val scores = bg.join(ctx, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (-log(col("cb").cast("double") / col("cp"))).as("nll"))
+    pairs.join(scores, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(nll.cast(DecimalType(30, 10))).cast("double") /
+        round(sum(col("nll").cast(DecimalType(30, 10))).cast("double") /
           count(lit(1)), 6).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
