@@ -67,6 +67,32 @@ object AsOf {
         rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
 
+  /** Backward as-of join with a STALENESS BOUND — the feature-store read
+    * rule ("use the latest feature value, but never one older than N"):
+    * a carried match only counts when the right row lies within
+    * `toleranceSec` of the left row's time; staler matches are nulled
+    * exactly like merge_asof's `tolerance`. Same single-shuffle
+    * union-and-carry as `backward` — the bound is a map-side null-out
+    * AFTER the carry (zero extra shuffle), plus a surfaced
+    * `<prefix>staleness_us` column so pipelines can monitor feature lag.
+    * The right time column is always surfaced (it is what the bound
+    * tests); callers get it as `<prefix><rightTime>`. */
+  def backwardWithin(left: DataFrame, right: DataFrame, by: Seq[String],
+                     leftTime: String, rightTime: String, rightSeq: String,
+                     rightCols: Seq[String], toleranceSec: Long,
+                     prefix: String = "asof_"): DataFrame = {
+    val lcols = left.columns.toSeq
+    val carried = backward(left, right, by, leftTime, rightTime, rightSeq,
+      (rightCols :+ rightTime).distinct, prefix)
+    val lt = unix_micros(col(leftTime).cast("timestamp"))
+    val rt = unix_micros(col(prefix + rightTime).cast("timestamp"))
+    val fresh = rt.isNotNull && lt - rt <= toleranceSec * 1000000L
+    carried.select(lcols.map(col) ++
+      (rightCols :+ rightTime).distinct
+        .map(c => when(fresh, col(prefix + c)).as(prefix + c)) :+
+      when(fresh, lt - rt).as(prefix + "staleness_us"): _*)
+  }
+
   /** Forward as-of join: for every left row, the single EARLIEST right row
     * of the same key at or after the left row's time (the "next touch"
     * direction of pandas/polars merge_asof). Same union-and-carry shape as

@@ -629,12 +629,13 @@ object Dedup {
     bitmap
   }
 
-  /** Map-side membership probe of distinct (doc_id, gh) corpus grams
-    * against a prebuilt bitmap: the bitmap rides the closure as a literal
-    * long array (8 KB at 2¹⁶ bits), each gram tests three bits, and only
-    * the per-doc count aggregation moves data. */
-  def bloomProbe(corpusGrams: DataFrame, bitmap: Array[Long],
-                 mBits: Int = 1 << 16): DataFrame = {
+  /** The Bloom membership test as a pure map-side Column over a gram-hash
+    * column — true iff ALL THREE positions are set in the bitmap, which
+    * rides the closure as a literal long array (8 KB at 2¹⁶ bits). Public
+    * so STREAMING ingest can screen grams with the identical expression
+    * (a stateless filter — the decontamination-at-ingest shape). */
+  def bloomHit(gh: Column, bitmap: Array[Long],
+               mBits: Int = 1 << 16): Column = {
     requireM(mBits)
     require(bitmap.length == mBits / 64,
       s"bitmap has ${bitmap.length} words, expected ${mBits / 64}")
@@ -643,7 +644,15 @@ object Dedup {
       element_at(bm, shiftrightunsigned(pos, 6).cast("int") + 1)
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (pos % 64).cast("int"))) =!= 0L
-    val probe = positions(col("gh"), mBits).map(hit).reduce(_ && _)
+    positions(gh, mBits).map(hit).reduce(_ && _)
+  }
+
+  /** Map-side membership probe of distinct (doc_id, gh) corpus grams
+    * against a prebuilt bitmap: each gram tests three bits map-side, and
+    * only the per-doc count aggregation moves data. */
+  def bloomProbe(corpusGrams: DataFrame, bitmap: Array[Long],
+                 mBits: Int = 1 << 16): DataFrame = {
+    val probe = bloomHit(col("gh"), bitmap, mBits)
     corpusGrams
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -129,6 +129,23 @@ object EventWindows {
       .orderBy(col("event_type"), col("bk"))
   }
 
+  /** Top-k event types per tumbling window — the "what's trending right
+    * now" rollup. The rank runs over the (window, type) COUNTS, never raw
+    * events: the only event-level shuffle is the partial-agg count, and
+    * each window's ranking sorts at most |types| rows. Ties break on
+    * event_type so the cut is deterministic in any engine. */
+  def windowedTopK(events: DataFrame, sizeMin: Int, k: Int): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), s"$sizeMin minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val w = Window.partitionBy(col("win_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("win_start"), col("rk"))
+  }
+
   /** Per-user event-type Shannon entropy — the behavioral-diversity score
     * (bot/script accounts hammer one event type; organic users spread):
     * H = ln N − (Σ c·ln c)/N over the user's per-type counts c. Each

@@ -107,6 +107,25 @@ object Sampling {
       .orderBy(col(strataCol))
   }
 
+  /** Materialize a temperature mix: keep exactly min(quota_s, n_s)
+    * documents per stratum, where quota_s comes from temperatureWeights —
+    * the step that turns the α = 0.5 mixing weights into an actual
+    * resampled corpus. Selection is the deterministic reservoir rule
+    * (smallest (hash, id) first), so the kept set is a pure function of
+    * the data: re-runs, engines, and incremental batches agree.
+    *
+    * Shape at scale: the quota table is |strata| rows and broadcasts; the
+    * per-stratum rank is the same window topKByHash pays, with the same
+    * two-phase prefilter cut applying when strata outgrow memory. */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+                        budget: Long = 10000L, seed: Int = 31): DataFrame = {
+    val quotas = temperatureWeights(df, strataCol, budget)
+      .select(col(strataCol), col("quota"))
+    topKByHash(df, strataCol, idCol, k = Int.MaxValue, seed = seed)
+      .join(broadcast(quotas), strataCol)
+      .filter(col("rk") <= col("quota"))
+  }
+
   /** Domain-mix resampling: downsample every stratum (source/domain/lang)
     * toward an EQUAL share of the corpus — the "don't let one crawl
     * dominate the mixture" pass of a training-data pipeline. A stratum

@@ -84,6 +84,37 @@ object Analytics extends QueryPack {
         .orderBy($"n_name")
     }),
 
+    // TPC-H Q7 shape: bilateral trade flow between two nations by ship
+    // year — supplier in one, customer in the other, both directions. The
+    // nation filter semi-reduces BOTH dim sides before any fact row moves;
+    // lineitem is cut to the two nations' suppliers map-side.
+    "q7_trade_flow" -> ((s, dir) => {
+      import s.implicits._
+      val pair = Seq("NATION_1", "NATION_2")
+      val li = table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice",
+          $"l_discount", $"l_shipdate")
+      val o = table(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val n = table(s, dir, "nation")
+        .filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey", $"n_name")
+      val sn = table(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cn = table(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      li.join(broadcast(sn), $"l_suppkey" === $"s_suppkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cn), $"o_custkey" === $"c_custkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    }),
+
     // Whole-partition frame semantics: first/last/nth over UNBOUNDED
     // PRECEDING..UNBOUNDED FOLLOWING (last_value under the default frame is
     // the running last — the classic off-by-a-frame bug this query pins).
@@ -314,6 +345,22 @@ object Analytics extends QueryPack {
         |JOIN region   ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q7_trade_flow" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name != cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "w4_first_last" ->
       """SELECT o_custkey, o_orderkey,

@@ -264,6 +264,27 @@ object Events extends QueryPack {
     "ev_retention" -> ((s, dir) =>
       graft.ops.EventWindows.retention(table(s, dir, "events"))),
 
+    // As-of with a staleness bound (feature-store read rule): last click
+    // before each purchase, but only within 1 hour — staler matches null
+    // out, and the surfaced staleness_us is the feature-lag monitor.
+    "aj3_asof_tolerance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOf.backwardWithin(purchases, clicks, by = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightSeq = "event_id",
+        rightCols = Seq("event_id"), toleranceSec = 3600L, prefix = "click_")
+        .orderBy(col("event_id"))
+    }),
+
+    // Top-3 trending event types per hour window; the rank sees only the
+    // (window, type) counts, never raw events.
+    "ev_windowed_topk" -> ((s, dir) =>
+      graft.ops.EventWindows.windowedTopK(table(s, dir, "events"),
+        sizeMin = 60, k = 3)),
+
     // Traffic-spike detection: hour buckets vs 2× the trailing-4-bucket
     // average, integer-exact rule; only the (type, bucket) count sees
     // event-level data.
@@ -473,6 +494,51 @@ object Events extends QueryPack {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
         |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
         |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
+
+    // aj1's union-and-carry window plus the tolerance null-out: a carried
+    // match survives only within 3600s; staleness in exact microseconds.
+    "aj3_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS t, 1 AS side, CAST(NULL AS BIGINT) AS seq,
+        |         event_id, ts, CAST(NULL AS TIMESTAMP) AS r_ts,
+        |         CAST(NULL AS BIGINT) AS r_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, NULL, ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(r_ts IGNORE NULLS) OVER ord AS m_ts,
+        |    last_value(r_id IGNORE NULLS) OVER ord AS m_id
+        |  FROM u
+        |  WINDOW ord AS (PARTITION BY user_id
+        |    ORDER BY t, side, coalesce(seq, 9223372036854775807)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT event_id, user_id, ts, m_ts, m_id,
+        |    (m_ts IS NOT NULL AND
+        |     epoch_us(ts) - epoch_us(m_ts) <= 3600000000) AS fresh
+        |  FROM w WHERE side = 1)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN fresh THEN m_id END AS click_event_id,
+        |  CASE WHEN fresh THEN m_ts END AS click_ts,
+        |  CASE WHEN fresh THEN epoch_us(ts) - epoch_us(m_ts) END
+        |    AS click_staleness_us
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    // Same epoch-floor hour windows as ev_tumbling_window; rank ties break
+    // on event_type so the top-3 cut is engine-deterministic.
+    "ev_windowed_topk" ->
+      """WITH c AS (
+        |  SELECT make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600*1000000) AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY win_start ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT win_start, event_type, n, rk
+        |FROM r WHERE rk <= 3 ORDER BY win_start, rk""".stripMargin,
 
     // Hour buckets by the same epoch-floor integer arithmetic; the trailing
     // frame spans the last 4 OBSERVED buckets (rows, not ranges) and the

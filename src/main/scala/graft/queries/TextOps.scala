@@ -493,6 +493,43 @@ object TextOps extends QueryPack {
     "sp5_temperature" -> ((s, dir) =>
       graft.ops.Sampling.temperatureWeights(table(s, dir, "documents"),
         strataCol = "source", budget = 10000L)),
+    // Materialized temperature mix: the sp5 quotas applied — exactly
+    // min(quota, |source|) docs kept per source by the deterministic
+    // reservoir rule.
+    "sp6_quota_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sampling.temperatureSample(table(s, dir, "documents"),
+        strataCol = "source", idCol = "doc_id", budget = 200L)
+        .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+        .orderBy(col("doc_id"))
+    }),
+    // Decontamination AT INGEST: the benchmark bitmap broadcasts into the
+    // stream and every arriving gram probes it MAP-SIDE (a stateless
+    // filter — the screen-before-you-store shape); streaming state is the
+    // distinct (doc, gram, hit) set, drained and rolled up per doc. Must
+    // equal the batch Bloom probe exactly (same oracle) no matter how the
+    // corpus was micro-batched.
+    "dd_stream_decontaminate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = stagedDocStream(s, dir)
+      val bm = stagedBloomBitmap(s, dir)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+        .filter(col("doc_id") % 11 =!= 0)
+      val grams = Dedup.gramHashes(stream, n = 4)
+        .withColumn("hit", Dedup.bloomHit(col("gh"), bm))
+      val state = grams.groupBy(col("doc_id"), col("gh"))
+        .agg(max(col("hit")).as("hit"))
+      StreamOps.drainToTable(state,
+        s"dd_stream_decon$sf".replace(".", "_"), mode = "complete",
+        shufflePartitions = Some(8))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("contaminated", col("n_hits") > 0L)
+        .orderBy(col("doc_id"))
+    }),
     // Domain-mix resampling: every source capped at an equal corpus share,
     // exact-integer keep rule (no float rounding anywhere).
     "sp2_domain_mix" -> ((s, dir) => {
@@ -822,6 +859,26 @@ object TextOps extends QueryPack {
         |       JOIN sz sb ON p.doc_b = sb.doc_id
         |WHERE round(CAST(n_shared AS DOUBLE) / least(sa.ng, sb.ng), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // sp5's quota derivation + sp3's seed-31 reservoir rank, joined.
+    "sp6_quota_sample" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |z AS (SELECT sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,10))) AS z FROM c),
+        |q AS (
+        |  SELECT source,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / CAST(z.z AS DOUBLE) * 200) AS BIGINT) AS quota
+        |  FROM c CROSS JOIN z),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${mh(31, "CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.rk, q.quota
+        |FROM r JOIN q USING (source)
+        |WHERE r.rk <= q.quota ORDER BY r.doc_id""".stripMargin,
+
+    // The streaming Bloom probe must converge to the batch probe exactly.
+    "dd_stream_decontaminate" -> bloomOracle,
 
     // √n is IEEE-correctly-rounded (identical doubles in both engines);
     // the normalizer sums DECIMAL(30,10)-cast terms; quotas use floor.

@@ -648,6 +648,53 @@ class OpsSpec extends SparkSpec {
     assert(rows(Dedup.gramContainment(g2, maxDf = 2, threshold = 0.1)).isEmpty)
   }
 
+  test("backwardWithin: fresh match carried, stale match nulled, staleness exact") {
+    import graft.ops.AsOf
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (101L, 1L, t("2024-01-01 10:00:00")),  // right row 10 min before: fresh
+      (102L, 1L, t("2024-01-01 12:00:00")),  // latest right is 2h10m old: stale
+      (103L, 2L, t("2024-01-01 09:00:00")))  // no right rows at all
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((11L, 1L, t("2024-01-01 09:50:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = rows(AsOf.backwardWithin(left, right, by = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts", rightSeq = "event_id",
+      rightCols = Seq("event_id"), toleranceSec = 3600L, prefix = "m_")
+      .orderBy("event_id"))
+      .map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Long]("m_event_id")),
+        Option(r.getAs[java.lang.Long]("m_staleness_us"))))
+    assert(got == Seq(
+      (101L, Some(11L), Some(600L * 1000000L)),
+      (102L, None, None),
+      (103L, None, None)))
+  }
+
+  test("windowedTopK: per-window count ranking, deterministic tie-break, k cut") {
+    val ev = (1 to 3).map(i => (i.toLong, "2024-01-01 10:0%d:00".format(i), 1L, "a", 0.0)) ++
+      (4 to 5).map(i => (i.toLong, "2024-01-01 10:0%d:00".format(i), 1L, "b", 0.0)) ++
+      Seq((6L, "2024-01-01 10:06:00", 1L, "c", 0.0),
+          (7L, "2024-01-01 10:07:00", 1L, "d", 0.0))
+    val df = ev.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val got = rows(graft.ops.EventWindows.windowedTopK(df, sizeMin = 60, k = 3))
+    assert(got.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("rk"))) ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))  // c beats d on the name tie
+  }
+
+  test("temperatureSample: quota per stratum honored, small strata kept whole") {
+    val d = (1 to 96).map(i => (i.toLong, "big")) ++ (97 to 100).map(i => (i.toLong, "small"))
+    val got = rows(graft.ops.Sampling.temperatureSample(
+      d.toDF("doc_id", "source"), "source", "doc_id", budget = 20L))
+    val bySrc = got.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    // sqrt weights: big ~ 9.8/11.8 -> quota 16, small -> quota 3
+    assert(bySrc("big") == 16 && bySrc("small") == 3)
+    // kept set is the reservoir prefix: ranks are exactly 1..quota
+    assert(got.filter(_.getAs[String]("source") == "big")
+      .map(_.getAs[Long]("rk")).sorted == (1L to 16L))
+  }
+
   test("multimodal frame sample strides over fake frames; resize preserves ratio") {
     val d = Seq((1L, "x" * 100)).toDF("doc_id", "text")   // 100 bytes -> 7 frames
     val frames = rows(Multimodal.frameSample(d, stride = 2))

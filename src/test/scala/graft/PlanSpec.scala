@@ -367,6 +367,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q7: both nation-filtered dims broadcast; no cartesian") {
+    val p = plan("q7_trade_flow")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("windowed topk ranks over counts, not raw events") {
+    val p = plan("ev_windowed_topk")
+    // partial-agg count below; the single Window above it sorts per-window
+    // type counts only
+    assert(p.split("HashAggregate").length - 1 >= 2)
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window\\s*")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("quota sample broadcasts the quota table; rank is per-stratum") {
+    val p = plan("sp6_quota_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "quota table lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("as-of tolerance keeps the union-and-carry shape: a window, no join") {
+    val p = plan("aj3_asof_tolerance")
+    assert(!p.contains("Join"), "tolerance variant grew a join")
+    assert(p.contains("Window"))
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
