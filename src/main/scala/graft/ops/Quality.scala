@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Data-quality operators — the validation gate a pipeline runs before a
+  * table is admitted to a training corpus or a warehouse load: per-column
+  * profiles, rule-based expectations, and referential-integrity checks.
+  * The expectation style follows the public Deequ / Great Expectations
+  * model (declare rules, count violations, pass/fail per rule), re-derived
+  * on plain Spark aggregates.
+  *
+  * Scale notes: profile and expectations are ONE scan each — every metric
+  * is a partial aggregate, and the per-column/per-rule fan-out happens on
+  * the single aggregated row (an explode of |cols| structs, zero extra
+  * data movement). Exact per-column distinct counts are the one expensive
+  * leg (Spark plans multi-column countDistinct via Expand — rows × |cols|
+  * into one shuffle); at 100 TB swap `approx_count_distinct` when an
+  * estimate suffices — kept exact here so the DuckDB oracle can check it.
+  */
+object Quality {
+
+  /** One-pass numeric profile: (col_name, n_rows, n_null, n_distinct,
+    * min_v, max_v, mean_v) for each requested column. min/max/mean are
+    * cast to double (numeric columns only); mean uses the davg decimal
+    * discipline over non-null values. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast(DoubleType).as(s"__mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"__mx_$c"),
+        round(sum(col(c).cast(DecimalType(30, 10))).cast(DoubleType) /
+          count(col(c)), 6).as(s"__avg_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_v"), col(s"__mx_$c").as("max_v"),
+        col(s"__avg_$c").as("mean_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Rule-based expectations: each rule is (name, predicate); a row
+    * violates a rule when the predicate is NOT true (null counts as a
+    * violation — an unknown is not a pass). Emits (rule, n_rows,
+    * n_violations, pass), one row per rule, from a single scan. */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (n, c) =>
+      sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"__v_$n")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_$n").as("n_violations"),
+        (col(s"__v_$n") === 0L).as("pass"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy(col("rule"))
+  }
+
+  /** Referential-integrity check for one FK edge: how many child rows have
+    * no parent (a NULL fk counts as an orphan — it references nothing).
+    * Parent keys are made distinct first, so the join fans out at most
+    * once per child row; Catalyst broadcasts bounded parent key sets and
+    * falls back to a shuffle join when the parent is itself huge. */
+  def refCheck(relation: String, child: DataFrame, fk: String,
+               parent: DataFrame, pk: String): DataFrame = {
+    val p = parent.select(col(pk).as(fk)).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(fk)).join(p, Seq(fk), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_child"),
+        col("n_orphans"), (col("n_orphans") === 0L).as("ok"))
+  }
+}

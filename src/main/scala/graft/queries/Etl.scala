@@ -239,10 +239,97 @@ object Etl extends QueryPack {
       back.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Data-quality gate 1/3 — one-pass numeric profile of the fact table:
+    // null counts, exact distincts, min/max/mean per column, all from a
+    // single scan (the pre-load sanity dashboard).
+    "dq1_profile" -> ((s, dir) =>
+      graft.ops.Quality.profile(table(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // 2/3 — declared expectations with per-rule violation counts (the
+    // Deequ/Great-Expectations style gate), one scan for all rules.
+    "dq2_expectations" -> ((s, dir) =>
+      graft.ops.Quality.expectations(table(s, dir, "lineitem"), Seq(
+        "discount_range" -> col("l_discount").between(0, 0.1),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "qty_range" -> col("l_quantity").between(1, 50),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_present" -> col("l_shipdate").isNotNull))),
+
+    // 3/3 — referential integrity across the whole star: orphan counts
+    // per FK edge (a NULL fk counts as an orphan).
+    "dq3_referential" -> ((s, dir) => {
+      import graft.ops.Quality.refCheck
+      val li = table(s, dir, "lineitem"); val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer"); val sup = table(s, dir, "supplier")
+      val n = table(s, dir, "nation"); val r = table(s, dir, "region")
+      refCheck("customer.c_nationkey -> nation.n_nationkey",
+          c, "c_nationkey", n, "n_nationkey")
+        .unionByName(refCheck("lineitem.l_orderkey -> orders.o_orderkey",
+          li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(refCheck("lineitem.l_suppkey -> supplier.s_suppkey",
+          li, "l_suppkey", sup, "s_suppkey"))
+        .unionByName(refCheck("nation.n_regionkey -> region.r_regionkey",
+          n, "n_regionkey", r, "r_regionkey"))
+        .unionByName(refCheck("orders.o_custkey -> customer.c_custkey",
+          o, "o_custkey", c, "c_custkey"))
+        .orderBy(col("relation"))
     })
   )
 
+  /** One UNION ALL branch of the dq1 profile per column. */
+  private def profileBranch(c: String): String =
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  count(DISTINCT $c) AS n_distinct,
+      |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+      |  round(CAST(sum(CAST($c AS DECIMAL(30,10))) AS DOUBLE) / count($c), 6) AS mean_v
+      |FROM lineitem""".stripMargin
+
+  /** One UNION ALL branch of the dq2 expectations per (rule, SQL cond). */
+  private def ruleBranch(rule: String, cond: String): String =
+    s"""SELECT '$rule' AS rule, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN $cond THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+      |  (sum(CASE WHEN $cond THEN 0 ELSE 1 END) = 0) AS pass
+      |FROM lineitem""".stripMargin
+
+  /** One UNION ALL branch of the dq3 referential check per FK edge. */
+  private def refBranch(rel: String, child: String, fk: String,
+                        parent: String, pk: String): String =
+    s"""SELECT '$rel' AS relation, count(*) AS n_child,
+      |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+      |  (sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) = 0) AS ok
+      |FROM $child LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p
+      |  ON $fk = p.k""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dq1_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(profileBranch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "dq2_expectations" -> Seq(
+      ruleBranch("discount_range", "l_discount BETWEEN 0 AND 0.1"),
+      ruleBranch("price_positive", "l_extendedprice > 0"),
+      ruleBranch("qty_range", "l_quantity BETWEEN 1 AND 50"),
+      ruleBranch("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+      ruleBranch("shipdate_present", "l_shipdate IS NOT NULL"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rule"),
+
+    "dq3_referential" -> Seq(
+      refBranch("customer.c_nationkey -> nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"),
+      refBranch("lineitem.l_orderkey -> orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      refBranch("lineitem.l_suppkey -> supplier.s_suppkey",
+        "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      refBranch("nation.n_regionkey -> region.r_regionkey",
+        "nation", "n_regionkey", "region", "r_regionkey"),
+      refBranch("orders.o_custkey -> customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation"),
+
     "etl_csv_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 

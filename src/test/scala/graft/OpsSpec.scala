@@ -695,6 +695,41 @@ class OpsSpec extends SparkSpec {
       .map(_.getAs[Long]("rk")).sorted == (1L to 16L))
   }
 
+  test("quality profile: nulls, distincts, min/max/mean per column from one pass") {
+    val d = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, 2.0), (3L, 4.0), (4L, null))
+      .toDF("id", "v")
+    val got = rows(graft.ops.Quality.profile(d, Seq("id", "v")))
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val v = got("v")
+    assert(v.getAs[Long]("n_rows") == 4L && v.getAs[Long]("n_null") == 1L &&
+      v.getAs[Long]("n_distinct") == 2L && v.getAs[Double]("min_v") == 2.0 &&
+      v.getAs[Double]("max_v") == 4.0)
+    assert(math.abs(v.getAs[Double]("mean_v") - 8.0 / 3) < 1e-6)
+    assert(got("id").getAs[Long]("n_distinct") == 4L)
+  }
+
+  test("quality expectations: null predicate is a violation, pass iff zero") {
+    val d = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 0.5), (2L, 1.5), (3L, null)).toDF("id", "v")
+    val got = rows(graft.ops.Quality.expectations(d, Seq(
+      "v_low" -> ($"v" <= 1.0),       // 1.5 violates; null v violates
+      "id_pos" -> ($"id" > 0))))
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(got("v_low") == (2L, false))
+    assert(got("id_pos") == (0L, true))
+  }
+
+  test("refCheck: orphans counted, null fk is an orphan, dup parents don't fan out") {
+    val child = Seq[java.lang.Long](1L, 1L, 2L, null).toDF("fk")
+    val parent = Seq(1L, 1L, 3L).toDF("pk")  // pk 1 twice: must not double rows
+    val got = rows(graft.ops.Quality.refCheck("c->p", child, "fk", parent, "pk")).head
+    assert(got.getAs[Long]("n_child") == 4L)
+    assert(got.getAs[Long]("n_orphans") == 2L)  // fk=2 and fk=null
+    assert(!got.getAs[Boolean]("ok"))
+  }
+
   test("multimodal frame sample strides over fake frames; resize preserves ratio") {
     val d = Seq((1L, "x" * 100)).toDF("doc_id", "text")   // 100 bytes -> 7 frames
     val frames = rows(Multimodal.frameSample(d, stride = 2))

@@ -397,6 +397,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("dq profile + expectations: one scan each, partial-aggregated, no join") {
+    for (q <- Seq("dq1_profile", "dq2_expectations")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.matches("\\(\\d+\\) Scan parquet\\s*.*")) == 1,
+        s"$q scans more than once")
+      assert(p.split("HashAggregate").length - 1 >= 2, s"$q lost partial agg")
+      assert(!p.contains("Join"), s"$q grew a join")
+    }
+    // multi-column exact distinct goes through ONE Expand, not per-column scans
+    assert(plan("dq1_profile").contains("Expand"))
+  }
+
+  test("dq referential: equi-joins only, parent key sets deduped before the join") {
+    val p = plan("dq3_referential")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
