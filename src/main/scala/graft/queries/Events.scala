@@ -264,6 +264,16 @@ object Events extends QueryPack {
     "ev_retention" -> ((s, dir) =>
       graft.ops.EventWindows.retention(table(s, dir, "events"))),
 
+    // Distributed quantile estimates from the mergeable fixed-bin
+    // histogram (same sketch as ev_histogram): the cumulative window runs
+    // over |bins| rows — a constant set by sketch resolution — never the
+    // event data; error is bounded by the bin width.
+    "st3_hist_quantile" -> ((s, dir) =>
+      graft.ops.Sketch.histogramQuantiles(
+        graft.ops.Sketch.histogram(table(s, dir, "events"),
+          org.apache.spark.sql.functions.col("value"), width = 0.5),
+        width = 0.5, qs = Seq(0.5, 0.9, 0.99))),
+
     // As-of with a staleness bound (feature-store read rule): last click
     // before each purchase, but only within 1 hour — staler matches null
     // out, and the surfaced staleness_us is the feature-lag monitor.
@@ -494,6 +504,29 @@ object Events extends QueryPack {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
         |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
         |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
+
+    // ev_histogram's bins + a cumulative window + per-q interpolation in
+    // the unique containing bin (cum >= target > prev); identical IEEE
+    // double arithmetic over exact integer counts.
+    "st3_hist_quantile" -> {
+      val branches = Seq(0.5, 0.9, 0.99).map { q =>
+        s"""SELECT CAST($q AS DOUBLE) AS q,
+          |  round((bin + ($q * total - prev) / cnt) * 0.5, 6) AS est
+          |FROM p CROSS JOIN t
+          |WHERE cum >= $q * total AND prev < $q * total""".stripMargin
+      }
+      s"""WITH h AS (
+        |  SELECT CAST(floor("value" / 0.5) AS BIGINT) AS bin, count(*) AS cnt
+        |  FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT bin, cnt,
+        |    sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |p AS (SELECT bin, cnt, cum, cum - cnt AS prev FROM c),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM h)
+        |${branches.mkString("\nUNION ALL\n")}
+        |ORDER BY q""".stripMargin
+    },
 
     // aj1's union-and-carry window plus the tolerance null-out: a carried
     // match survives only within 3600s; staleness in exact microseconds.

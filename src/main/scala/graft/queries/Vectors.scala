@@ -78,6 +78,12 @@ object Vectors extends QueryPack {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // ANN-graph construction: every vector's top-3 cosine neighbors within
+    // its own IVF cell (√n-derived centroids) — the query-set-IS-the-corpus
+    // case where no broadcast side exists by definition.
+    "sim_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraphAuto(table(s, dir, "embeddings"), k = 3)),
+
     // Per-dimension distribution profile of the QUANTIZED embeddings — the
     // calibration check a pipeline runs before shipping an int8 index
     // (a dimension pinned at ±127 or all-zero means the symmetric scale is
@@ -223,6 +229,29 @@ object Vectors extends QueryPack {
         |SELECT vec_id, max_abs,
         |  unnest(range(len(q))) AS dim, unnest(q) AS q
         |FROM qv ORDER BY vec_id, dim""".stripMargin,
+
+    // sim_ivf_topk's cell-assignment CTE, self-joined within cells.
+    "sim_knn_graph" ->
+      s"""WITH ce AS (
+        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ce) = 0),
+        |ca AS (
+        |  SELECT vec_id, embedding, c_id FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS n_id,
+        |    ${cos("a.embedding", "b.embedding")} AS sim
+        |  FROM ca a JOIN ca b ON a.c_id = b.c_id AND a.vec_id != b.vec_id)
+        |SELECT vec_id, n_id, sim, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     // Same quantization CTE as emb_quantize (scale factored x·(127/mx)),
     // rolled up per dimension with integer-exact aggregates.

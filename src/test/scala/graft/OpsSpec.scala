@@ -730,6 +730,36 @@ class OpsSpec extends SparkSpec {
     assert(!got.getAs[Boolean]("ok"))
   }
 
+  test("histogramQuantiles: interpolation inside the containing bin, q=1 lands last") {
+    import graft.ops.Sketch
+    // values 0..9 at width 1: bins 0..9, one count each
+    val hist = Sketch.histogram((0 until 10).map(_.toDouble).toDF("v"), $"v", 1.0)
+    val got = rows(Sketch.histogramQuantiles(hist, 1.0, Seq(0.5, 1.0)))
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    // target 5.0 falls in bin 4 (cum 5 >= 5 > prev 4): est = 4 + (5-4)/1 = 5
+    assert(got(0.5) == 5.0)
+    assert(got(1.0) == 10.0)  // top of the last bin
+    // matches the driver-side helper bin-for-bin
+    assert(got(0.5) == Sketch.histogramQuantile(hist, 1.0, 0.5))
+  }
+
+  test("knnGraph: exact duplicates are mutual rank-1 neighbors in their cell") {
+    // 8 vectors, ids 0..7; ids 1 and 2 identical; every vec_id % every == 0
+    // forms the centroid set
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.1f)), (5L, Array(0.0f, 0.0f, 1.0f)),
+      (6L, Array(0.1f, 0.0f, 0.9f)), (7L, Array(0.5f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(graft.ops.Similarity.knnGraph(e, k = 1, centroidEvery = 3))
+      .map(r => r.getAs[Long]("vec_id") -> (r.getAs[Long]("n_id"), r.getAs[Double]("sim")))
+      .toMap
+    assert(got(1L) == (2L, 1.0) && got(2L) == (1L, 1.0))
+    // every vector with a cell-mate gets some neighbor; sims within [-1, 1]
+    assert(got.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
+  }
+
   test("multimodal frame sample strides over fake frames; resize preserves ratio") {
     val d = Seq((1L, "x" * 100)).toDF("doc_id", "text")   // 100 bytes -> 7 frames
     val frames = rows(Multimodal.frameSample(d, stride = 2))

@@ -415,6 +415,33 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("knn graph: packed-argmax assignment, no unbounded cartesian") {
+    val p = plan("sim_knn_graph")
+    // the centroid product is the intended bounded BNLJ (as in sim_ivf);
+    // the cell self-join must be an equi-join on c_id
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.split("HashAggregate").length - 1 >= 2, "assignment lost partial agg")
+  }
+
+  test("histogram quantiles: windows run over bins, events only feed the count agg") {
+    val p = plan("st3_hist_quantile")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("HashAggregate").length - 1 >= 2, "histogram lost partial agg")
+  }
+
+  test("rolling 30d: one range-frame window, no join") {
+    val p = plan("w5_rolling_30d")
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window\\s*")) == 1)
+    assert(!p.contains("Join"))
+    assert(p.contains("RangeFrame"), "frame degraded from RANGE to ROWS")
+  }
+
+  test("incremental agg: partial-agg merge, no join, no rescan of the base") {
+    val p = plan("etl_incremental_agg")
+    assert(!p.contains("Join"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
