@@ -22,7 +22,11 @@ object Sketch {
   /** Per-bucket max rank table: bucket = low log2(m) hash bits,
     * rho = (bits of w) - floor(log2(w)) for the remaining 60-log2(m) bits
     * (i.e. leading-zero count + 1; w = 0 -> full width + 1). */
-  def hllSketch(df: DataFrame, c: Column, m: Int = 64): DataFrame = {
+  /** The (bucket, rho) projection underlying hllSketch, exposed so the
+    * STREAMING twin runs the identical expressions as an unbounded
+    * aggregation: max and count are order-insensitive, so any
+    * micro-batching converges to the batch sketch exactly. */
+  def hllBucketRho(c: Column, m: Int = 64): (Column, Column) = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
     val wBits = 60 - bucketBits
@@ -30,8 +34,12 @@ object Sketch {
     val w = shiftright(h, bucketBits)
     val rho = when(w === 0L, lit(wBits + 1))
       .otherwise(lit(wBits) - (length(bin(w)) - 1)).cast("int")
-    df.select(h.bitwiseAND(lit((m - 1).toLong)).cast("int").as("bucket"),
-        rho.as("rho"))
+    (h.bitwiseAND(lit((m - 1).toLong)).cast("int"), rho)
+  }
+
+  def hllSketch(df: DataFrame, c: Column, m: Int = 64): DataFrame = {
+    val (bucket, rho) = hllBucketRho(c, m)
+    df.select(bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("bucket"))
       .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_items"))
       .orderBy(col("bucket"))

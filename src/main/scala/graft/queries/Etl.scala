@@ -241,6 +241,19 @@ object Etl extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // S1 family, third format: ORC round-trip — the columnar interchange
+    // format a warehouse migration hands you. Write preserves types
+    // exactly (no schema-on-read inference to re-cast), read back and
+    // project; the oracle is the source table itself.
+    "etl_orc_source" -> ((s, dir) => {
+      val path = tmp(dir, "supplier_orc")
+      table(s, dir, "supplier").write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Incremental aggregate maintenance (materialized-view refresh): the
     // stored table keeps MERGEABLE partials (decimal-exact sum + count)
     // for the base slice; a new batch's partials merge by key WITHOUT
@@ -330,6 +343,10 @@ object Etl extends QueryPack {
       |  ON $fk = p.k""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "etl_orc_source" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
     // The incremental merge must equal the full recompute exactly.
     "etl_incremental_agg" ->
       """SELECT l_returnflag,

@@ -264,6 +264,60 @@ object Events extends QueryPack {
     "ev_retention" -> ((s, dir) =>
       graft.ops.EventWindows.retention(table(s, dir, "events"))),
 
+    // The HLL sketch maintained ONLINE: the identical (bucket, rho)
+    // expressions as ev_hll_sketch run as a streaming aggregation — max
+    // and count are order-insensitive, so any micro-batching converges to
+    // the batch sketch exactly (same oracle). State is m rows, constant
+    // forever: the distinct-count-at-ingest shape.
+    "ev_stream_hll" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = tmpStage(dir, "evstream")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+          .write.mode("overwrite").parquet(staged)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val (bucket, rho) = graft.ops.Sketch.hllBucketRho(col("user_id"), 64)
+      val agg = stream.select(bucket.as("bucket"), rho.as("rho"))
+        .groupBy(col("bucket"))
+        .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_items"))
+      StreamOps.drainToTable(agg, s"ev_stream_hll$sf".replace(".", "_"),
+        mode = "complete", shufflePartitions = Some(8))
+        .orderBy(col("bucket"))
+    }),
+
+    // Event-type co-occurrence with PMI — which behaviors travel together
+    // across users (the market-basket cut of an event stream). The only
+    // event-level shuffle is the (user, type) distinct; the self-join is
+    // user-keyed with at most |types|² pairs per user, and the output is
+    // |types|² rows regardless of corpus size.
+    "ev_cooccur" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = table(s, dir, "events")
+      val ut = ev.select(col("user_id"), col("event_type")).distinct()
+      val tot = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val users = ev.agg(countDistinct(col("user_id")).as("n_users_total"))
+      val pairs = ut.as("x").join(ut.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(tot.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(tot.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(users))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+          col("n_b"),
+          round(log(col("n_both").cast("double") * col("n_users_total") /
+            (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Distributed quantile estimates from the mergeable fixed-bin
     // histogram (same sketch as ev_histogram): the cumulative window runs
     // over |bins| rows — a constant set by sketch resolution — never the
@@ -504,6 +558,37 @@ object Events extends QueryPack {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
         |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
         |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
+
+    // The streaming sketch must converge to the batch sketch exactly.
+    "ev_stream_hll" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(7 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events)
+        |SELECT CAST(h & 63 AS INTEGER) AS bucket,
+        |  CAST(max(CASE WHEN h >> 6 = 0 THEN 55
+        |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
+        |  count(*) AS n_items
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // PMI over distinct (user, type): identical operand order —
+    // ln((n_both·N) / (n_a·n_b)) — so the rounded doubles agree.
+    "ev_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+        |u AS (SELECT count(DISTINCT user_id) AS n_users_total FROM events),
+        |p AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut x JOIN ut y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, a.n_t AS n_a, b.n_t AS n_b,
+        |  round(ln(CAST(n_both AS DOUBLE) * n_users_total /
+        |    (CAST(a.n_t AS DOUBLE) * b.n_t)), 6) AS pmi
+        |FROM p JOIN tot a ON p.type_a = a.event_type
+        |       JOIN tot b ON p.type_b = b.event_type
+        |       CROSS JOIN u
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // ev_histogram's bins + a cumulative window + per-q interpolation in
     // the unique containing bin (cum >= target > prev); identical IEEE

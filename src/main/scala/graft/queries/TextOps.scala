@@ -596,6 +596,29 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("lang"), col("subset"))
         .orderBy(col("doc_id"))
     }),
+    // Curriculum assignment: quality quartile + deterministic shard. The
+    // quartile is a MAP-SIDE comparison against three broadcast percentile
+    // cuts (strictly-greater rule) — not a global ntile window, which
+    // would sort the whole corpus on one partition; the shard is a pure
+    // doc_id hash, so assignment survives re-runs and engine changes.
+    "tp2_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val q = TextAnalysis.qualityScore(table(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      val cuts = q.agg(
+        round(expr("percentile(quality, 0.25)"), 6).as("p25"),
+        round(expr("percentile(quality, 0.5)"), 6).as("p50"),
+        round(expr("percentile(quality, 0.75)"), 6).as("p75"))
+      q.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("quality"),
+          (lit(1L) +
+            when(col("quality") > col("p25"), 1L).otherwise(0L) +
+            when(col("quality") > col("p50"), 1L).otherwise(0L) +
+            when(col("quality") > col("p75"), 1L).otherwise(0L)).as("stage"),
+          pmod(graft.ops.Dedup.seededHash(47, col("doc_id")), lit(8L))
+            .as("shard"))
+        .orderBy(col("doc_id"))
+    }),
     // Sequence packing: per-shard prefix sums map documents onto fixed
     // 2048-token training windows (seq_id, seq_offset) with no global sort.
     "tp1_sequence_pack" -> ((s, dir) =>
@@ -859,6 +882,22 @@ object TextOps extends QueryPack {
         |       JOIN sz sb ON p.doc_b = sb.doc_id
         |WHERE round(CAST(n_shared AS DOUBLE) / least(sa.ng, sb.ng), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // qualityCtes + quantile_cont cuts (the st1 percentile-parity
+    // precedent) + the seed-47 shard hash.
+    "tp2_curriculum" ->
+      s"""WITH $qualityCtes,
+        |cuts AS (
+        |  SELECT round(quantile_cont(quality, 0.25), 6) AS p25,
+        |    round(quantile_cont(quality, 0.5), 6) AS p50,
+        |    round(quantile_cont(quality, 0.75), 6) AS p75
+        |  FROM q)
+        |SELECT doc_id, quality,
+        |  CAST(1 + (CASE WHEN quality > p25 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN quality > p50 THEN 1 ELSE 0 END) +
+        |      (CASE WHEN quality > p75 THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+        |  ${mh(47, "CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        |FROM q CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
 
     // sp5's quota derivation + sp3's seed-31 reservoir rank, joined.
     "sp6_quota_sample" ->

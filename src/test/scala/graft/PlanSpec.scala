@@ -442,6 +442,19 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length - 1 >= 2)
   }
 
+  test("cooccurrence: user-keyed equi self-join over distinct pairs, no cartesian") {
+    val p = plan("ev_cooccur")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("curriculum: map-side quartile against broadcast cuts, no global window") {
+    val p = plan("tp2_curriculum")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.linesIterator.exists(_.matches("\\(\\d+\\) Window\\s*")),
+      "curriculum grew a global window — stage must be a broadcast-cut compare")
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
