@@ -131,6 +131,43 @@ object Analytics extends QueryPack {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Distribution windows: percent_rank ((rank−1)/(n−1)) and cume_dist
+    // (peers included) per customer by spend — both defined identically
+    // in every engine, exact-integer ratios rounded at 6 dp.
+    "w6_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      table(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // TPC-H Q10 shape: revenue lost to returned items per customer, top
+    // 20 — the join funnels through the RETURNFLAG filter first (pushed
+    // to the scan), dims broadcast, and the top-k is a single ordered
+    // limit over the |customers|-sized aggregate, tie-broken on custkey.
+    "q10_returned_items" -> ((s, dir) => {
+      import s.implicits._
+      val li = table(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val o = table(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val c = table(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+      val n = table(s, dir, "nation").select($"n_nationkey", $"n_name")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
     // RANGE frame over event-time: each order's trailing-30-day spend per
     // customer — the rolling-window shape ROWS frames get wrong (peers at
     // the same day must all join the frame, and gaps must not shrink it).
@@ -391,6 +428,28 @@ object Analytics extends QueryPack {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w6_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // Revenue DESC with the custkey tie-break makes the LIMIT 20 cut
+    // deterministic in both engines.
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "w5_rolling_30d" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

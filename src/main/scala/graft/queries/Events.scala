@@ -264,6 +264,30 @@ object Events extends QueryPack {
     "ev_retention" -> ((s, dir) =>
       graft.ops.EventWindows.retention(table(s, dir, "events"))),
 
+    // Behavioral Markov transitions: for each user's time-ordered event
+    // sequence, count (from_type, to_type) steps and the per-from
+    // transition probability. The lag window partitions by user (each
+    // partition is one user's events — the natural key); everything after
+    // is |types|² rows.
+    "ev_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val steps = table(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+      val counts = steps.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // The HLL sketch maintained ONLINE: the identical (bucket, rho)
     // expressions as ev_hll_sketch run as a streaming aggregation — max
     // and count are order-insensitive, so any micro-batching converges to
@@ -558,6 +582,23 @@ object Events extends QueryPack {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
         |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
         |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
+
+    // Same (user, ts, event_id)-ordered lag; transition probability is an
+    // exact-integer division rounded at 6 dp.
+    "ev_transitions" ->
+      """WITH s AS (
+        |  SELECT lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM s
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     // The streaming sketch must converge to the batch sketch exactly.
     "ev_stream_hll" ->

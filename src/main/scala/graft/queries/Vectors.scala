@@ -78,6 +78,17 @@ object Vectors extends QueryPack {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // Embedding near-dup clustering END-TO-END: kNN-graph edges above the
+    // similarity threshold feed the same O(log n) large-star/small-star
+    // connected-components machinery as text dedup — the full "cluster
+    // your embedding space" pipeline in two composed operators.
+    "sim_dup_clusters" -> ((s, dir) => {
+      val edges = Similarity.knnGraphAuto(table(s, dir, "embeddings"), k = 3)
+        .filter(col("sim") >= 0.3)
+        .select(col("vec_id").as("doc_a"), col("n_id").as("doc_b"))
+      graft.ops.Dedup.duplicateClusters(edges)
+    }),
+
     // ANN-graph construction: every vector's top-3 cosine neighbors within
     // its own IVF cell (√n-derived centroids) — the query-set-IS-the-corpus
     // case where no broadcast side exists by definition.
@@ -229,6 +240,43 @@ object Vectors extends QueryPack {
         |SELECT vec_id, max_abs,
         |  unnest(range(len(q))) AS dim, unnest(q) AS q
         |FROM qv ORDER BY vec_id, dim""".stripMargin,
+
+    // sim_knn_graph's CTEs + the recursive min-label closure (the
+    // dd_dup_clusters pattern): the iterative Spark contraction and the
+    // SQL transitive closure share the unique min-reachable-id fixpoint.
+    "sim_dup_clusters" ->
+      s"""WITH RECURSIVE ce AS (
+        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ce) = 0),
+        |ca AS (
+        |  SELECT vec_id, embedding, c_id FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
+        |scored AS (
+        |  SELECT a.vec_id, b.vec_id AS n_id,
+        |    ${cos("a.embedding", "b.embedding")} AS sim
+        |  FROM ca a JOIN ca b ON a.c_id = b.c_id AND a.vec_id != b.vec_id),
+        |knn AS (
+        |  SELECT vec_id, n_id FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank
+        |    FROM scored) t
+        |  WHERE rank <= 3 AND sim >= 0.3),
+        |edges AS (
+        |  SELECT vec_id AS src, n_id AS dst FROM knn
+        |  UNION SELECT n_id, vec_id FROM knn),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, x.r FROM edges e JOIN reach x ON x.id = e.dst),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     // sim_ivf_topk's cell-assignment CTE, self-joined within cells.
     "sim_knn_graph" ->

@@ -455,6 +455,29 @@ class PlanSpec extends SparkSpec {
       "curriculum grew a global window — stage must be a broadcast-cut compare")
   }
 
+  test("q10: returnflag filter pushes to the scan; dims broadcast; top-k bounded") {
+    val p = plan("q10_returned_items")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_returnflag"), s"filter not pushed:\n$pushed")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 lost its bounded sort")
+  }
+
+  test("transitions: per-user lag window, then vocabulary-sized rollups") {
+    val p = plan("ev_transitions")
+    // the same lag window appears once per aggregate branch (counts +
+    // totals, deduplicated by AQE stage reuse at runtime) — what must NOT
+    // appear is any window over the post-aggregate pair stream
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window\\s*")) <= 2)
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("embedding dup clusters: knn edges feed CC without a cartesian") {
+    val p = plan("sim_dup_clusters")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
