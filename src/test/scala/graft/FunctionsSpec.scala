@@ -47,6 +47,16 @@ class FunctionsSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.nonEmpty)
   }
 
+  test("every judged query has an oracle, and every oracle has a query") {
+    // The correctness gate only counts a query as verified when BOTH maps
+    // carry it — a queries entry without oracle SQL lands as err:no_oracle
+    // in the driver's report (the round-4 regression this test pins shut).
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("seededHashJvm is bit-identical to the distributed seededHash") {
     import graft.ops.Dedup
     val vals = Seq("click", "view", "", "tok7x", "a b c", "ünïcode")
