@@ -505,13 +505,16 @@ object TextOps extends QueryPack {
     }),
     // Decontamination AT INGEST: the benchmark bitmap broadcasts into the
     // stream and every arriving gram probes it MAP-SIDE (a stateless
-    // filter — the screen-before-you-store shape); streaming state is the
-    // distinct (doc, gram, hit) set, drained and rolled up per doc. Must
-    // equal the batch Bloom probe exactly (same oracle) no matter how the
-    // corpus was micro-batched.
+    // filter — the screen-before-you-store shape); the per-doc rollup is
+    // a flatMapGroupsWithState that dedups grams inside the group (each
+    // doc arrives whole in one micro-batch), so streaming state is EMPTY
+    // and the sink carries one row per document — not one per distinct
+    // gram. Must equal the batch Bloom probe exactly (same oracle) no
+    // matter how the corpus was micro-batched.
     "dd_stream_decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
+      import s.implicits._
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val staged = stagedDocStream(s, dir)
       val bm = stagedBloomBitmap(s, dir)
@@ -519,14 +522,10 @@ object TextOps extends QueryPack {
         .filter(col("doc_id") % 11 =!= 0)
       val grams = Dedup.gramHashes(stream, n = 4)
         .withColumn("hit", Dedup.bloomHit(col("gh"), bm))
-      val state = grams.groupBy(col("doc_id"), col("gh"))
-        .agg(max(col("hit")).as("hit"))
-      StreamOps.drainToTable(state,
-        s"dd_stream_decon$sf".replace(".", "_"), mode = "complete",
+        .as[graft.streaming.StreamOps.GramProbe]
+      StreamOps.drainToTable(StreamOps.probeRollup(grams).toDF(),
+        s"dd_stream_decon$sf".replace(".", "_"), mode = "append",
         shufflePartitions = Some(8))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
         .withColumn("contaminated", col("n_hits") > 0L)
         .orderBy(col("doc_id"))
     }),
