@@ -40,4 +40,27 @@ object Packing {
         pmod(start, ctx).as("seq_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** Byte-budget shard manifest for multimodal exports — the WebDataset /
+    * tar-shard writer plan: assets lay out in deterministic (group,
+    * doc_id) order and cut into `shardBytes`-byte shards; each asset gets
+    * the shard containing its first byte plus its offset in the stream.
+    * Same per-group prefix-sum shape as sequencePack — no global sort;
+    * at 100 TB the group column is the ingest partition, bounding every
+    * window to one task's assets. Oversized assets land in the shard of
+    * their first byte (real writers split or reject those downstream). */
+  def shardManifest(assets: DataFrame, bytesCol: String, groupCol: String,
+                    shardBytes: Long): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sb = lit(shardBytes)
+    val start = col("end_b") - col("n_bytes")
+    assets.select(col("doc_id"), col(groupCol).as("grp"),
+        col(bytesCol).as("n_bytes"))
+      .withColumn("end_b", sum(col("n_bytes")).over(w))
+      .select(col("doc_id"), col("grp"), col("n_bytes"),
+        ((start - pmod(start, sb)) / sb).cast("long").as("shard_id"),
+        pmod(start, sb).as("shard_offset"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -241,6 +241,37 @@ object Etl extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Hive-style partitioned layout + PARTITION PRUNING: documents land
+    // partitioned by lang; the read-back filter prunes whole directories
+    // before any file opens (PlanSpec pins the PartitionFilters entry) —
+    // the layout decision that turns a 100 TB scan into a 4 TB one.
+    "etl_partitioned_write" -> ((s, dir) => {
+      val path = tmp(dir, "docs_by_lang")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/_SUCCESS")))
+        table(s, dir, "documents")
+          .write.partitionBy("lang").mode("overwrite").parquet(path)
+      s.read.parquet(path).filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // Shipping-delay distribution per order priority (the Q12-adjacent
+    // service-level cut): one fact-fact join on orderkey, then integer
+    // day buckets — exact arithmetic end to end.
+    "q12_shipping_delay" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("delay_days"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"), col("delay_days"))
+    }),
+
     // S1 family, third format: ORC round-trip — the columnar interchange
     // format a warehouse migration hands you. Write preserves types
     // exactly (no schema-on-read inference to re-cast), read back and
@@ -346,6 +377,19 @@ object Etl extends QueryPack {
     "etl_orc_source" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "etl_partitioned_write" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q12_shipping_delay" ->
+      """SELECT o_orderpriority,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The incremental merge must equal the full recompute exactly.
     "etl_incremental_agg" ->

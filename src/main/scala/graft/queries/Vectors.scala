@@ -113,6 +113,14 @@ object Vectors extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // WebDataset-style export plan: assets packed into 64 KiB shards per
+    // format, each with its shard id + byte offset — per-group prefix
+    // sums, no global sort.
+    "mm_shard_manifest" -> ((s, dir) =>
+      graft.ops.Packing.shardManifest(
+        Multimodal.decodeMeta(table(s, dir, "documents")),
+        bytesCol = "n_bytes", groupCol = "format", shardBytes = 65536L)),
+
     // Multimodal metadata decode (stub decoder — deterministic arithmetic
     // over the payload bytes, so it IS oracle-checkable).
     "mm_decode_meta" -> ((s, dir) =>
@@ -322,6 +330,24 @@ object Vectors extends QueryPack {
         |  CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_q
         |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // decodeMeta's byte arithmetic + per-format running totals; floor
+    // division via the exact (x - mod) / width pattern on both sides.
+    "mm_shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS grp
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, grp, n_bytes,
+        |    CAST(sum(n_bytes) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_b
+        |  FROM m)
+        |SELECT doc_id, grp, n_bytes,
+        |  CAST(((end_b - n_bytes) - (end_b - n_bytes) % 65536) / 65536 AS BIGINT) AS shard_id,
+        |  (end_b - n_bytes) % 65536 AS shard_offset
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (

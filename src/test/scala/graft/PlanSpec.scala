@@ -478,6 +478,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
 
+  test("partitioned write reads back with PARTITION pruning, not a file filter") {
+    val p = plan("etl_partitioned_write")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("lang"), s"lang filter did not prune partitions:\n$pf")
+  }
+
+  test("shard manifest: per-group prefix sums only — no join, no global sort") {
+    val p = plan("mm_shard_manifest")
+    assert(!p.contains("Join"))
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window\\s*")) == 1)
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
