@@ -84,14 +84,19 @@ object Sketch {
     * probe side can never drift from the sketch cells. */
   private val CmsSeedBase = 100
 
-  def cmsSketch(df: DataFrame, c: Column, depth: Int = 4,
-                width: Int = 64): DataFrame = {
-    val cells = array((0 until depth).map { i =>
+  /** The per-item cell array underlying cmsSketch, exposed for the
+    * STREAMING twin (counts are order-insensitive, so the online sketch
+    * converges to the batch sketch under any micro-batching). */
+  def cmsCells(c: Column, depth: Int = 4, width: Int = 64): Column =
+    array((0 until depth).map { i =>
       struct(lit(i).as("row"),
         pmod(Dedup.seededHash(CmsSeedBase + i, c), lit(width.toLong)).cast("int")
           .as("bucket"))
     }: _*)
-    df.select(explode(cells).as("cell"))
+
+  def cmsSketch(df: DataFrame, c: Column, depth: Int = 4,
+                width: Int = 64): DataFrame = {
+    df.select(explode(cmsCells(c, depth, width)).as("cell"))
       .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))

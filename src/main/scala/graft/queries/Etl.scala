@@ -241,6 +241,32 @@ object Etl extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Schema evolution: a v1 batch (three columns) and a v2 batch (adds
+    // n_chars) coexist in one dataset; mergeSchema unifies them on read
+    // and v1 rows surface NULL for the added column — upstream schema
+    // drift absorbed without rewriting history. The aggregate counts the
+    // legacy rows explicitly so the drift stays visible downstream.
+    "etl_schema_evolution" -> ((s, dir) => {
+      val path = tmp(dir, "schema_evo")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/v1/_SUCCESS"))) {
+        val docs = table(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$path/v1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$path/v2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/v1", s"$path/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Hive-style partitioned layout + PARTITION PRUNING: documents land
     // partitioned by lang; the read-back filter prunes whole directories
     // before any file opens (PlanSpec pins the PartitionFilters entry) —
@@ -377,6 +403,17 @@ object Etl extends QueryPack {
     "etl_orc_source" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "etl_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 != 0)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
 
     "etl_partitioned_write" ->
       """SELECT source, count(*) AS n_docs,

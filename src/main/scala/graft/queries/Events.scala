@@ -264,6 +264,51 @@ object Events extends QueryPack {
     "ev_retention" -> ((s, dir) =>
       graft.ops.EventWindows.retention(table(s, dir, "events"))),
 
+    // The CMS maintained ONLINE — same pattern as ev_stream_hll: the cell
+    // counts are order-insensitive, state is depth×width rows forever.
+    "ev_stream_cms" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = tmpStage(dir, "evstream")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+          .write.mode("overwrite").parquet(staged)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val agg = stream
+        .select(explode(graft.ops.Sketch.cmsCells(col("event_type"), 4, 64))
+          .as("cell"))
+        .select(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+        .groupBy(col("row"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamOps.drainToTable(agg, s"ev_stream_cms$sf".replace(".", "_"),
+        mode = "complete", shufflePartitions = Some(8))
+        .orderBy(col("row"), col("bucket"))
+    }),
+
+    // Feature-store materialization: one row per user with the behavioral
+    // features a model consumes — typed counts, decimal-exact spend, and
+    // recency against the corpus watermark. One partial-agg pass over
+    // events plus a broadcast one-row watermark; at 100 TB this is the
+    // nightly feature-refresh scan.
+    "ev_user_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = table(s, dir, "events")
+      def n(t: String) =
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+      ev.groupBy(col("user_id"))
+        .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"),
+          max(col("ts")).as("last_ts"))
+        .crossJoin(broadcast(ev.agg(max(col("ts")).as("corpus_max"))))
+        .withColumn("days_since_last",
+          datediff(col("corpus_max"), col("last_ts")).cast("long"))
+        .drop("corpus_max")
+        .orderBy(col("user_id"))
+    }),
+
     // Behavioral Markov transitions: for each user's time-ordered event
     // sequence, count (from_type, to_type) steps and the per-from
     // transition probability. The lag window partitions by user (each
@@ -582,6 +627,37 @@ object Events extends QueryPack {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
         |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
         |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
+
+    // The streaming CMS must converge to the batch sketch exactly.
+    "ev_stream_cms" -> {
+      val rows = (0 until 4).map { i =>
+        s"SELECT $i AS row, CAST(CAST(('0x' || substr(md5(${100 + i} || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket FROM events"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH cells AS (
+        |  $rows)
+        |SELECT row, bucket, count(*) AS cnt
+        |FROM cells GROUP BY row, bucket ORDER BY row, bucket""".stripMargin
+    },
+
+    // One pass; typed counts via FILTER-equivalent CASE sums, dsum spend,
+    // integer day recency against the corpus max timestamp.
+    "ev_user_features" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |    count(*) AS n_events,
+        |    round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_value,
+        |    max(ts) AS last_ts
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT max(ts) AS corpus_max FROM events)
+        |SELECT user_id, n_click, n_view, n_purchase, n_signup, n_error,
+        |  n_events, total_value, last_ts,
+        |  CAST(date_diff('day', CAST(last_ts AS DATE), CAST(corpus_max AS DATE)) AS BIGINT) AS days_since_last
+        |FROM f CROSS JOIN m ORDER BY user_id""".stripMargin,
 
     // Same (user, ts, event_id)-ordered lag; transition probability is an
     // exact-integer division rounded at 6 dp.
