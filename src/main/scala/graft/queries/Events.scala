@@ -264,6 +264,30 @@ object Events extends QueryPack {
     "ev_retention" -> ((s, dir) =>
       graft.ops.EventWindows.retention(table(s, dir, "events"))),
 
+    // The fixed-bin histogram maintained ONLINE — completes the
+    // online-sketch trio (HLL, CMS, histogram): bin counts are
+    // order-insensitive, state is |bins| rows bounded by the sketch
+    // resolution.
+    "ev_stream_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = tmpStage(dir, "evstream")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+          .write.mode("overwrite").parquet(staged)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val agg = stream
+        .select(floor(col("value") / lit(0.5)).cast("long").as("bin"))
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamOps.drainToTable(agg, s"ev_stream_hist$sf".replace(".", "_"),
+        mode = "complete", shufflePartitions = Some(8))
+        .orderBy(col("bin"))
+    }),
+
     // The CMS maintained ONLINE — same pattern as ev_stream_hll: the cell
     // counts are order-insensitive, state is depth×width rows forever.
     "ev_stream_cms" -> ((s, dir) => {
@@ -627,6 +651,12 @@ object Events extends QueryPack {
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_users, 6) AS retention
         |FROM a JOIN s ON a.cohort_wk = s.cohort_wk
         |ORDER BY a.cohort_wk, a.week_offset""".stripMargin,
+
+    // The streaming histogram must converge to the batch sketch exactly.
+    "ev_stream_histogram" ->
+      """SELECT CAST(floor("value" / 0.5) AS BIGINT) AS bin, count(*) AS cnt
+        |FROM events WHERE "value" IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The streaming CMS must converge to the batch sketch exactly.
     "ev_stream_cms" -> {
