@@ -60,7 +60,8 @@ object Bench {
       try queries.table(spark, sfDir, t).limit(1)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    val warmDir = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
+    val warmSf = sys.env.getOrElse("SPARK_GRAFT_WARM_SF", "sf0.001")
+    val warmDir = java.nio.file.Paths.get(sfDir).resolveSibling(warmSf)
     if (java.nio.file.Files.isDirectory(warmDir)) {
       val wd = warmDir.toString
       for ((name, fn) <- SparkEntry.queries

@@ -323,7 +323,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         element_at(col("toks"), col("i")).as("w1"),
         element_at(col("toks"), col("i") + 1).as("w2"))
-    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // Materialize the vocab-sized bigram table ONCE: ctx and the score
+    // join both derive from it, and without the barrier each derivation
+    // re-runs the corpus explode + count (Catalyst doesn't share
+    // subtrees across join branches) — three corpus passes instead of
+    // two. The checkpoint is vocabulary-sized, never corpus-sized.
+    val bg = Dedup.materialize(
+      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
     // context totals roll up from the bigram counts (far fewer rows than
     // re-counting the pair stream)
     val ctx = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
