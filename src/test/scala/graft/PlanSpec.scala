@@ -490,6 +490,27 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.matches("\\(\\d+\\) Window\\s*")) == 1)
   }
 
+  test("shipping delay: one equi-join, partial-aggregated day buckets") {
+    val p = plan("q12_shipping_delay")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("schema evolution: merged read aggregates without a join") {
+    val p = plan("etl_schema_evolution")
+    assert(!p.contains("Join"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("user features: one partial-agg pass plus the broadcast watermark") {
+    val p = plan("ev_user_features")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus watermark lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
   test("fact-side scans stay columnar (vectorized parquet batches)") {
     for (q <- Seq("q1_agg", "q2_star_join", "p1_projection")) {
       val p = plan(q)
