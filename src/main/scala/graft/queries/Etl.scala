@@ -241,6 +241,48 @@ object Etl extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Malformed-input resilience (PERMISSIVE): nation rows land in a CSV
+    // where key%5=0 rows carry an EXTRA field and key%5=1 rows a MISSING
+    // one; both classes surface in the corrupt-record column while clean
+    // rows parse — degrade-don't-abort (the reference's main.py posture)
+    // with the damage COUNTED, not swallowed.
+    "etl_csv_malformed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "nation_bad_csv")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+        val line =
+          when(col("n_nationkey") % 5 === 0,
+            concat_ws(",", col("n_nationkey"), col("n_name"),
+              col("n_regionkey"), lit("EXTRA")))
+          .when(col("n_nationkey") % 5 === 1,
+            concat_ws(",", col("n_nationkey"), col("n_name")))
+          .otherwise(concat_ws(",", col("n_nationkey"), col("n_name"),
+            col("n_regionkey")))
+        table(s, dir, "nation").select(line.as("value"))
+          .write.mode("overwrite").text(path)
+      }
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType), StructField("_corrupt", StringType)))
+      // EVERY data column is referenced below — under CSV column pruning
+      // Spark parses only the required subset, and a row whose damage
+      // lives outside that subset is silently NOT flagged as corrupt;
+      // touching all columns forces the full-row parse the corrupt
+      // contract needs (the documented PERMISSIVE caveat).
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          count(col("n_name")).as("n_names"),
+          sum(when(col("_corrupt").isNull, col("n_nationkey")))
+            .as("clean_key_sum"),
+          sum(when(col("_corrupt").isNull, col("n_regionkey")))
+            .as("clean_regionkey_sum"))
+    }),
+
     // Schema evolution: a v1 batch (three columns) and a v2 batch (adds
     // n_chars) coexist in one dataset; mergeSchema unifies them on read
     // and v1 rows surface NULL for the added column — upstream schema
@@ -403,6 +445,16 @@ object Etl extends QueryPack {
     "etl_orc_source" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // The corruption classes are a pure function of the key, so the
+    // oracle recomputes them from the clean table.
+    "etl_csv_malformed" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  count(*) AS n_names,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 NOT IN (0, 1) THEN n_nationkey END) AS BIGINT) AS clean_key_sum,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 NOT IN (0, 1) THEN n_regionkey END) AS BIGINT) AS clean_regionkey_sum
+        |FROM nation""".stripMargin,
 
     "etl_schema_evolution" ->
       """WITH u AS (

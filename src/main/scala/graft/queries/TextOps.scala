@@ -482,6 +482,25 @@ object TextOps extends QueryPack {
       Dedup.incrementalLshFromBuckets(sigs.filter(col("doc_id") % 5 === 0),
         stagedCorpusBands(s, dir))
     }),
+    // Per-cluster curation dashboard: size, quality spread, source
+    // diversity for every duplicate cluster — the review cut before
+    // survivor selection drops data. Shares the staged clustering; the
+    // marginal cost is two doc-keyed joins and a |clusters|-row rollup.
+    "dd_cluster_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality"))
+      stagedClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+        .join(q, "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality")).as("min_q"), max(col("quality")).as("max_q"),
+          davg(col("quality"), 6).as("avg_q"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("cluster_id"))
+    }),
     // Doc-in-doc containment (|shared| / min(|G_a|,|G_b|)) over the shared
     // staged gram table — the asymmetric-size near-dup cut Jaccard blocking
     // can't see; stop-grams (df > 64) and singletons cut before pairing.
@@ -881,6 +900,19 @@ object TextOps extends QueryPack {
         |       JOIN sz sb ON p.doc_b = sb.doc_id
         |WHERE round(CAST(n_shared AS DOUBLE) / least(sa.ng, sb.ng), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // clusterCtes' recursive closure + qualityCtes, joined per cluster.
+    "dd_cluster_stats" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |$qualityCtes
+        |SELECT lab.cluster_id, count(*) AS n_docs,
+        |  min(q.quality) AS min_q, max(q.quality) AS max_q,
+        |  round(CAST(sum(CAST(q.quality AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_q,
+        |  count(DISTINCT d.source) AS n_sources
+        |FROM lab
+        |JOIN q ON lab.id = q.doc_id
+        |JOIN documents d ON lab.id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // qualityCtes + quantile_cont cuts (the st1 percentile-parity
     // precedent) + the seed-47 shard hash.

@@ -113,6 +113,24 @@ object Vectors extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // Norm-distribution profile per label — the sanity gate before any
+    // cosine machinery (a label whose norms collapse to ~0 or spread
+    // wildly poisons similarity scores): decimal-exact mean norm,
+    // IEEE-deterministic min/max. One codegen dot product per vector,
+    // one partial-agg rollup.
+    "emb_norm_profile" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.dotf
+      import graft.queries.davg
+      val nrm = sqrt(dotf(col("embedding"), col("embedding")))
+      table(s, dir, "embeddings")
+        .select(col("label"), round(nrm, 6).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+          davg(col("nrm"), 6).as("avg_norm"))
+        .orderBy(col("label"))
+    }),
+
     // WebDataset-style export plan: assets packed into 64 KiB shards per
     // format, each with its shard id + byte offset — per-group prefix
     // sums, no global sort.
@@ -330,6 +348,17 @@ object Vectors extends QueryPack {
         |  CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS mean_q
         |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // The same sequential-fold dot product as every cosine oracle; the
+    // norm is rounded per vector BEFORE aggregation on both sides.
+    "emb_norm_profile" ->
+      s"""WITH n AS (
+        |  SELECT label, round(sqrt(${norm2("embedding")}), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n, min(nrm) AS min_norm,
+        |  max(nrm) AS max_norm,
+        |  round(CAST(sum(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     // decodeMeta's byte arithmetic + per-format running totals; floor
     // division via the exact (x - mod) / width pattern on both sides.
