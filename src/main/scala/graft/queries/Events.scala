@@ -311,6 +311,40 @@ object Events extends QueryPack {
         .orderBy(col("row"), col("bucket"))
     }),
 
+    // A/B comparison: Welch's t-statistic on event value between the two
+    // user_id-parity arms, per event type — computed from decimal-exact
+    // moments (count, Σx, Σx²) so partial-aggregation order can't move
+    // the 6-dp result; the per-arm moments are |types|·2 rows, so the
+    // t computation costs nothing at any scale.
+    "ev_ab_test" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val d = DecimalType(30, 10)
+      val m = table(s, dir, "events")
+        .select(col("event_type"),
+          (col("user_id") % 2).cast("int").as("arm"), col("value"))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(d)).cast(DoubleType).as("sx"),
+          sum((col("value") * col("value")).cast(d)).cast(DoubleType).as("sxx"))
+      val w = m.select(col("event_type"), col("arm"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("vr"))
+      val a = w.filter(col("arm") === 0).select(col("event_type"),
+        col("n").as("n_a"), col("mean").as("mean_a"), col("vr").as("var_a"))
+      val b = w.filter(col("arm") === 1).select(col("event_type"),
+        col("n").as("n_b"), col("mean").as("mean_b"), col("vr").as("var_b"))
+      a.join(b, "event_type")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round((col("mean_a") - col("mean_b")) /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+            .as("t_stat"))
+        .orderBy(col("event_type"))
+    }),
+
     // Feature-store materialization: one row per user with the behavioral
     // features a model consumes — typed counts, decimal-exact spend, and
     // recency against the corpus watermark. One partial-agg pass over
@@ -668,6 +702,28 @@ object Events extends QueryPack {
         |SELECT row, bucket, count(*) AS cnt
         |FROM cells GROUP BY row, bucket ORDER BY row, bucket""".stripMargin
     },
+
+    // Identical operand order over the same decimal-exact moments:
+    // mean = sx/n, var = (sxx − sx·sx/n)/(n−1), t = Δmean/√(va/na+vb/nb).
+    "ev_ab_test" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(user_id % 2 AS INTEGER) AS arm,
+        |    count(*) AS n,
+        |    CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST("value" * "value" AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, arm, n, sx / n AS mean,
+        |    (sxx - sx * sx / n) / (n - 1) AS vr
+        |  FROM m),
+        |a AS (SELECT event_type, n AS n_a, mean AS mean_a, vr AS var_a
+        |      FROM w WHERE arm = 0),
+        |b AS (SELECT event_type, n AS n_b, mean AS mean_b, vr AS var_b
+        |      FROM w WHERE arm = 1)
+        |SELECT a.event_type, n_a, n_b,
+        |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
+        |FROM a JOIN b USING (event_type) ORDER BY event_type""".stripMargin,
 
     // One pass; typed counts via FILTER-equivalent CASE sums, dsum spend,
     // integer day recency against the corpus max timestamp.

@@ -482,6 +482,20 @@ object TextOps extends QueryPack {
       Dedup.incrementalLshFromBuckets(sigs.filter(col("doc_id") % 5 === 0),
         stagedCorpusBands(s, dir))
     }),
+    // Classifier evaluation: the language-ID confusion matrix against the
+    // labeled lang column — the harness that tells you the n-gram
+    // heuristic's per-language error surface before you trust it to
+    // route a corpus. |langs|² output regardless of corpus size.
+    "tx_lang_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pred = TextAnalysis.languageId(table(s, dir, "documents"))
+        .select(col("doc_id"), col("pred_lang"))
+      table(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
     // Per-cluster curation dashboard: size, quality spread, source
     // diversity for every duplicate cluster — the review cut before
     // survivor selection drops data. Shares the staged clustering; the
@@ -900,6 +914,30 @@ object TextOps extends QueryPack {
         |       JOIN sz sb ON p.doc_b = sb.doc_id
         |WHERE round(CAST(n_shared AS DOUBLE) / least(sa.ng, sb.ng), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // tx_langid's scoring CTEs + a join back to the label, rolled up.
+    "tx_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','nicht'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('的','是','不','了','在'))) AS BIGINT) AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN '??'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM s)
+        |SELECT d.lang, p.pred_lang, count(*) AS n
+        |FROM documents d JOIN p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // clusterCtes' recursive closure + qualityCtes, joined per cluster.
     "dd_cluster_stats" ->
