@@ -300,6 +300,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash approximation audit: every LSH candidate pair's
+    * signature-agreement estimate NEXT TO the exact shingle-set Jaccard
+    * it approximates, plus the absolute error — the "measure the
+    * approximation, don't guess" harness (sim_lsh_recall's dedup
+    * sibling) to run before trusting a (numHashes, bands) configuration
+    * on a new corpus. Cost is candidate-bounded: the exact intersection
+    * is computed only for LSH candidates (two equi-joins keyed on the
+    * candidate's doc ids through the shingle stream — never an all-pairs
+    * comparison), and the distinct-shingle table is one corpus pass, the
+    * same cost class as the signature build it audits. */
+  def minHashEstQuality(docs: DataFrame, sig: DataFrame,
+                        numHashes: Int = 16, bands: Int = 4,
+                        shingleLen: Int = 3, chunks: Int = 4): DataFrame = {
+    val est = minHashVerifiedFromSignatures(sig, numHashes, bands,
+      minEst = 0.0, chunks = chunks)
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val long = base.filter(size(col("toks")) >= shingleLen)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (shingleLen - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(shingleLen))).as("s"))
+    val short = base.filter(size(col("toks")) < shingleLen)
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("s"))
+    // distinct sets: the signature's min-aggregation is dup-insensitive,
+    // but the Jaccard denominator needs true set sizes
+    val sh = materialize(long.unionByName(short).distinct())
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val shared = est.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+    val withSets = est
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .withColumn("nsh", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("exact_jaccard", round(col("nsh").cast("double")
+        / (col("na") + col("nb") - col("nsh")), 6))
+    withSets.select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 60-bit SimHash per document + near-dup pairs within `maxHamming`.
     *
     * SimHash: per distinct token, the seeded-hash bits vote +1/-1 per

@@ -210,4 +210,42 @@ object EventWindows {
     }
     acc.withColumn("funnel_stage", stageNum).orderBy(col("user_id"))
   }
+
+  /** Daily-volume anomaly detection: per event type, flag days whose
+    * event count sits ≥ `zCut` sample standard deviations from that
+    * type's daily mean — the monitoring cut an ingest pipeline alarms
+    * on. The day key is integer µs-epoch floor arithmetic (engine-exact,
+    * the retention() idiom); the moments are BIGINT sums of integer day
+    * counts (order-independent, overflow-safe until a type logs ~3·10⁹
+    * events per day); the z computation combines them in IEEE doubles
+    * rounded at 6 dp — so the flagged set is reproducible anywhere.
+    *
+    * Shape at scale: one partial aggregation to (type, day) — the only
+    * corpus-sized shuffle — then a |types|-row moment rollup broadcast
+    * back over the |types·days| daily table. No windows, no self-join. */
+  def dailyAnomaly(events: DataFrame, zCut: Double = 2.0): DataFrame = {
+    val dayUs = 24L * 3600L * 1000000L
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    // tsUs - pmod is exactly divisible, so the double division is exact
+    val day = ((tsUs - pmod(tsUs, lit(dayUs))) / lit(dayUs)).cast("long")
+    val daily = events.select(col("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    // sample std-dev from exact integer moments; a single-day type has no
+    // spread to measure and drops out (days >= 2), as does sd = 0
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"), sum(col("n")).as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+      .filter(col("days") >= 2)
+      .select(col("event_type"),
+        (col("sx").cast("double") / col("days")).as("mean"),
+        sqrt((col("sxx").cast("double") - col("sx").cast("double")
+          * col("sx") / col("days")) / (col("days") - 1)).as("sd"))
+    val z = round((col("n").cast("double") - col("mean")) / col("sd"), 6)
+    daily.join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0)
+      .select(col("event_type"), col("day"), col("n"), z.as("z"))
+      .filter(abs(col("z")) >= zCut)
+      .orderBy(col("event_type"), col("day"))
+  }
 }

@@ -235,4 +235,72 @@ object Similarity {
       .repartition(col("vec_a"), col("vec_b"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Lloyd k-means over the embedding corpus (cosine metric, `iters`
+    * assignment rounds) — the clustering step semantic-dedup and
+    * diversity-balancing pipelines run before within-cluster comparison.
+    * Seeds are every `centroidEvery`-th vec_id (the IVF seeding rule — no
+    * RNG); each round assigns by packed-argmax over the 6-dp-rounded
+    * cosine with smallest-c_id tie-break, then recomputes centroids as
+    * the decimal-exact per-dimension mean (order-independent sum) rounded
+    * to 6 dp and cast back to float. Every step is engine-reproducible,
+    * so the final assignment hash-matches a SQL re-derivation.
+    *
+    * Shape at scale: centroids are ≤ ⌈n/centroidEvery⌉ rows at every step
+    * (always broadcast); each round is one broadcast probe of the corpus
+    * whose |corpus|·k scored rows collapse map-side in the partial
+    * HashAggregate (one row per vector reaches the exchange — see the
+    * argmax note in ivfTopK), plus a (k·dim)-group partial aggregation
+    * for the update. No corpus self-join, no corpus-sized window, and the
+    * round count is a small constant. Returns (vec_id, c_id, sim). */
+  def kmeansAssign(corpus: DataFrame, centroidEvery: Int,
+                   iters: Int = 2): DataFrame = {
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
+    val idMask = (1L << 41) - 1
+    // argmax(c_sim, tie -> smallest c_id) as an aggregation; sim is
+    // recovered from the packed key's high bits (round(c_sim·10⁶) is the
+    // exact integer the 6-dp round produced, and int/10⁶ is a single
+    // correctly-rounded IEEE division — the same double round() returns).
+    def assign(cent: DataFrame): DataFrame = {
+      val packed =
+        (round(col("c_sim") * 1000000L, 0).cast("long") + 1000000L) *
+          (idMask + 1) + (lit(idMask) - col("c_id"))
+      scoredAgainst(cent)(base, "embedding", "nrm")
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(max(packed).as("pk"))
+        .select(col("vec_id"), col("embedding"),
+          (lit(idMask) - col("pk").bitwiseAND(lit(idMask))).as("c_id"),
+          ((shiftright(col("pk"), 41) - 1000000L).cast("double") / 1e6)
+            .as("sim"))
+    }
+    // centroid update: decimal-exact per-dimension mean (davg's formula),
+    // reassembled in dim order and cast to float so the next round's dot
+    // products run the same float→double fold as round 1 (and as the
+    // oracle's REAL-cast list).
+    def update(assigned: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      broadcast(
+        assigned.select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("c_id"), col("dim"))
+          .agg(round(sum(col("v").cast(DecimalType(30, 10))).cast(DoubleType)
+            / count(lit(1)), 6).as("cv"))
+          .groupBy(col("c_id"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("p"))
+          .select(col("c_id"),
+            transform(col("p"), x => x.getField("cv").cast("float")).as("c_emb"))
+          .withColumn("c_nrm", sqrt(dotf(col("c_emb"), col("c_emb")))))
+    }
+    var assigned = assign(centroids(corpus, centroidEvery))
+    for (_ <- 2 to iters)
+      assigned = assign(update(assigned))
+    assigned.select(col("vec_id"), col("c_id"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** kmeansAssign with the seed spacing derived from a fixed cluster
+    * count k (bounded metadata count, same contract as ivfTopKAuto). */
+  def kmeansAuto(corpus: DataFrame, k: Int = 16, iters: Int = 2): DataFrame =
+    kmeansAssign(corpus,
+      math.max(1L, math.ceil(corpus.count().toDouble / k).toLong).toInt, iters)
 }

@@ -369,4 +369,30 @@ object TextAnalysis {
         coalesce(col("fp_sh"), col("fp_doc")).as("fp_shingle"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-language top-N bigram frequency table — the phrase census a
+    * tokenizer build or stopword audit starts from. One corpus explode
+    * into (lang, bigram) collapses map-side into the vocab-sized count
+    * table; the top-N cut is row_number over that AGGREGATE (per-lang
+    * partitions of vocab rows, never corpus rows), tie-broken on the
+    * bigram string (binary UTF-8 order in both engines) so the cut is
+    * total-order deterministic. */
+  def ngramFreq(docs: DataFrame, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    val pairs = docs.filter(size(toks) >= 2)
+      .select(col("lang"), toks.as("toks"),
+        explode(sequence(lit(1), size(toks) - 1)).as("i"))
+      .select(col("lang"),
+        concat(element_at(col("toks"), col("i")), lit(" "),
+          element_at(col("toks"), col("i") + 1)).as("bigram"))
+    val counts = pairs.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram"))
+    counts.select(col("lang"), col("bigram"), col("n"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= topN)
+      .orderBy(col("lang"), col("rank"))
+  }
 }

@@ -214,6 +214,35 @@ object Analytics extends QueryPack {
         .orderBy($"l_returnflag")
     }),
 
+    // Per-group simple OLS (price on quantity): slope / intercept / R²
+    // from the same five decimal-exact moments st2_corr uses — the
+    // closed form over order-independent sums is the only formulation
+    // whose 6-dp result survives partial aggregation AND matches a SQL
+    // re-derivation (built-in regr_slope streams float co-moments).
+    "st4_linreg" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val d = DecimalType(30, 10)
+      val nd = $"n".cast(DoubleType)
+      val cov = nd * $"sxy" - $"sx" * $"sy"
+      val varx = nd * $"sxx" - $"sx" * $"sx"
+      val vary = nd * $"syy" - $"sy" * $"sy"
+      val slope = cov / varx
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(d)).cast(DoubleType).as("sx"),
+          sum($"l_extendedprice".cast(d)).cast(DoubleType).as("sy"),
+          sum(($"l_quantity" * $"l_extendedprice").cast(d)).cast(DoubleType).as("sxy"),
+          sum(($"l_quantity" * $"l_quantity").cast(d)).cast(DoubleType).as("sxx"),
+          sum(($"l_extendedprice" * $"l_extendedprice").cast(d)).cast(DoubleType).as("syy"))
+        .select($"l_returnflag", $"n",
+          round(slope, 6).as("slope"),
+          round(($"sy" - slope * $"sx") / nd, 6).as("intercept"),
+          round(cov * cov / (varx * vary), 6).as("r2"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Hierarchical rollup over the star join: region -> nation -> total.
     "r1_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -477,6 +506,28 @@ object Analytics extends QueryPack {
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
         |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
         |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // Same moments, same operand order: slope = cov/varx, intercept =
+    // (sy − slope·sx)/n, r² = cov²/(varx·vary).
+    "st4_linreg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE), 6)
+        |    AS intercept,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |    AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "r1_rollup" ->

@@ -345,6 +345,12 @@ object Events extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Daily-volume anomaly flags: days whose per-type event count sits
+    // ≥ 2 sample std-devs from the type's daily mean — integer-exact
+    // moments, one corpus-sized shuffle (see ops.EventWindows).
+    "ev_anomaly" -> ((s, dir) =>
+      EventWindows.dailyAnomaly(table(s, dir, "events"), zCut = 2.0)),
+
     // Feature-store materialization: one row per user with the behavioral
     // features a model consumes — typed counts, decimal-exact spend, and
     // recency against the corpus watermark. One partial-agg pass over
@@ -724,6 +730,29 @@ object Events extends QueryPack {
         |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
         |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
         |FROM a JOIN b USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // Same integer day key (µs-epoch floor division), BIGINT moments,
+    // identical double operand order for mean/sd/z.
+    "ev_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, count(*) AS days,
+        |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1 HAVING count(*) >= 2),
+        |w AS (
+        |  SELECT event_type, CAST(sx AS DOUBLE) / days AS mean,
+        |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / days)
+        |      / (days - 1)) AS sd
+        |  FROM s)
+        |SELECT d.event_type, d.day, d.n,
+        |  round((CAST(d.n AS DOUBLE) - w.mean) / w.sd, 6) AS z
+        |FROM d JOIN w USING (event_type)
+        |WHERE w.sd > 0
+        |  AND abs(round((CAST(d.n AS DOUBLE) - w.mean) / w.sd, 6)) >= 2.0
+        |ORDER BY d.event_type, d.day""".stripMargin,
 
     // One pass; typed counts via FILTER-equivalent CASE sums, dsum spend,
     // integer day recency against the corpus max timestamp.

@@ -202,6 +202,51 @@ object TextOps extends QueryPack {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Estimate-vs-exact audit: the verified oracle's candidate + agreement
+    * CTEs, joined to the exact distinct-shingle Jaccard (same shingleCtes,
+    * deduplicated — the signature min is dup-insensitive but the Jaccard
+    * denominator needs true set sizes). */
+  private val minhashEstOracle: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val bh = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val agree = (0 until 16)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $sigCtes,
+      |banded AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |est AS (
+      |  SELECT doc_a, doc_b, round(CAST($agree AS DOUBLE) / 16, 6) AS est_jaccard
+      |  FROM cand
+      |  JOIN sig sa ON cand.doc_a = sa.doc_id
+      |  JOIN sig sb ON cand.doc_b = sb.doc_id),
+      |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS ns FROM shd GROUP BY doc_id),
+      |shr AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      |  FROM cand c
+      |  JOIN shd x ON x.doc_id = c.doc_a
+      |  JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+      |    round(CAST(coalesce(r.n_shared, 0) AS DOUBLE) /
+      |      (za.ns + zb.ns - coalesce(r.n_shared, 0)), 6) AS exact_jaccard
+      |  FROM est e
+      |  LEFT JOIN shr r ON e.doc_a = r.doc_a AND e.doc_b = r.doc_b
+      |  JOIN sz za ON za.doc_id = e.doc_a
+      |  JOIN sz zb ON zb.doc_id = e.doc_b)
+      |SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+      |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+      |FROM ex ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val simhashOracle: String = {
     val bits = graft.ops.Dedup.SimHashBits
     val votes = (0 until bits)
@@ -375,6 +420,11 @@ object TextOps extends QueryPack {
     "dd_minhash_verified" -> ((s, dir) =>
       Dedup.minHashVerifiedFromSignatures(stagedMinHashSigs(s, dir),
         minEst = 0.5)),
+    // Approximation audit: estimate vs exact Jaccard (+abs error) for
+    // every LSH candidate — run before trusting a (hashes, bands) config.
+    "dd_minhash_est" -> ((s, dir) =>
+      Dedup.minHashEstQuality(table(s, dir, "documents"),
+        stagedMinHashSigs(s, dir))),
     "dd_simhash"       -> ((s, dir) => Dedup.simHash(table(s, dir, "documents"))),
     "dd_dup_clusters"  -> ((s, dir) => stagedClusters(s, dir)
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
@@ -496,6 +546,11 @@ object TextOps extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred_lang"))
     }),
+    // Phrase census: top-10 bigrams per language by frequency — the
+    // vocabulary audit a tokenizer build starts from. The top-k cut runs
+    // over the vocab-sized count table, never corpus rows.
+    "tx_ngram_freq" -> ((s, dir) =>
+      TextAnalysis.ngramFreq(table(s, dir, "documents"), topN = 10)),
     // Per-cluster curation dashboard: size, quality spread, source
     // diversity for every duplicate cluster — the review cut before
     // survivor selection drops data. Shares the staged clustering; the
@@ -691,6 +746,7 @@ object TextOps extends QueryPack {
   val oracle: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,
     "dd_minhash_verified" -> minhashVerifiedOracle,
+    "dd_minhash_est" -> minhashEstOracle,
     "dd_simhash" -> simhashOracle,
 
     "dd_edit_distance" ->
@@ -938,6 +994,23 @@ object TextOps extends QueryPack {
         |SELECT d.lang, p.pred_lang, count(*) AS n
         |FROM documents d JOIN p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same normalize-lower-split tokenization as tx_bigram_logprob's
+    // oracle; ranking ties break on the bigram's binary string order.
+    "tx_ngram_freq" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, toks[i] || ' ' || toks[i+1] AS bigram
+        |  FROM (SELECT lang, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2) z),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, bigram, n, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, bigram) AS rank FROM c) r
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     // clusterCtes' recursive closure + qualityCtes, joined per cluster.
     "dd_cluster_stats" ->

@@ -36,6 +36,13 @@ object Vectors extends QueryPack {
         nprobe = 2)
     }),
 
+    // Lloyd k-means (k = 16, 2 assignment rounds) over the corpus — the
+    // clustering step semantic-dedup / diversity-balancing pipelines run
+    // first. Deterministic end-to-end: IVF seeding, 6-dp-rounded cosine
+    // argmax, decimal-exact centroid means (ops.Similarity.kmeansAssign).
+    "emb_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAuto(table(s, dir, "embeddings"), k = 16, iters = 2)),
+
     // ANN evaluation: recall@5 of the sign-LSH path against the exact
     // brute-force ranking, per query — the "measure the approximation,
     // don't guess" harness a pipeline must run before trusting an ANN
@@ -214,6 +221,41 @@ object Vectors extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Two Lloyd rounds re-derived: IVF seeds (every = ceil(n/16)), argmax
+    // assignment (6-dp cosine, smallest-c_id tie-break), decimal-exact
+    // per-dim means rounded 6 dp and cast to REAL (the float Spark's
+    // second round folds over), then the final assignment.
+    "emb_kmeans" ->
+      s"""WITH ce AS (
+        |  SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS every FROM embeddings),
+        |c0 AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ce) = 0),
+        |a1 AS (
+        |  SELECT vec_id, embedding, c_id FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN c0 c) t WHERE rn = 1),
+        |m AS (
+        |  SELECT c_id, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM a1),
+        |cm AS (
+        |  SELECT c_id, dim,
+        |    round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS cv
+        |  FROM m GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT c_id, list(CAST(cv AS REAL) ORDER BY dim) AS c_emb
+        |  FROM cm GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, c_id, sim FROM (
+        |    SELECT v.vec_id, c.c_id, ${cos("v.embedding", "c.c_emb")} AS sim,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN c1 c) t WHERE rn = 1)
+        |SELECT vec_id, c_id, sim FROM a2 ORDER BY vec_id""".stripMargin,
 
     // Both rankings rebuilt with the same CTE machinery as their own
     // oracles, intersected per query; left join keeps 0-hit queries.

@@ -760,6 +760,67 @@ class OpsSpec extends SparkSpec {
     assert(got.values.forall { case (_, s) => s >= -1.0 && s <= 1.0 })
   }
 
+  test("minhash est audit: identical docs estimate 1 with zero error") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "completely different text about unrelated things entirely"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.materialize(Dedup.minHashSignatures(d))
+    val got = rows(Dedup.minHashEstQuality(d, sig))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("est_jaccard"), r.getAs[Double]("exact_jaccard"),
+          r.getAs[Double]("abs_err"))).toMap
+    // identical texts: every min-hash agrees, every shingle shared
+    assert(got((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // doc 3 shares no band with 1/2 -> never a candidate
+    assert(got.keySet == Set((1L, 2L)))
+  }
+
+  test("kmeans: one assignment per vector, bounded clusters, Lloyd improves") {
+    val e = graft.queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    def meanSim(iters: Int): Double = {
+      val out = rows(graft.ops.Similarity.kmeansAuto(e, k = 4, iters = iters))
+      assert(out.length == n)                              // total assignment
+      assert(out.map(_.getAs[Long]("vec_id")).distinct.length == n)
+      assert(out.map(_.getAs[Long]("c_id")).distinct.length <= 4)
+      assert(out.forall { r =>
+        val s = r.getAs[Double]("sim"); s >= -1.0 && s <= 1.0 })
+      out.map(_.getAs[Double]("sim")).sum / n
+    }
+    // centroid update = per-dim mean; cosine-to-mean ranks like cosine-to-
+    // normalized-mean, so the spherical-k-means monotonicity argument
+    // applies (6-dp rounding gets epsilon slack)
+    assert(meanSim(2) >= meanSim(1) - 1e-4)
+  }
+
+  test("daily anomaly: spike day flagged by z-score, quiet days pass") {
+    val dayMs = 86400L * 1000L
+    // type A: nine 1-event days, then an 11-event day -> z ≈ 2.85
+    val ev = ((0 until 9).map(d => (d.toLong, new java.sql.Timestamp(d * dayMs), "A")) ++
+      (0 until 11).map(i => (100L + i, new java.sql.Timestamp(9 * dayMs + i), "A")) ++
+      Seq((900L, new java.sql.Timestamp(0L), "B")))   // 1 day only: no spread
+      .toDF("event_id", "ts", "event_type")
+    val got = rows(EventWindows.dailyAnomaly(ev, zCut = 2.0))
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("event_type") == "A" && r.getAs[Long]("day") == 9L
+      && r.getAs[Long]("n") == 11L && r.getAs[Double]("z") > 2.8
+      && r.getAs[Double]("z") < 2.9)
+  }
+
+  test("ngram freq: vocab counts per language, count-desc bigram-asc order") {
+    val d = Seq((1L, "a b a b", "en"), (2L, "a b c", "en"), (3L, "solo", "es"))
+      .toDF("doc_id", "text", "lang")
+    val got = rows(TextAnalysis.ngramFreq(d, topN = 10))
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bigram"),
+        r.getAs[Long]("n"), r.getAs[Long]("rank")))
+    // doc 3 has one token -> no bigram; ties (n=1) break on bigram string
+    assert(got == Seq(("en", "a b", 3L, 1L), ("en", "b a", 1L, 2L),
+      ("en", "b c", 1L, 3L)))
+  }
+
   test("multimodal frame sample strides over fake frames; resize preserves ratio") {
     val d = Seq((1L, "x" * 100)).toDF("doc_id", "text")   // 100 bytes -> 7 frames
     val frames = rows(Multimodal.frameSample(d, stride = 2))

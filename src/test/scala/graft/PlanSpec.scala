@@ -137,6 +137,25 @@ class PlanSpec extends SparkSpec {
       s"unexpected extra Window node — corpus assignment regressed to a window\n${p.take(800)}")
   }
 
+  test("kmeans rounds broadcast centroids; assignment argmax never windows") {
+    val p = plan("emb_kmeans")
+    // every centroid table (seeds and updated means) broadcasts against
+    // the corpus; a shuffled CartesianProduct would be the scale-killer
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // both assignment rounds are packed-BIGINT max() partial aggregates —
+    // a row_number window would exchange every |corpus|·k scored row
+    assert(p.split("\\bWindow\\b").length - 1 == 0,
+      "kmeans assignment regressed to a corpus-row window")
+    assert(!p.contains("SortAggregate"),
+      "kmeans aggregation fell back to SortAggregate")
+  }
+
+  test("daily anomaly broadcasts per-type moments over the daily table") {
+    val p = plan("ev_anomaly")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
   test("hll sketch aggregates partially before its single exchange") {
     val p = plan("ev_hll_sketch")
     assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
