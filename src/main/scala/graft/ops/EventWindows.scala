@@ -223,14 +223,26 @@ object EventWindows {
     * Shape at scale: one partial aggregation to (type, day) — the only
     * corpus-sized shuffle — then a |types|-row moment rollup broadcast
     * back over the |types·days| daily table. No windows, no self-join. */
-  def dailyAnomaly(events: DataFrame, zCut: Double = 2.0): DataFrame = {
+  def dailyAnomaly(events: DataFrame, zCut: Double = 2.0): DataFrame =
+    anomalyFromDaily(dailyCounts(events), zCut)
+
+  /** The (event_type, day, n) daily count table — integer µs-epoch day
+    * key (the retention() idiom), one partial-aggregated pass. Exposed so
+    * the streaming twin can maintain the SAME table online and share
+    * anomalyFromDaily verbatim. */
+  def dailyCounts(events: DataFrame): DataFrame = {
     val dayUs = 24L * 3600L * 1000000L
     val tsUs = unix_micros(col("ts").cast("timestamp"))
     // tsUs - pmod is exactly divisible, so the double division is exact
     val day = ((tsUs - pmod(tsUs, lit(dayUs))) / lit(dayUs)).cast("long")
-    val daily = events.select(col("event_type"), day.as("day"))
+    events.select(col("event_type"), day.as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** z-score flags over an already-aggregated (event_type, day, n)
+    * table. */
+  def anomalyFromDaily(daily: DataFrame, zCut: Double = 2.0): DataFrame = {
     // sample std-dev from exact integer moments; a single-day type has no
     // spread to measure and drops out (days >= 2), as does sd = 0
     val stats = daily.groupBy(col("event_type"))

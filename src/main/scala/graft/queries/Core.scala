@@ -184,6 +184,31 @@ object Core extends QueryPack {
         .orderBy(asc_nulls_first("nk"))
     }),
 
+    // J8: full outer join — daily order volume reconciled against daily
+    // event volume; days exist on each side the other lacks, so both
+    // null-extension directions are exercised. Each side partial-
+    // aggregates to |days| rows BEFORE the join, so the full-outer
+    // shuffle moves day counts, never raw rows — the reconciliation
+    // shape that still works when both inputs are 100 TB.
+    "j8_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val dayUs = 24L * 3600L * 1000000L
+      def dayOf(c: org.apache.spark.sql.Column) = {
+        val us = unix_micros(c.cast("timestamp"))
+        ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+      }
+      val od = table(s, dir, "orders")
+        .select(dayOf($"o_orderdate").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("n_orders"))
+      val ed = table(s, dir, "events")
+        .select(dayOf($"ts").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("n_events"))
+      od.join(ed, Seq("day"), "full_outer")
+        .select($"day", coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"n_events", lit(0L)).as("n_events"))
+        .orderBy($"day")
+    }),
+
     // A8: intersect — nations present among both customers and suppliers.
     "a8_intersect" -> ((s, dir) => {
       import s.implicits._
@@ -370,6 +395,21 @@ object Core extends QueryPack {
         |SELECT c.nk AS nk, count(*) AS n_pairs
         |FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
         |GROUP BY 1 ORDER BY nk NULLS FIRST""".stripMargin,
+
+    // USING(day) coalesces the key in both engines; counts null-extend
+    // and coalesce to 0.
+    "j8_full_outer" ->
+      """WITH od AS (
+        |  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |ed AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT day, coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_events, 0) AS n_events
+        |FROM od FULL OUTER JOIN ed USING (day) ORDER BY day""".stripMargin,
 
     "a8_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer

@@ -311,6 +311,38 @@ object Events extends QueryPack {
         .orderBy(col("row"), col("bucket"))
     }),
 
+    // The anomaly monitor maintained ONLINE: the (type, day) count table
+    // is a streaming aggregation (state = |types·days| rows, counts are
+    // order-insensitive), and the z-flag computation runs over the
+    // drained table with EXACTLY the batch code (anomalyFromDaily) — so
+    // the alarm converges to ev_anomaly and shares its oracle.
+    "ev_stream_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = tmpStage(dir, "evstream")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+          .write.mode("overwrite").parquet(staged)
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val dayUs = 24L * 3600L * 1000000L
+      val tsUs = unix_micros(col("ts"))
+      val day = ((tsUs - pmod(tsUs, lit(dayUs))) / lit(dayUs)).cast("long")
+      val agg = stream.select(col("event_type"), day.as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      // materialize: anomalyFromDaily self-joins the daily table (moments
+      // vs rows), and two references to the same MemoryPlan view do not
+      // deduplicate — a |types·days|-row checkpoint gives the join fresh
+      // attribute ids (and costs nothing)
+      EventWindows.anomalyFromDaily(
+        graft.ops.Dedup.materialize(
+          StreamOps.drainToTable(agg, s"ev_stream_anom$sf".replace(".", "_"),
+            mode = "complete", shufflePartitions = Some(8))),
+        zCut = 2.0)
+    }),
+
     // A/B comparison: Welch's t-statistic on event value between the two
     // user_id-parity arms, per event type — computed from decimal-exact
     // moments (count, Σx, Σx²) so partial-aggregation order can't move
@@ -507,6 +539,30 @@ object Events extends QueryPack {
         .orderBy(col("event_type"))
     })
   )
+
+  /** Integer day key (µs-epoch floor division), BIGINT moments, identical
+    * double operand order for mean/sd/z — shared by the batch query and
+    * its streaming twin (which converges to the same daily table). */
+  private val anomalyOracle: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, count(*) AS days,
+      |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
+      |  FROM d GROUP BY 1 HAVING count(*) >= 2),
+      |w AS (
+      |  SELECT event_type, CAST(sx AS DOUBLE) / days AS mean,
+      |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / days)
+      |      / (days - 1)) AS sd
+      |  FROM s)
+      |SELECT d.event_type, d.day, d.n,
+      |  round((CAST(d.n AS DOUBLE) - w.mean) / w.sd, 6) AS z
+      |FROM d JOIN w USING (event_type)
+      |WHERE w.sd > 0
+      |  AND abs(round((CAST(d.n AS DOUBLE) - w.mean) / w.sd, 6)) >= 2.0
+      |ORDER BY d.event_type, d.day""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // Spark tumbling windows align to the epoch: start = floor(t/size)*size.
@@ -733,26 +789,11 @@ object Events extends QueryPack {
 
     // Same integer day key (µs-epoch floor division), BIGINT moments,
     // identical double operand order for mean/sd/z.
-    "ev_anomaly" ->
-      """WITH d AS (
-        |  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |s AS (
-        |  SELECT event_type, count(*) AS days,
-        |    CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
-        |  FROM d GROUP BY 1 HAVING count(*) >= 2),
-        |w AS (
-        |  SELECT event_type, CAST(sx AS DOUBLE) / days AS mean,
-        |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / days)
-        |      / (days - 1)) AS sd
-        |  FROM s)
-        |SELECT d.event_type, d.day, d.n,
-        |  round((CAST(d.n AS DOUBLE) - w.mean) / w.sd, 6) AS z
-        |FROM d JOIN w USING (event_type)
-        |WHERE w.sd > 0
-        |  AND abs(round((CAST(d.n AS DOUBLE) - w.mean) / w.sd, 6)) >= 2.0
-        |ORDER BY d.event_type, d.day""".stripMargin,
+    "ev_anomaly" -> anomalyOracle,
+
+    // The streaming twin converges to the batch daily table, so the SAME
+    // oracle checks it.
+    "ev_stream_anomaly" -> anomalyOracle,
 
     // One pass; typed counts via FILTER-equivalent CASE sums, dsum spend,
     // integer day recency against the corpus max timestamp.
