@@ -272,6 +272,32 @@ class PropertySpec extends SparkSpec {
     assert(lsh.distinct().count() == expected)
   }
 
+  test("kmeans assignment is the exact argmax over seed centroids") {
+    import graft.ops.Similarity
+    import graft.functions.VectorExpressions.dotf
+    val e = graft.queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val every = math.max(1L, math.ceil(e.count() / 4.0)).toInt
+    // one assignment round against the seeds -> recompute every cosine
+    // brute-force and assert the packed-argmax picked max-sim with
+    // smallest-c_id tie-break
+    val got = rows(Similarity.kmeansAssign(e, every, iters = 1))
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("c_id"), r.getAs[Double]("sim"))).toMap
+    val cent = e.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val all = rows(e.crossJoin(cent).select(col("vec_id"), col("c_id"),
+      round(dotf(col("embedding"), col("c_emb"))
+        / sqrt(dotf(col("embedding"), col("embedding")))
+        / sqrt(dotf(col("c_emb"), col("c_emb"))), 6).as("sim")))
+      .groupBy(_.getAs[Long]("vec_id"))
+    for ((vid, cands) <- all) {
+      val best = cands.map(r => (r.getAs[Double]("sim"), r.getAs[Long]("c_id")))
+        .minBy { case (s, c) => (-s, c) }
+      assert(got(vid) == ((best._2, best._1)),
+        s"vec $vid: packed argmax ${got(vid)} != brute-force $best")
+    }
+  }
+
   test("dsum decimal aggregation is partition-order independent") {
     val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
     val one = vals.toDF("v").repartition(1)
