@@ -150,6 +150,20 @@ class PlanSpec extends SparkSpec {
       "kmeans aggregation fell back to SortAggregate")
   }
 
+  test("full-outer reconciliation prunes scans and aggregates before the join") {
+    val p = plan("j8_full_outer")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // each side needs exactly its time column — a scan dragging the wide
+    // row through a corpus-sized full-outer would be the scale bug
+    assert(readSchema.contains("o_orderdate") &&
+      !readSchema.contains("o_totalprice"), readSchema)
+    assert(!readSchema.contains("event_type") &&
+      !readSchema.contains("user_id"), readSchema)
+    // counts collapse to |days| rows per side before any join
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      "daily counts are not partial-aggregated before the full-outer join")
+  }
+
   test("daily anomaly broadcasts per-type moments over the daily table") {
     val p = plan("ev_anomaly")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))

@@ -19,7 +19,7 @@ if set(a) != set(b):
     print(f"WARN: query sets differ: {set(a) ^ set(b)}", file=sys.stderr)
 queries = {k: round(min(a[k], b.get(k, a[k])), 6) for k in sorted(a)}
 out = {
-    "round": "r3",
+    "round": "r5",
     "sf": 0.1,
     "cpus": 32,
     "note": ("per-query seconds, min of 2 consecutive clean local[32] runs at "
