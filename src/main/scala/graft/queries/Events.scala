@@ -146,6 +146,21 @@ object Events extends QueryPack {
         Seq(col("event_type")), col("user_id"), m = 64)
     }),
 
+    // The HLL merge LAW, judged: Spark merges the per-type sketches
+    // (max over cells, counts additive) while the oracle computes the
+    // global sketch DIRECTLY from the raw stream — the hash match proves
+    // merged == direct, which is the entire reason sketches work across
+    // 1000 executors / daily partitions at 100 TB.
+    "ev_hll_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Sketch.hllSketchBy(table(s, dir, "events"),
+          Seq(col("event_type")), col("user_id"), m = 64)
+        .groupBy(col("bucket"))
+        .agg(max(col("max_rho")).as("max_rho"),
+          sum(col("n_items")).as("n_items"))
+        .orderBy(col("bucket"))
+    }),
+
     // Count-Min frequency sketch over event types: the judged artifact is
     // the exact integer (row, bucket, cnt) cell table — the mergeable form.
     "ev_cms_sketch" -> ((s, dir) =>
@@ -595,6 +610,18 @@ object Events extends QueryPack {
     // 60-bit md5 hash split into 6 bucket bits + 54 rank bits; rho via
     // length(bin(w)) — exact in both engines (neither pads bin()).
     "ev_hll_sketch" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(7 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events)
+        |SELECT CAST(h & 63 AS INTEGER) AS bucket,
+        |  CAST(max(CASE WHEN h >> 6 = 0 THEN 55
+        |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
+        |  count(*) AS n_items
+        |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Deliberately the DIRECT global sketch (no per-type split): Spark's
+    // merge of the by-type cells must land on the identical cell table.
+    "ev_hll_merge" ->
       """WITH h AS (
         |  SELECT CAST(('0x' || substr(md5(7 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
         |  FROM events)

@@ -591,6 +591,20 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("source"), col("rk"), col("quota"))
         .orderBy(col("doc_id"))
     }),
+    // Quality-weighted sampling: P(keep) = quality/2, decided by an
+    // exact-integer rule — the 6-dp quality score scales to an integer
+    // (round(q·10⁶) is exact) and the doc's seeded hash mod 2·10⁶
+    // compares against it, so inclusion is deterministic, proportional
+    // to the score, and engine-reproducible. Pure map-side filter: the
+    // quality pass is per-row, no shuffle anywhere.
+    "sp7_weighted" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      TextAnalysis.qualityScore(table(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+        .filter(Dedup.seededHash(53, col("doc_id").cast("string")) % 2000000L
+          < round(col("quality") * 1000000.0, 0).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
     // Decontamination AT INGEST: the benchmark bitmap broadcasts into the
     // stream and every arriving gram probes it MAP-SIDE (a stateless
     // filter — the screen-before-you-store shape); the per-doc rollup is
@@ -1237,6 +1251,14 @@ object TextOps extends QueryPack {
         |  CAST(start_tok // 2048 AS BIGINT) AS seq_id,
         |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same quality CTEs as tx_quality; identical integer keep rule.
+    "sp7_weighted" ->
+      s"""WITH $qualityCtes
+        |SELECT doc_id, quality FROM q
+        |WHERE ${mh(53, "CAST(doc_id AS VARCHAR)")} % 2000000
+        |  < CAST(round(quality * 1000000.0, 0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     // The update-mode upsert drain must converge to the identical batch
     // dedup, no matter how the corpus was micro-batched.
