@@ -146,6 +146,26 @@ object Events extends QueryPack {
         Seq(col("event_type")), col("user_id"), m = 64)
     }),
 
+    // The CMS merge LAW, judged — the additive sibling of ev_hll_merge:
+    // Spark sketches the two user_id-parity shards separately and SUMS
+    // their cell tables; the oracle computes the one-shard sketch
+    // directly. Additive cells are why per-day / per-executor CMS tables
+    // roll up into exact corpus totals.
+    "ev_cms_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      table(s, dir, "events")
+        .select((col("user_id") % 2).cast("int").as("shard"),
+          explode(graft.ops.Sketch.cmsCells(col("event_type"), 4, 64))
+            .as("cell"))
+        .select(col("shard"), col("cell.row").as("row"),
+          col("cell.bucket").as("bucket"))
+        .groupBy(col("shard"), col("row"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("row"), col("bucket"))
+    }),
+
     // The HLL merge LAW, judged: Spark merges the per-type sketches
     // (max over cells, counts additive) while the oracle computes the
     // global sketch DIRECTLY from the raw stream — the hash match proves
@@ -579,6 +599,18 @@ object Events extends QueryPack {
       |  AND abs(round((CAST(d.n AS DOUBLE) - w.mean) / w.sd, 6)) >= 2.0
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  /** Direct CMS cell table (seeds 100..103), shared by the one-pass
+    * sketch and the shard-merge query (additive cells ⇒ identical). */
+  private val cmsOracle: String = {
+    val rows = (0 until 4).map { i =>
+      s"SELECT $i AS row, CAST(CAST(('0x' || substr(md5(${100 + i} || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket FROM events"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH cells AS (
+      |  $rows)
+      |SELECT row, bucket, count(*) AS cnt
+      |FROM cells GROUP BY row, bucket ORDER BY row, bucket""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // Spark tumbling windows align to the epoch: start = floor(t/size)*size.
     "ev_tumbling_window" ->
@@ -645,15 +677,11 @@ object Events extends QueryPack {
 
     // Same md5-derived 60-bit seeded hash family as the Spark side
     // (seeds 100..103), cells additive.
-    "ev_cms_sketch" -> {
-      val rows = (0 until 4).map { i =>
-        s"SELECT $i AS row, CAST(CAST(('0x' || substr(md5(${100 + i} || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket FROM events"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH cells AS (
-        |  $rows)
-        |SELECT row, bucket, count(*) AS cnt
-        |FROM cells GROUP BY row, bucket ORDER BY row, bucket""".stripMargin
-    },
+    "ev_cms_sketch" -> cmsOracle,
+
+    // Deliberately the DIRECT one-shard sketch: Spark's sum of the two
+    // parity-shard cell tables must land on identical cells.
+    "ev_cms_merge" -> cmsOracle,
 
     // The stream-stream join must emit exactly the batch interval join's
     // pair set.
