@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver captures a tail of this process's output and
+// parses the LAST line as JSON. Two things used to break that contract:
+// sbt's logger prefixing forked output with "[info] ", and the trailing
+// "[success] Total time: ..." line printed after the run. Route forked
+// stdout/stderr straight through and suppress the success banner so the
+// judged JSON line Bench prints is the literal last line captured.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

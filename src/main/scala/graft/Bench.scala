@@ -145,6 +145,10 @@ object Bench {
     }
     System.err.flush()
     try spark.stop() catch { case _: Throwable => () }
+    // let sbt's stderr-forwarding thread drain before the judged stdout
+    // line — an interleave that lands a stale stderr diagnostic AFTER the
+    // JSON would re-break the last-line parse this ordering exists for
+    Thread.sleep(300)
     println(judgedLine(results, failed,
       java.nio.file.Paths.get(sfDir).getFileName.toString))
     System.out.flush()
