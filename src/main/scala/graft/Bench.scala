@@ -72,6 +72,18 @@ object Bench {
       try SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // Streaming queries additionally warm AT THE BENCH SF: their parquet
+    // micro-batch staging is harness scaffolding keyed by SF dir and
+    // reused across runs via _SUCCESS, so without this the first timed
+    // drain pays the staging write inside its window — the fixed-cost
+    // noise behind the phantom stream-query "regressions" of r4/r5. The
+    // drain itself (the measured operator) still re-executes fully in the
+    // timed pass.
+    for ((name, fn) <- SparkEntry.queries
+         if name.contains("stream") && (only.isEmpty || only(name)))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // drop the warm-up pass's broadcast/shuffle residue before the first
     // timed query (see the GC note in timeOne)
     System.gc()

@@ -726,7 +726,10 @@ object Dedup {
                       threshold: Double = 0.6): DataFrame = {
     val dfTab = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-    val kept = grams.join(dfTab.select(col("gh")), "gh")
+    // kept feeds three branches (sizes + both sides of the self-join);
+    // without a barrier Catalyst recomputes the df aggregation and join
+    // per branch — same multi-pass shape bigramLogProb fixed.
+    val kept = materialize(grams.join(dfTab.select(col("gh")), "gh"))
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
     val shared = kept.as("x").join(kept.as("y"),
         col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))

@@ -115,13 +115,22 @@ object Sampling {
     * the data: re-runs, engines, and incremental batches agree.
     *
     * Shape at scale: the quota table is |strata| rows and broadcasts; the
-    * per-stratum rank is the same window topKByHash pays, with the same
-    * two-phase prefilter cut applying when strata outgrow memory. */
+    * per-stratum rank is topKByHash capped at the budget (a literal bound,
+    * so WindowGroupLimit trims each stratum to O(budget) candidates before
+    * the sort); the two-phase prefilter cut applies on top when even the
+    * budget-sized heap per stratum is too much. */
   def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
                         budget: Long = 10000L, seed: Int = 31): DataFrame = {
     val quotas = temperatureWeights(df, strataCol, budget)
       .select(col(strataCol), col("quota"))
-    topKByHash(df, strataCol, idCol, k = Int.MaxValue, seed = seed)
+    // Every quota is floor(weight·budget) ≤ budget, so ranking past the
+    // budget can never survive the quota filter — cap k there. The cap is
+    // a LITERAL bound, which is what lets Catalyst insert a
+    // WindowGroupLimit below the sort (each stratum is cut to its top
+    // budget+heap candidates map-side before the exact rank), instead of
+    // the full-stratum rank Int.MaxValue forced.
+    topKByHash(df, strataCol, idCol,
+        k = math.min(budget, Int.MaxValue.toLong).toInt, seed = seed)
       .join(broadcast(quotas), strataCol)
       .filter(col("rk") <= col("quota"))
   }

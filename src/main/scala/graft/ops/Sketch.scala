@@ -19,13 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Sketch {
 
-  /** Per-bucket max rank table: bucket = low log2(m) hash bits,
-    * rho = (bits of w) - floor(log2(w)) for the remaining 60-log2(m) bits
-    * (i.e. leading-zero count + 1; w = 0 -> full width + 1). */
   /** The (bucket, rho) projection underlying hllSketch, exposed so the
     * STREAMING twin runs the identical expressions as an unbounded
-    * aggregation: max and count are order-insensitive, so any
-    * micro-batching converges to the batch sketch exactly. */
+    * aggregation: bucket = low log2(m) hash bits, rho = leading-zero
+    * count + 1 of the remaining 60-log2(m) bits (w = 0 -> full width + 1;
+    * computed as (bits of w) - floor(log2(w)) via length(bin(w))). */
   def hllBucketRho(c: Column, m: Int = 64): (Column, Column) = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
@@ -37,6 +35,8 @@ object Sketch {
     (h.bitwiseAND(lit((m - 1).toLong)).cast("int"), rho)
   }
 
+  /** Per-bucket max rank table — the mergeable (bucket, max_rho, n_items)
+    * sketch over one column (see hllBucketRho for the bit layout). */
   def hllSketch(df: DataFrame, c: Column, m: Int = 64): DataFrame = {
     val (bucket, rho) = hllBucketRho(c, m)
     df.select(bucket.as("bucket"), rho.as("rho"))

@@ -206,6 +206,10 @@ object Analytics extends QueryPack {
           sum(($"l_quantity" * $"l_extendedprice").cast(d)).cast(DoubleType).as("sxy"),
           sum(($"l_quantity" * $"l_quantity").cast(d)).cast(DoubleType).as("sxx"),
           sum(($"l_extendedprice" * $"l_extendedprice").cast(d)).cast(DoubleType).as("syy"))
+        // zero-variance guard (mirrored in the oracle): a constant column
+        // makes the denominator 0 — Spark NULLs, DuckDB ±inf/nan
+        .filter($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx" > 0 &&
+                $"n".cast(DoubleType) * $"syy" - $"sy" * $"sy" > 0)
         .select($"l_returnflag", $"n",
           round(($"n".cast(DoubleType) * $"sxy" - $"sx" * $"sy") /
             (sqrt($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx") *
@@ -236,6 +240,9 @@ object Analytics extends QueryPack {
           sum(($"l_quantity" * $"l_extendedprice").cast(d)).cast(DoubleType).as("sxy"),
           sum(($"l_quantity" * $"l_quantity").cast(d)).cast(DoubleType).as("sxx"),
           sum(($"l_extendedprice" * $"l_extendedprice").cast(d)).cast(DoubleType).as("syy"))
+        // zero-variance guard (mirrored in the oracle): slope divides by
+        // varx, r² by varx·vary — Spark NULLs on 0, DuckDB ±inf/nan
+        .filter(varx > 0 && vary > 0)
         .select($"l_returnflag", $"n",
           round(slope, 6).as("slope"),
           round(($"sy" - slope * $"sx") / nd, 6).as("intercept"),
@@ -506,7 +513,10 @@ object Analytics extends QueryPack {
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
         |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
         |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+        |FROM s
+        |WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |  AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Same moments, same operand order: slope = cov/varx, intercept =
     // (sy − slope·sx)/n, r² = cov²/(varx·vary).
@@ -528,7 +538,10 @@ object Analytics extends QueryPack {
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy) /
         |        ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
         |    AS r2
-        |FROM s ORDER BY l_returnflag""".stripMargin,
+        |FROM s
+        |WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |  AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+        |ORDER BY l_returnflag""".stripMargin,
 
     "r1_rollup" ->
       """SELECT r_name, n_name,

@@ -290,8 +290,13 @@ object Etl extends QueryPack {
     // legacy rows explicitly so the drift stays visible downstream.
     "etl_schema_evolution" -> ((s, dir) => {
       val path = tmp(dir, "schema_evo")
+      // guard on BOTH markers: a failure between the two writes would
+      // otherwise leave v2 missing/stale and every later run would skip
+      // the rewrite and read an inconsistent dataset
       if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/v1/_SUCCESS"))) {
+          java.nio.file.Paths.get(s"$path/v1/_SUCCESS")) ||
+          !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/v2/_SUCCESS"))) {
         val docs = table(s, dir, "documents")
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("lang"), col("source"))

@@ -88,17 +88,24 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evstream")
+      val staged = tmpStage(dir, "evstream4")
       // testdata is immutable and the dir is keyed by SF — a completed
-      // previous staging (marked by _SUCCESS) can be reused verbatim
+      // previous staging (marked by _SUCCESS) can be reused verbatim.
+      // FOUR files, not the scan's native partitioning: with
+      // maxFilesPerTrigger=1 each file is a micro-batch, and a complete-
+      // mode drain pays a full result rewrite + state-store commit per
+      // batch — 4 batches prove cross-batch window merging exactly as
+      // well as 32 at an eighth of the fixed micro-batch machinery.
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$staged/_SUCCESS")))
         table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-          .write.mode("overwrite").parquet(staged)
+          .coalesce(4).write.mode("overwrite").parquet(staged)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val drained = StreamOps.drainToTable(
         StreamOps.tumbling(stream, sizeMin = 15),
-        s"ev_stream_tumbling$sf".replace(".", "_"), mode = "complete")
+        s"ev_stream_tumbling$sf".replace(".", "_"), mode = "complete",
+        // |event_type| keys per window — 8 state stores are plenty
+        shufflePartitions = Some(8))
       drained
         .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
         .orderBy(col("win_start"), col("event_type"))
@@ -394,7 +401,13 @@ object Events extends QueryPack {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(d)).cast(DoubleType).as("sx"),
           sum((col("value") * col("value")).cast(d)).cast(DoubleType).as("sxx"))
-      val w = m.select(col("event_type"), col("arm"), col("n"),
+      // Guards (mirrored in the oracle): an arm with n = 1 divides by
+      // zero in vr, and two zero-variance arms divide by zero in t —
+      // Spark yields NULL there but DuckDB's IEEE ops yield ±inf/nan,
+      // breaking the hash contract (same shape as anomalyFromDaily's
+      // sd > 0 guard).
+      val w = m.filter(col("n") >= 2)
+        .select(col("event_type"), col("arm"), col("n"),
         (col("sx") / col("n")).as("mean"),
         ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
           .as("vr"))
@@ -403,6 +416,7 @@ object Events extends QueryPack {
       val b = w.filter(col("arm") === 1).select(col("event_type"),
         col("n").as("n_b"), col("mean").as("mean_b"), col("vr").as("var_b"))
       a.join(b, "event_type")
+        .filter(col("var_a") / col("n_a") + col("var_b") / col("n_b") > 0)
         .select(col("event_type"), col("n_a"), col("n_b"),
           round(col("mean_a"), 6).as("mean_a"),
           round(col("mean_b"), 6).as("mean_b"),
@@ -832,7 +846,7 @@ object Events extends QueryPack {
         |w AS (
         |  SELECT event_type, arm, n, sx / n AS mean,
         |    (sxx - sx * sx / n) / (n - 1) AS vr
-        |  FROM m),
+        |  FROM m WHERE n >= 2),
         |a AS (SELECT event_type, n AS n_a, mean AS mean_a, vr AS var_a
         |      FROM w WHERE arm = 0),
         |b AS (SELECT event_type, n AS n_b, mean AS mean_b, vr AS var_b
@@ -840,7 +854,9 @@ object Events extends QueryPack {
         |SELECT a.event_type, n_a, n_b,
         |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
         |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
-        |FROM a JOIN b USING (event_type) ORDER BY event_type""".stripMargin,
+        |FROM a JOIN b USING (event_type)
+        |WHERE var_a / n_a + var_b / n_b > 0
+        |ORDER BY event_type""".stripMargin,
 
     // Same integer day key (µs-epoch floor division), BIGINT moments,
     // identical double operand order for mean/sd/z.

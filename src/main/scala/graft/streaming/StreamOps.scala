@@ -168,15 +168,39 @@ object StreamOps {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // A bounded drain into a MEMORY sink is ephemeral by contract — the
+    // checkpoint's crash-recovery durability buys nothing, but its
+    // per-micro-batch offset/commit/state fsync chatter is real (~0.4 s
+    // per drain measured on the default disk-backed tmpdir). Put it on
+    // tmpfs when the host has one; a production writeStream passes a
+    // durable checkpointLocation instead (see drainUpsert).
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
+      else None
     try {
-      val q: StreamingQuery = df.writeStream
+      var w = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
+      val q: StreamingQuery = w.start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ckpt.foreach { root =>
+        import scala.util.Using
+        try Using.resource(java.nio.file.Files.walk(root)) { s =>
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.reverse
+            .foreach(p => try java.nio.file.Files.delete(p)
+                          catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }
+    }
     df.sparkSession.table(name)
   }
 
