@@ -213,6 +213,61 @@ object VectorExpressions {
         newChild: Expression): FloatVecQuantize = copy(child = newChild)
   }
 
+  /** First 60 bits of md5(input) as a non-negative BIGINT — the native
+    * form of `conv(substr(md5(s), 1, 15), 16, 10)`. Value-identical to
+    * that SQL (first 15 hex chars = first 8 digest bytes >>> 4, the
+    * equivalence Dedup.seededHashJvm already pins), but skips the
+    * 32-char hex encode, substring, and BigInt parse of the composed
+    * built-ins — seededHash sits under every dedup gram, minhash band,
+    * sampling bucket, and sketch cell, so the per-call cost is the
+    * hottest scalar in the library. */
+  def md5Long60(s: UTF8String): Long = {
+    val d = md5Pool.get(); d.reset()
+    val out = d.digest(s.getBytes)
+    ((((out(0) & 0xffL) << 56) | ((out(1) & 0xffL) << 48) |
+      ((out(2) & 0xffL) << 40) | ((out(3) & 0xffL) << 32) |
+      ((out(4) & 0xffL) << 24) | ((out(5) & 0xffL) << 16) |
+      ((out(6) & 0xffL) << 8) | (out(7) & 0xffL)): Long) >>> 4
+  }
+
+  private val md5Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Bit length of a non-negative BIGINT: 64 − numberOfLeadingZeros —
+    * value-identical to `length(bin(w))` for w > 0 (callers special-case
+    * w = 0, where bin yields "0" = length 1 but no sketch consumer asks).
+    * The bin() form allocates a up-to-64-char string per call purely to
+    * measure it; rho derivation runs once per exploded sketch row, so
+    * that allocation was the hot path of profileApprox. */
+  case class BitLength(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bit_length64"
+    override protected def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[Long]
+      64 - java.lang.Long.numberOfLeadingZeros(v)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"(64 - java.lang.Long.numberOfLeadingZeros($c))")
+    override protected def withNewChildInternal(
+        newChild: Expression): BitLength = copy(child = newChild)
+  }
+
+  /** Codegen'd wrapper for md5Long60 (see above). */
+  case class Md5Hash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "md5_hash60"
+    override protected def nullSafeEval(input: Any): Any =
+      md5Long60(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExpressions.md5Long60($c)")
+    override protected def withNewChildInternal(
+        newChild: Expression): Md5Hash60 = copy(child = newChild)
+  }
+
   /** Column wrappers. */
   def dotf(a: Column, b: Column): Column =
     bridge.column(FloatVecDot(bridge.expression(a), bridge.expression(b)))
@@ -228,4 +283,10 @@ object VectorExpressions {
 
   def vecQuantize(a: Column): Column =
     bridge.column(FloatVecQuantize(bridge.expression(a)))
+
+  def md5Hash60(s: Column): Column =
+    bridge.column(Md5Hash60(bridge.expression(s)))
+
+  def bitLength64(v: Column): Column =
+    bridge.column(BitLength(bridge.expression(v)))
 }

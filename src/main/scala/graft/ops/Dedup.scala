@@ -52,11 +52,14 @@ object Dedup {
   /** Seeded 60-bit hash both engines can compute: low 15 hex chars of
     * md5("seed:value") parsed base-16. DuckDB twin:
     * `CAST('0x' || substr(md5(seed || ':' || v), 1, 15) AS BIGINT)`.
+    * Evaluated through the native Md5Hash60 expression — the same value
+    * as `conv(substring(md5(..), 1, 15), 16, 10)` without that form's
+    * hex-encode + substring + BigInt-parse detour (this hash sits under
+    * every gram, band, bucket, and sketch cell in the library).
     * A production deployment would swap in xxhash64 (≈4× faster, not
     * SQL-reproducible) — the algorithms only need *some* fixed hash family. */
   def seededHash(seed: Int, v: Column): Column =
-    conv(substring(md5(concat_ws(":", lit(seed), v)), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.VectorExpressions.md5Hash60(concat_ws(":", lit(seed), v))
 
   /** JVM-side twin of seededHash for bounded driver-side probes (sketch
     * point estimates): the same md5("seed:value") → first-60-bits

@@ -46,6 +46,44 @@ object Quality {
       .orderBy(col("col_name"))
   }
 
+  /** Approximate profile for the 100 TB path: per column, the mergeable
+    * integer-exact HLL table (col_name, bucket, max_rho, n_items) that
+    * `profile`'s exact countDistinct stands in for at small scale. Where
+    * multi-column countDistinct plans through Expand — the shuffle carries
+    * rows × |cols| distinct values — this explodes per-row (col, bucket,
+    * rho) triples MAP-SIDE into a partial max/count, so the exchange
+    * carries at most partitions × |cols| × m rows regardless of data size,
+    * and per-day/per-shard profiles merge by max(max_rho)/sum(n_items)
+    * without rescanning. n_items counts non-null values (nulls carry no
+    * identity, so they are excluded from the sketch — pair with
+    * `profile`'s n_null for the null census). Point estimates come from
+    * Sketch.estimate per column, driver-side.
+    *
+    * Columns must render identically as strings in every engine that
+    * checks the sketch (integers / strings / dates — not raw doubles,
+    * whose formatting is engine-specific). */
+  def profileApprox(df: DataFrame, cols: Seq[String], m: Int = 64): DataFrame = {
+    // Hash ONCE per (row, column), fan out as a PRIMITIVE long array via
+    // posexplode (the position doubles as the column index), and group on
+    // (int, int) — no per-row structs, no string group key in the 36M-row
+    // hash-aggregate probe path. col_name is re-attached on the |cols|·m
+    // aggregated rows.
+    val hashes = cols.map(c =>
+      when(col(c).isNotNull, Dedup.seededHash(7, col(c))))
+    val (bucket, rho) = Sketch.bucketRhoFromHash(col("h"), m)
+    val name = cols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (c, i)) => when(col("ci") === i, lit(c)).otherwise(acc)
+    }
+    df.select(posexplode(array(hashes: _*)).as(Seq("ci", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("ci"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("ci"), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"), count(lit(1)).as("n_items"))
+      .select(name.as("col_name"), col("bucket"), col("max_rho"),
+        col("n_items"))
+      .orderBy(col("col_name"), col("bucket"))
+  }
+
   /** Rule-based expectations: each rule is (name, predicate); a row
     * violates a rule when the predicate is NOT true (null counts as a
     * violation — an unknown is not a pass). Emits (rule, n_rows,

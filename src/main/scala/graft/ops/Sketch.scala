@@ -24,14 +24,24 @@ object Sketch {
     * aggregation: bucket = low log2(m) hash bits, rho = leading-zero
     * count + 1 of the remaining 60-log2(m) bits (w = 0 -> full width + 1;
     * computed as (bits of w) - floor(log2(w)) via length(bin(w))). */
-  def hllBucketRho(c: Column, m: Int = 64): (Column, Column) = {
+  def hllBucketRho(c: Column, m: Int = 64): (Column, Column) =
+    bucketRhoFromHash(Dedup.seededHash(7, c), m)
+
+  /** The same (bucket, rho) split over an ALREADY-computed 60-bit hash
+    * column — for callers that fan one hash out to several sketch
+    * consumers (profileApprox hashes once per (row, column) and derives
+    * both fields after the explode, instead of re-hashing per field). */
+  def bucketRhoFromHash(h: Column, m: Int = 64): (Column, Column) = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
     val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
     val wBits = 60 - bucketBits
-    val h = Dedup.seededHash(7, c)
     val w = shiftright(h, bucketBits)
+    // bitLength64(w) ≡ length(bin(w)) for w > 0 (w = 0 special-cased),
+    // minus bin()'s per-row string allocation; the oracle keeps the
+    // length(bin(..)) spelling — exact integer equality either way
     val rho = when(w === 0L, lit(wBits + 1))
-      .otherwise(lit(wBits) - (length(bin(w)) - 1)).cast("int")
+      .otherwise(lit(wBits) -
+        (graft.functions.VectorExpressions.bitLength64(w) - 1)).cast("int")
     (h.bitwiseAND(lit((m - 1).toLong)).cast("int"), rho)
   }
 

@@ -418,8 +418,32 @@ object Etl extends QueryPack {
         .unionByName(refCheck("orders.o_custkey -> customer.c_custkey",
           o, "o_custkey", c, "c_custkey"))
         .orderBy(col("relation"))
-    })
+    }),
+
+    // 4/4 — the approximate profile the 100 TB path actually runs: one
+    // mergeable integer-exact HLL cell table per column. dq1's exact
+    // countDistinct plans through Expand (shuffle carries rows × |cols|);
+    // here the per-row (col, bucket, rho) triples partial-aggregate
+    // map-side, so the exchange carries ≤ partitions × |cols| × 64 rows
+    // at any data size. Key/string columns only: sketch identity is the
+    // string rendering, which must match across engines.
+    "dq4_profile_approx" -> ((s, dir) =>
+      graft.ops.Quality.profileApprox(table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey",
+            "l_returnflag", "l_linestatus", "l_shipdate")))
   )
+
+  /** One UNION ALL branch of the dq4 approximate profile per column —
+    * the same 60-bit seeded-md5 hash / bucket / rho arithmetic as the
+    * ev_hll_sketch oracle, per column. */
+  private def hllBranch(c: String): String =
+    s"""SELECT '$c' AS col_name, CAST(h & 63 AS INTEGER) AS bucket,
+      |  CAST(max(CASE WHEN h >> 6 = 0 THEN 55
+      |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
+      |  count(*) AS n_items
+      |FROM (SELECT CAST(('0x' || substr(md5(7 || ':' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |      FROM lineitem WHERE $c IS NOT NULL) t
+      |GROUP BY 2""".stripMargin
 
   /** One UNION ALL branch of the dq1 profile per column. */
   private def profileBranch(c: String): String =
@@ -516,6 +540,12 @@ object Etl extends QueryPack {
       refBranch("orders.o_custkey -> customer.c_custkey",
         "orders", "o_custkey", "customer", "c_custkey"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation"),
+
+    "dq4_profile_approx" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .map(hllBranch)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
 
     "etl_csv_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

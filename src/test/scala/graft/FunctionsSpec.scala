@@ -65,6 +65,14 @@ class FunctionsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     for (v <- vals)
       assert(Dedup.seededHashJvm(107, v) == got(v), s"mismatch on '$v'")
+    // and against the SQL built-in formula the DuckDB oracles run —
+    // the contract the native Md5Hash60 expression must never drift from
+    val sqlForm = rows(vals.toDF("v").select($"v",
+      conv(substring(md5(concat_ws(":", lit(107), $"v")), 1, 15), 16, 10)
+        .cast("long").as("h")))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (v <- vals)
+      assert(sqlForm(v) == got(v), s"SQL-form mismatch on '$v'")
   }
 
   test("F1 normalize_text collapses runs, trims, casts; idempotent") {

@@ -97,6 +97,30 @@ class OpsSpec extends SparkSpec {
       (7L, 7L, 3L), (8L, 7L, 3L), (9L, 7L, 3L)))      // star 7-9-8
   }
 
+  test("duplicate clusters: identical output under a reliable checkpoint dir") {
+    // Dedup.materialize switches from localCheckpoint to reliable
+    // checkpoint() when the context has a checkpoint dir — the cluster
+    // path. Exercise it end to end and pin output equality both ways.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val plain = rows(Dedup.duplicateClusters(pairs))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_test").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val ckpt = rows(Dedup.duplicateClusters(pairs))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(ckpt == plain)
+    } finally {
+      // a SparkContext cannot UNset its checkpoint dir; point later
+      // localCheckpoint users at the same (still valid) location and
+      // leave cleanup to the tmpdir
+      ()
+    }
+  }
+
   test("ngram jaccard: identical = 1.0, near dup high, cross-lang blocked") {
     val got = rows(Dedup.ngramJaccard(docs, threshold = 0.4))
     val j = got.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -271,6 +295,26 @@ class OpsSpec extends SparkSpec {
     val whole = Sketch.hllSketch(events, $"user_id")
     assert(rows(merged.select($"bucket", $"max_rho")) ==
       rows(whole.select($"bucket", $"max_rho")))
+  }
+
+  test("profileApprox: per-column sketch estimates track exact distincts") {
+    import graft.ops.{Quality, Sketch}
+    val li = graft.queries.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_orderkey", "l_returnflag", "l_shipdate")
+    val prof = Quality.profileApprox(li, cols).cache()
+    for (c <- cols) {
+      val exact = li.select(col(c)).na.drop().distinct().count().toDouble
+      val est = Sketch.estimate(
+        prof.filter($"col_name" === c).select($"bucket", $"max_rho"), m = 64)
+      assert(math.abs(est - exact) / exact < 0.3,
+        s"$c: estimate $est vs exact $exact drifts beyond 30%")
+      // each column's slice IS that column's hllSketch — same cells
+      assert(rows(prof.filter($"col_name" === c)
+          .select($"bucket", $"max_rho", $"n_items")) ==
+        rows(Sketch.hllSketch(li.filter(col(c).isNotNull), col(c), m = 64)
+          .select($"bucket", $"max_rho", $"n_items")))
+    }
+    prof.unpersist()
   }
 
   test("salted join equals the plain join; salted agg equals plain agg") {
