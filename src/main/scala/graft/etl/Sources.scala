@@ -25,6 +25,13 @@ object Sources {
     * per-column emptiness probe is one aggregate action; eager source
     * construction is the reference's own model (every extractor returns a
     * materialized frame).
+    *
+    * File-scan budget: TWO passes — the raw string read is persisted
+    * (memory-and-disk) so the emptiness aggregate that materializes it and
+    * the returned projection share one scan, and Spark's type inference is
+    * the other. At 100 TB a deployment flips the trade: skip the cache and
+    * pay a second scan, or land the raw read in staging parquet once and
+    * derive both the probe and the projection from the columnar copy.
     */
   def csv(spark: SparkSession, path: String, naFilter: Boolean = false,
           options: Map[String, String] = Map.empty): DataFrame = {
@@ -40,6 +47,7 @@ object Sources {
       val raw = read(infer = false)
       val strs = raw.select(raw.columns.map(c =>
         coalesce(col(c), lit("")).as(c)).toSeq: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val emptyFlags = strs.select(strs.columns.map(c =>
         max(when(col(c) === "", 1).otherwise(0)).as(c)).toSeq: _*)
         .collect().headOption
