@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage-level profiling probes for the scale suspects: times named
+  * sub-stages of a query at SPARK_GRAFT_SF_DIR (noop write, same
+  * measurement discipline as graft.Bench) so a superlinear total can be
+  * attributed to a specific stage instead of guessed at.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.Profile <probe...>
+  */
+object Profile {
+  private def time(name: String)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[profile] $name%-32s ${s}%8.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.queries.wipeStages()
+    import graft.ops.{Dedup, TextAnalysis}
+    import graft.queries.table
+
+    val probes: Map[String, () => Unit] = Map(
+      "minhash_sig" -> (() => time("minhash_sig") {
+        Dedup.minHashSignatures(table(spark, sfDir, "documents"))
+      }),
+      "minhash_est_stages" -> (() => {
+        val sig = Dedup.materialize(
+          Dedup.minHashSignatures(table(spark, sfDir, "documents")))
+        time("sig(materialized)")(sig)
+        time("est=verified(minEst=0)")(
+          Dedup.minHashVerifiedFromSignatures(sig, minEst = 0.0))
+        time("full_minHashEstQuality")(
+          Dedup.minHashEstQuality(table(spark, sfDir, "documents"), sig))
+      }),
+      "ngram_freq" -> (() => time("ngram_freq") {
+        TextAnalysis.ngramFreq(table(spark, sfDir, "documents"), topN = 10)
+      }),
+      "q12" -> (() => {
+        val q = graft.SparkEntry.queries("q12_shipping_delay")
+        time("q12_shipping_delay")(q(spark, sfDir))
+        q(spark, sfDir).explain("formatted")
+      }),
+      "cluster_stages" -> (() => {
+        val docs = table(spark, sfDir, "documents")
+        val sig = Dedup.materialize(Dedup.minHashSignatures(docs))
+        time("sig(materialized)")(sig)
+        val pairs = Dedup.minHashVerifiedFromSignatures(sig, minEst = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        time("verified_pairs")(pairs)
+        time("duplicateClusters")(Dedup.duplicateClusters(pairs))
+      })
+    )
+    val names = if (args.nonEmpty) args.toSeq else probes.keys.toSeq.sorted
+    for (n <- names) probes(n)()
+    spark.stop()
+  }
+}
