@@ -316,8 +316,12 @@ object Dedup {
   def minHashEstQuality(docs: DataFrame, sig: DataFrame,
                         numHashes: Int = 16, bands: Int = 4,
                         shingleLen: Int = 3, chunks: Int = 4): DataFrame = {
-    val est = minHashVerifiedFromSignatures(sig, numHashes, bands,
-      minEst = 0.0, chunks = chunks)
+    // Materialized: `est` feeds both the shared-shingle join chain and the
+    // final assembly — unmaterialized, the whole LSH candidate generation
+    // (banded self-join + distinct + two signature joins) executed once per
+    // consumer, measured as ~2× the audit's wall clock at sf1.
+    val est = materialize(minHashVerifiedFromSignatures(sig, numHashes, bands,
+      minEst = 0.0, chunks = chunks))
     val toks = split(F.normalizeText(lower(col("text"))), " ")
     val base = docs.select(col("doc_id"), toks.as("toks"))
     val long = base.filter(size(col("toks")) >= shingleLen)
@@ -786,50 +790,80 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup within deterministic blocks.
     *
-    * Blocking: (lang, token-count bucket) — near-identical docs agree on
-    * both; pair generation is per-block, so cost is sum(block²), not n².
-    * Token sets are sorted ONCE per document; each candidate pair then costs
-    * a single codegen'd linear merge (functions.VectorExpressions
-    * .sortedIntersectCount) — no per-pair hash set. |union| = |a|+|b|-|∩|.
+    * Result contract (matches the DuckDB oracle): all pairs in the same
+    * (lang, token-count bucket) block with set-Jaccard ≥ threshold.
+    *
+    * Candidate generation is PREFIX-FILTERED (the PPJoin bound: Xiao et
+    * al., "Efficient Similarity Joins for Near Duplicate Detection"), not
+    * the block pair grid: block sizes grow linearly with the corpus, so a
+    * per-block self-join is quadratic in corpus size — measured 11× on 10×
+    * data at sf1. For J(a,b) ≥ t the overlap obeys o ≥ t·max(|a|,|b|), so
+    * under ANY total token order two qualifying sets must share a token
+    * among their first |x| − ⌈t·|x|⌉ + 1 tokens. Ordering tokens by
+    * ascending document frequency puts the RAREST tokens in the prefix —
+    * inverted-index lists of prefix tokens stay short, so candidates are
+    * output-bounded, not grid-bounded. The threshold is slacked by 1e-6
+    * (prefixes get LONGER) so a raw J inside the 6-dp round-up window of t
+    * can never be dropped.
+    *
+    * Stages, all linear in corpus tokens: tokenize+sort once (codegen'd
+    * sortedDistinctStrings — array_sort's interpreted comparator lambda
+    * dominated at ~100 µs/doc), one df aggregation, one rarity re-rank,
+    * prefix-token equi-join (chunked — a flood of identical docs still
+    * shares its rare prefix tokens, and one inverted list must not pin a
+    * whole task), then the exact verify on candidate pairs only: the size
+    * precondition min(|a|,|b|)·(1+t) ≥ t·(|a|+|b|) in front of the
+    * codegen'd linear merge intersect (no per-pair hash set;
+    * |union| = |a|+|b|−|∩|).
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    bucketTokens: Int = 10, chunks: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.{sortedDistinctStrings, sortedIntersectCount}
-    // One codegen'd pass for distinct+sort — the built-in array_sort's
-    // interpreted comparator lambda dominated pair generation (~100 µs/doc
-    // on both join sides).
-    val toks = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
-    val prep = docs.select(
-      col("doc_id"), col("lang"), toks.as("toks"),
-      tokenBucket(bucketTokens).as("bucket"))
-    // A block is one (lang,bucket) key — a handful of fat keys would each
-    // pin a whole task, so the pair grid is chunked over chunks² sub-keys.
-    val (a, b, chunkCond) = Skew.chunkedSelfJoin(prep, "doc_id", chunks)
+    val toksC = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
+    // Consumed by the df aggregation, the prefix build, and both verify
+    // sides — materialized so the tokenize+sort pass runs once, and so the
+    // verify join reads a compact table instead of re-scanning text.
+    val prep = materialize(docs.select(
+      col("doc_id"), col("lang"), toksC.as("toks"),
+      tokenBucket(bucketTokens).as("bucket")))
+    val tSlack = threshold - 1e-6
+    val tokStream = prep.select(col("doc_id"), col("lang"), col("bucket"),
+      size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+    // document frequency = inverted-list length (tokens are distinct per
+    // doc, so count(*) counts documents)
+    val dfTab = tokStream.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    // rarity order (tdf asc, tok asc — a deterministic total order), prefix
+    // cut at p = n − ⌈tSlack·n⌉ + 1
+    val pfxLen = (col("n") - ceil(lit(tSlack) * col("n")) + lit(1)).cast("int")
+    val prefixes = tokStream.join(dfTab, "tok")
+      .groupBy(col("doc_id"), col("lang"), col("bucket"), col("n"))
+      .agg(sort_array(collect_list(struct(col("tdf"), col("tok"))))
+        .as("ranked"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        explode(slice(col("ranked"), lit(1), pfxLen)).as("pt"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("pt.tok").as("tok"))
+    val (a, b, chunkCond) = Skew.chunkedSelfJoin(prefixes, "doc_id", chunks)
+    val cand = a.join(b, col("a.lang") === col("b.lang") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.tok") === col("b.tok") && chunkCond &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val inter = sortedIntersectCount(col("a.toks"), col("b.toks"))
     val jaccard = round(inter.cast("double") /
       (size(col("a.toks")) + size(col("b.toks")) - inter).cast("double"), 6)
-    // J ≥ t forces min(|a|,|b|)·(1+t) ≥ t·(|a|+|b|) — a necessary size
-    // condition costing two array lengths, culling pairs BEFORE the merge
-    // intersect runs. t is slacked by 1e-6 so a raw J inside the 6-dp
-    // round-up window of t can never be dropped (oracle compares the
-    // ROUNDED value). The threshold test itself lives in the join condition
-    // AFTER the cheap predicates — written order is preserved here, whereas
-    // a separate .filter() gets pushed down PREPENDED, putting the O(|a|+|b|)
-    // merge in front of the one-instruction id compare.
-    val tSlack = threshold - 1e-6
     val sizePre =
       least(size(col("a.toks")), size(col("b.toks"))).cast("double") * (1.0 + tSlack) >=
         lit(tSlack) * (size(col("a.toks")) + size(col("b.toks"))).cast("double")
-    a.join(b, col("a.lang") === col("b.lang") &&
-              col("a.bucket") === col("b.bucket") && chunkCond &&
-              col("a.doc_id") < col("b.doc_id") && sizePre &&
-              jaccard >= threshold)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard.as("jaccard"))
+    cand.join(prep.as("a"), cand("doc_a") === col("a.doc_id"))
+      .join(prep.as("b"), cand("doc_b") === col("b.doc_id"))
+      .filter(sizePre && jaccard >= threshold)
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
       // The hash repartition is a recompute barrier: the orderBy's range-
       // partitioner SAMPLES its child, and without a shuffle in between that
-      // sampling pass re-executes the whole join (2× the query). With it,
-      // the sampling re-reads materialized shuffle files of the (small,
+      // sampling pass re-executes the whole verify join (2× the query). With
+      // it, the sampling re-reads materialized shuffle files of the (small,
       // already-filtered) pair list instead.
       .repartition(col("doc_a"), col("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))

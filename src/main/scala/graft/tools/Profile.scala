@@ -11,11 +11,21 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.Profile <probe...>
   */
 object Profile {
+  private var session: SparkSession = _
+  /** Same measurement isolation as graft.Bench.timeOne: construction is
+    * timed (eager materialize barriers count), and residue (persisted
+    * checkpoint blocks, broadcast/shuffle state) is dropped with a blocking
+    * unpersist + forced GC after each probe so no probe pays a
+    * predecessor's cleanup. */
   private def time(name: String)(df: => DataFrame): Unit = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     val s = (System.nanoTime() - t0) / 1e9
     println(f"[profile] $name%-32s ${s}%8.2f s")
+  }
+  private def isolate(): Unit = {
+    session.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
   }
 
   def main(args: Array[String]): Unit = {
@@ -36,13 +46,19 @@ object Profile {
         Dedup.minHashSignatures(table(spark, sfDir, "documents"))
       }),
       "minhash_est_stages" -> (() => {
-        val sig = Dedup.materialize(
-          Dedup.minHashSignatures(table(spark, sfDir, "documents")))
-        time("sig(materialized)")(sig)
+        var sig: DataFrame = null
+        time("sig_build+materialize") {
+          sig = Dedup.materialize(
+            Dedup.minHashSignatures(table(spark, sfDir, "documents")))
+          sig
+        }
         time("est=verified(minEst=0)")(
           Dedup.minHashVerifiedFromSignatures(sig, minEst = 0.0))
+        isolate()
         time("full_minHashEstQuality")(
-          Dedup.minHashEstQuality(table(spark, sfDir, "documents"), sig))
+          Dedup.minHashEstQuality(table(spark, sfDir, "documents"),
+            Dedup.materialize(Dedup.minHashSignatures(
+              table(spark, sfDir, "documents")))))
       }),
       "ngram_freq" -> (() => time("ngram_freq") {
         TextAnalysis.ngramFreq(table(spark, sfDir, "documents"), topN = 10)
@@ -54,16 +70,21 @@ object Profile {
       }),
       "cluster_stages" -> (() => {
         val docs = table(spark, sfDir, "documents")
-        val sig = Dedup.materialize(Dedup.minHashSignatures(docs))
-        time("sig(materialized)")(sig)
-        val pairs = Dedup.minHashVerifiedFromSignatures(sig, minEst = 0.5)
-          .select(col("doc_a"), col("doc_b"))
-        time("verified_pairs")(pairs)
+        var pairs: DataFrame = null
+        time("ngramJaccard_pairs") {
+          pairs = Dedup.materialize(
+            Dedup.ngramJaccard(docs, threshold = 0.5)
+              .select(col("doc_a"), col("doc_b")))
+          pairs
+        }
+        // no isolate() here: it would unpersist the localCheckpoint'd
+        // pairs table out from under the next stage
         time("duplicateClusters")(Dedup.duplicateClusters(pairs))
       })
     )
+    session = spark
     val names = if (args.nonEmpty) args.toSeq else probes.keys.toSeq.sorted
-    for (n <- names) probes(n)()
+    for (n <- names) { probes(n)(); isolate() }
     spark.stop()
   }
 }
