@@ -10,7 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Output discipline — the driver captures a bounded (~2000-char) TAIL of
   * combined stdout+stderr, so ordering is part of the contract:
   *   1. every diagnostic ([bench-full], [bench-delta], [bench-regressed])
-  *      is emitted FIRST, to stderr;
+  *      is emitted FIRST, on the SAME stream as the judged line (stdout) —
+  *      one stream means the ordering is write-order, not a race between
+  *      two pipes' forwarding threads;
   *   2. the judged JSON line is the LAST thing this process prints, sized
   *      to fit the capture window (precision degrades adaptively, then the
   *      fastest entries fold into an "omitted" summary, until the line is
@@ -94,7 +96,7 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.out.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
       // localCheckpoints (connected-components loops) stay persisted after
@@ -132,7 +134,7 @@ object Bench {
       }
 
     // --- every diagnostic line BEFORE the judged line (tail-capture) ---
-    System.err.println("[bench-full] " + results
+    System.out.println("[bench-full] " + results
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
     // The judged line only has room for the slowest ~85 queries (the rest
     // fold into an "omitted" count) — persist the FULL per-query report to
@@ -144,22 +146,23 @@ object Bench {
           ",", "}}\n"))
     catch { case _: Throwable => () }
     if (baseline.nonEmpty) {
-      System.err.println("[bench-delta vs BASELINE_BENCH.json anchor, min-of-runs]")
+      System.out.println("[bench-delta vs BASELINE_BENCH.json anchor, min-of-runs]")
       for ((name, t) <- results; b <- baseline.get(name)) {
         val pct = if (b > 0) (t - b) / b * 100 else 0.0
-        System.err.println(f"  $name%-24s ${b}%8.2fs -> ${t}%8.2fs (${pct}%+6.1f%%)")
+        System.out.println(f"  $name%-24s ${b}%8.2fs -> ${t}%8.2fs (${pct}%+6.1f%%)")
       }
       val regs = results.collect {
         case (n, t) if baseline.get(n).exists(regressed(t, _)) => n }
       if (regs.nonEmpty)
-        System.err.println("[bench-regressed >25% and >0.5s after 2 retries] " +
+        System.out.println("[bench-regressed >25% and >0.5s after 2 retries] " +
           regs.mkString(", "))
     }
-    System.err.flush()
+    System.out.flush()
     try spark.stop() catch { case _: Throwable => () }
-    // let sbt's stderr-forwarding thread drain before the judged stdout
-    // line — an interleave that lands a stale stderr diagnostic AFTER the
-    // JSON would re-break the last-line parse this ordering exists for
+    // Diagnostics share the judged line's stream (stdout), so OUR ordering
+    // is write-order deterministic; the sleep is only a fallback against
+    // third-party stderr (Spark/JVM shutdown noise) whose forwarding
+    // thread could otherwise land a line after the JSON.
     Thread.sleep(300)
     println(judgedLine(results, failed,
       java.nio.file.Paths.get(sfDir).getFileName.toString))

@@ -26,12 +26,15 @@ object Sources {
     * construction is the reference's own model (every extractor returns a
     * materialized frame).
     *
-    * File-scan budget: TWO passes — the raw string read is persisted
-    * (memory-and-disk) so the emptiness aggregate that materializes it and
-    * the returned projection share one scan, and Spark's type inference is
-    * the other. At 100 TB a deployment flips the trade: skip the cache and
-    * pay a second scan, or land the raw read in staging parquet once and
-    * derive both the probe and the projection from the columnar copy.
+    * File-scan budget: ONE pass. The raw string read is persisted
+    * (memory-and-disk) only for the DURATION OF CONSTRUCTION: the
+    * emptiness aggregate materializes the cache, Spark's own CSV type
+    * inference (`catalyst.csv.CSVInferSchema` — the exact code the
+    * file-based `inferSchema=true` path runs) re-reads the CACHE rather
+    * than the file, and the cache is unpersisted before returning so the
+    * block manager holds nothing for the session's lifetime. The returned
+    * frame plans a single fresh FileScan — each downstream action costs
+    * exactly one scan of the file, and the frame owns no cache entry.
     */
   def csv(spark: SparkSession, path: String, naFilter: Boolean = false,
           options: Map[String, String] = Map.empty): DataFrame = {
@@ -48,21 +51,48 @@ object Sources {
       val strs = raw.select(raw.columns.map(c =>
         coalesce(col(c), lit("")).as(c)).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val emptyFlags = strs.select(strs.columns.map(c =>
-        max(when(col(c) === "", 1).otherwise(0)).as(c)).toSeq: _*)
-        .collect().headOption
-      val hasEmpty: String => Boolean = c =>
-        emptyFlags.exists(r => r.getAs[Int](c) == 1)
-      val inferred = read(infer = true).schema
-        .map(f => f.name -> f.dataType).toMap
-      strs.select(strs.columns.map { c =>
-        inferred.get(c) match {
-          case Some(t) if t != StringType && !hasEmpty(c) =>
-            col(c).try_cast(t.sql).as(c)
-          case _ => col(c)
-        }
-      }.toSeq: _*)
+      try {
+        val emptyFlags = strs.select(strs.columns.map(c =>
+          max(when(col(c) === "", 1).otherwise(0)).as(c)).toSeq: _*)
+          .collect().headOption
+        val hasEmpty: String => Boolean = c =>
+          emptyFlags.exists(r => r.getAs[Int](c) == 1)
+        val inferred = inferTypes(spark, strs, options)
+        val fresh = read(infer = false)
+        fresh.select(fresh.columns.map { c =>
+          inferred.get(c) match {
+            case Some(t) if t != StringType && !hasEmpty(c) =>
+              col(c).try_cast(t.sql).as(c)
+            case _ => coalesce(col(c), lit("")).as(c)
+          }
+        }.toSeq: _*)
+      } finally strs.unpersist(blocking = false)
     }
+  }
+
+  /** Runs Spark's CSV schema inference (`CSVInferSchema` — the same class
+    * the `inferSchema=true` file path uses, so the types agree exactly)
+    * over an already-parsed all-string frame, avoiding a second scan of
+    * the source file. Cells restored to `""` by the naFilter=false path
+    * are mapped back to the reader's `nullValue` token so inference sees
+    * what the file parser would have fed it. */
+  private def inferTypes(spark: SparkSession, strs: DataFrame,
+                         options: Map[String, String]): Map[String, DataType] = {
+    import org.apache.spark.sql.catalyst.csv.{CSVInferSchema, CSVOptions}
+    val header = strs.columns
+    val nullTok = options.getOrElse("nullValue", "")
+    val tokenRdd = strs.rdd.map { r =>
+      Array.tabulate(header.length) { i =>
+        val v = r.getString(i)
+        if (v == "") nullTok else v
+      }
+    }
+    // inferSchemaFlag gates CSVInferSchema.infer — without it the class
+    // returns all-string, which is exactly the non-inferring file path
+    val csvOpts = new CSVOptions(options + ("inferSchema" -> "true"),
+      columnPruning = true, spark.sessionState.conf.sessionLocalTimeZone)
+    new CSVInferSchema(csvOpts).infer(tokenRdd, header)
+      .map(f => f.name -> f.dataType).toMap
   }
 
   /** S2 — SQL/JDBC scan (db_extractor.py:6-14): arbitrary query pushed to the

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -241,7 +241,9 @@ object VectorExpressions {
     * The bin() form allocates a up-to-64-char string per call purely to
     * measure it; rho derivation runs once per exploded sketch row, so
     * that allocation was the hot path of profileApprox. */
-  case class BitLength(child: Expression) extends UnaryExpression {
+  case class BitLength(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes = Seq(org.apache.spark.sql.types.LongType)
     override def dataType: DataType = IntegerType
     override def prettyName: String = "bit_length64"
     override protected def nullSafeEval(input: Any): Any = {
@@ -256,7 +258,9 @@ object VectorExpressions {
   }
 
   /** Codegen'd wrapper for md5Long60 (see above). */
-  case class Md5Hash60(child: Expression) extends UnaryExpression {
+  case class Md5Hash60(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
     override def dataType: DataType = org.apache.spark.sql.types.LongType
     override def prettyName: String = "md5_hash60"
     override protected def nullSafeEval(input: Any): Any =

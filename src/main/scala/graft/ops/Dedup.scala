@@ -819,6 +819,11 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    bucketTokens: Int = 10, chunks: Int = 4): DataFrame = {
     import graft.functions.VectorExpressions.{sortedDistinctStrings, sortedIntersectCount}
+    // The prefix bound assumes overlap ≥ 1 (only valid for t > 0): at
+    // t = 0 disjoint same-block pairs qualify but share no prefix token,
+    // so the filter would silently drop them — fail loudly instead.
+    require(threshold > 0 && threshold <= 1,
+      s"ngramJaccard threshold must be in (0, 1], got $threshold")
     val toksC = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
     // Consumed by the df aggregation, the prefix build, and both verify
     // sides — materialized so the tokenize+sort pass runs once, and so the

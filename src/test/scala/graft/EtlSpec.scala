@@ -53,6 +53,17 @@ class EtlSpec extends SparkSpec {
     val nulled = Sources.csv(spark, dir, naFilter = true)
     assert(rows(nulled.orderBy("fecha_registro"))(1)
       .getAs[String]("idcliente") == null)
+    // File-scan budget (r6 verdict #7 + ADVICE leak): the returned frame
+    // plans exactly ONE FileScan and owns no cache entry — construction's
+    // probe cache must have been unpersisted before return.
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.count(_.contains("Scan csv")) >= 1)
+    assert(!p.contains("InMemoryTableScan"), "returned plan reads a cache")
+    assert(df.queryExecution.optimizedPlan.collectLeaves().size == 1,
+      "naFilter=false projection must plan a single file scan")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "Sources.csv leaked a cache entry (ADVICE r6)")
   }
 
   test("S3 jsonBody: envelope unwrap, nested flatten, corrupt -> empty") {
