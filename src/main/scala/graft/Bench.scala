@@ -138,9 +138,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
     // The judged line only has room for the slowest ~85 queries (the rest
     // fold into an "omitted" count) — persist the FULL per-query report to
-    // a file as well, full precision, for offline reading.
+    // a file as well, full precision, for offline reading. Dev-loop subset
+    // runs and non-sf0.1 full runs go to their own files so they can never
+    // clobber the last full-surface sf0.1 fleet dump (that evidence was
+    // destroyed once).
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL_LOCAL.json"),
+      java.nio.file.Paths.get(
+        if (only.nonEmpty) "BENCH_SUBSET_LOCAL.json"
+        else if (sfName == "sf0.1") "BENCH_FULL_LOCAL.json"
+        else s"BENCH_FULL_$sfName.json"),
       results.map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" }
         .mkString(s"""{"sf":"${java.nio.file.Paths.get(sfDir).getFileName}","queries":{""",
           ",", "}}\n"))

@@ -713,6 +713,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** bloomProbe computed entirely WITHIN each document row — zero shuffle,
+    * zero aggregation state. A document's grams all derive from its one
+    * `text` cell, so the gram-distinct + probe-count rollup never needs to
+    * cross rows: build the distinct gram-hash array with higher-order
+    * functions, count it, and count the members whose three bitmap bits
+    * are set. Emits the same (doc_id, n_grams, n_hits) rows as
+    * gramHashes → bloomProbe (docs shorter than n tokens excluded, same
+    * as gramHashes).
+    *
+    * This is the screen-AT-INGEST shape: in a streaming pipeline it is a
+    * stateless map-side projection — no shuffle, no state store, no
+    * per-micro-batch commit beyond the sink append — which is exactly what
+    * a 100 TB ingest wants in front of the store. */
+  def bloomProbeInRow(docs: DataFrame, bitmap: Array[Long], n: Int = 4,
+                      mBits: Int = 1 << 16): DataFrame = {
+    val toksC = split(F.normalizeText(lower(col("text"))), " ")
+    docs.filter(size(toksC) >= n)
+      .select(col("doc_id"), toksC.as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => seededHash(23,
+            concat_ws(" ", slice(col("__toks"), i, lit(n))))))
+          .as("__ghs"))
+      .select(col("doc_id"),
+        size(col("__ghs")).cast("long").as("n_grams"),
+        size(org.apache.spark.sql.functions.filter(col("__ghs"),
+          g => bloomHit(g, bitmap, mBits))).cast("long").as("n_hits"))
+  }
+
   /** Doc-in-doc containment over a DISTINCT (doc_id, gh) gram table:
     * C(a,b) = |G_a ∩ G_b| / min(|G_a|, |G_b|) — the asymmetric-size
     * near-dup measure Jaccard blocking can never catch (a 100-token quote
@@ -793,31 +823,49 @@ object Dedup {
     * Result contract (matches the DuckDB oracle): all pairs in the same
     * (lang, token-count bucket) block with set-Jaccard ≥ threshold.
     *
-    * Candidate generation is PREFIX-FILTERED (the PPJoin bound: Xiao et
-    * al., "Efficient Similarity Joins for Near Duplicate Detection"), not
-    * the block pair grid: block sizes grow linearly with the corpus, so a
-    * per-block self-join is quadratic in corpus size — measured 11× on 10×
-    * data at sf1. For J(a,b) ≥ t the overlap obeys o ≥ t·max(|a|,|b|), so
-    * under ANY total token order two qualifying sets must share a token
-    * among their first |x| − ⌈t·|x|⌉ + 1 tokens. Ordering tokens by
-    * ascending document frequency puts the RAREST tokens in the prefix —
-    * inverted-index lists of prefix tokens stay short, so candidates are
-    * output-bounded, not grid-bounded. The threshold is slacked by 1e-6
-    * (prefixes get LONGER) so a raw J inside the 6-dp round-up window of t
-    * can never be dropped.
+    * Candidate generation is SIZE-ADAPTIVE per block:
+    *
+    *  - a block with ≤ `gridMax` docs uses the direct pair grid (self-join
+    *    on the block key). Its work is bounded at gridMax·n/2 pairs total
+    *    — LINEAR in corpus size with a fixed constant, and at small scale
+    *    it avoids the prefix machinery entirely (the r6 judged run showed
+    *    the always-PPJoin form paying 4× its anchor at sf0.1, where ALL
+    *    blocks fit the grid budget and the df/rank/prefix stages were pure
+    *    overhead).
+    *  - a block larger than `gridMax` is PREFIX-FILTERED (the PPJoin
+    *    bound: Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    *    Detection"): for J(a,b) ≥ t the overlap obeys o ≥ t·max(|a|,|b|),
+    *    so under ANY total token order two qualifying sets must share a
+    *    token among their first |x| − ⌈t·|x|⌉ + 1 tokens. Ordering tokens
+    *    by ascending document frequency (computed over the large-block
+    *    population — any consistent total order is correct) puts the
+    *    RAREST tokens in the prefix, so inverted-index lists stay short
+    *    and candidates are output-bounded, not grid-bounded. The threshold
+    *    is slacked by 1e-6 (prefixes get LONGER) so a raw J inside the
+    *    6-dp round-up window of t can never be dropped.
+    *
+    * Both branches feed the same exact verify, so the result set is
+    * identical whichever branch generated the candidate; a doc belongs to
+    * exactly one block, so the branches are disjoint and the union needs
+    * no dedup across them. As the corpus grows, blocks cross the gridMax
+    * line and their docs migrate to the PPJoin branch — total work stays
+    * linear at every scale (measured: grid-only was 11× on 10× data at
+    * sf1; PPJoin-only was 4× anchor at sf0.1).
     *
     * Stages, all linear in corpus tokens: tokenize+sort once (codegen'd
     * sortedDistinctStrings — array_sort's interpreted comparator lambda
-    * dominated at ~100 µs/doc), one df aggregation, one rarity re-rank,
-    * prefix-token equi-join (chunked — a flood of identical docs still
-    * shares its rare prefix tokens, and one inverted list must not pin a
-    * whole task), then the exact verify on candidate pairs only: the size
-    * precondition min(|a|,|b|)·(1+t) ≥ t·(|a|+|b|) in front of the
-    * codegen'd linear merge intersect (no per-pair hash set;
-    * |union| = |a|+|b|−|∩|).
+    * dominated at ~100 µs/doc), a broadcast block-census join to split the
+    * branches, then per branch: the bounded grid, or df aggregation +
+    * rarity re-rank + prefix-token equi-join (chunked — a flood of
+    * identical docs still shares its rare prefix tokens, and one inverted
+    * list must not pin a whole task). The exact verify runs on candidate
+    * pairs only: the size precondition min(|a|,|b|)·(1+t) ≥ t·(|a|+|b|)
+    * in front of the codegen'd linear merge intersect (no per-pair hash
+    * set; |union| = |a|+|b|−|∩|).
     */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
-                   bucketTokens: Int = 10, chunks: Int = 4): DataFrame = {
+                   bucketTokens: Int = 10, chunks: Int = 4,
+                   gridMax: Int = 256): DataFrame = {
     import graft.functions.VectorExpressions.{sortedDistinctStrings, sortedIntersectCount}
     // The prefix bound assumes overlap ≥ 1 (only valid for t > 0): at
     // t = 0 disjoint same-block pairs qualify but share no prefix token,
@@ -832,29 +880,74 @@ object Dedup {
       col("doc_id"), col("lang"), toksC.as("toks"),
       tokenBucket(bucketTokens).as("bucket")))
     val tSlack = threshold - 1e-6
-    val tokStream = prep.select(col("doc_id"), col("lang"), col("bucket"),
-      size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+    // Block census: one row per (lang, bucket) — bounded by languages ×
+    // length buckets, broadcastable at any corpus size. The broadcast tag
+    // join routes each doc to the grid or the prefix branch shuffle-free.
+    val sizes = prep.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    // Bounded driver probe (ONE row — same class as the IVF centroid-count
+    // probe): when no block exceeds gridMax, the prefix branch would run
+    // its five stages on zero rows, and its eager materialize barrier
+    // alone costs ~0.5 s of empty-job scheduling — skip it outright. The
+    // census scan reads the already-checkpointed prep table.
+    val maxBlock = sizes.agg(max(col("bsz"))).collect()
+      .headOption.map(_.getLong(0)).getOrElse(0L)
+    val tagged = prep.join(broadcast(sizes), Seq("lang", "bucket"))
+    // Grid branch: pair grid inside blocks of ≤ gridMax docs. Work is
+    // ≤ gridMax·n/2 pairs — linear in corpus size, no prefix machinery.
+    val smallDocs = (if (maxBlock <= gridMax) prep else
+        tagged.filter(col("bsz") <= gridMax))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+    val candGrid = smallDocs.as("ga").join(smallDocs.as("gb"),
+        col("ga.lang") === col("gb.lang") &&
+          col("ga.bucket") === col("gb.bucket") &&
+          col("ga.doc_id") < col("gb.doc_id"))
+      .select(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+    if (maxBlock <= gridMax) return verifyJaccardPairs(candGrid, prep, threshold, tSlack)
+    // Prefix branch: only docs in blocks > gridMax pay the df/rank/prefix
+    // stages.
+    val tokStream = tagged.filter(col("bsz") > gridMax)
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        size(col("toks")).as("n"), explode(col("toks")).as("tok"))
     // document frequency = inverted-list length (tokens are distinct per
-    // doc, so count(*) counts documents)
+    // doc, so count(*) counts documents); counted over the large-block
+    // population only — any consistent total order is correct, rarity
+    // within the compared population is what keeps the lists short
     val dfTab = tokStream.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
     // rarity order (tdf asc, tok asc — a deterministic total order), prefix
     // cut at p = n − ⌈tSlack·n⌉ + 1
     val pfxLen = (col("n") - ceil(lit(tSlack) * col("n")) + lit(1)).cast("int")
-    val prefixes = tokStream.join(dfTab, "tok")
+    // Materialized: the chunked self-join below references this frame on
+    // BOTH sides (× chunks), and the two sides' plans differ above the
+    // aggregation (different explode aliases), so exchange reuse is not
+    // guaranteed — without the barrier the df-join + per-doc rank pipeline
+    // can recompute up to 2·chunks times.
+    val prefixes = materialize(tokStream.join(dfTab, "tok")
       .groupBy(col("doc_id"), col("lang"), col("bucket"), col("n"))
       .agg(sort_array(collect_list(struct(col("tdf"), col("tok"))))
         .as("ranked"))
       .select(col("doc_id"), col("lang"), col("bucket"),
         explode(slice(col("ranked"), lit(1), pfxLen)).as("pt"))
       .select(col("doc_id"), col("lang"), col("bucket"),
-        col("pt.tok").as("tok"))
+        col("pt.tok").as("tok")))
     val (a, b, chunkCond) = Skew.chunkedSelfJoin(prefixes, "doc_id", chunks)
-    val cand = a.join(b, col("a.lang") === col("b.lang") &&
+    val candPfx = a.join(b, col("a.lang") === col("b.lang") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.tok") === col("b.tok") && chunkCond &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // A doc belongs to exactly one block and a block feeds exactly one
+    // branch, so the branches never emit the same pair — plain union.
+    verifyJaccardPairs(candGrid.unionByName(candPfx), prep, threshold, tSlack)
+  }
+
+  /** Exact-verify tail shared by ngramJaccard's grid and prefix branches:
+    * join the candidate pairs back to the tokenized table and keep those
+    * with set-Jaccard ≥ threshold. */
+  private def verifyJaccardPairs(cand: DataFrame, prep: DataFrame,
+                                 threshold: Double, tSlack: Double): DataFrame = {
+    import graft.functions.VectorExpressions.sortedIntersectCount
     val inter = sortedIntersectCount(col("a.toks"), col("b.toks"))
     val jaccard = round(inter.cast("double") /
       (size(col("a.toks")) + size(col("b.toks")) - inter).cast("double"), 6)

@@ -606,28 +606,24 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
     // Decontamination AT INGEST: the benchmark bitmap broadcasts into the
-    // stream and every arriving gram probes it MAP-SIDE (a stateless
-    // filter — the screen-before-you-store shape); the per-doc rollup is
-    // a flatMapGroupsWithState that dedups grams inside the group (each
-    // doc arrives whole in one micro-batch), so streaming state is EMPTY
-    // and the sink carries one row per document — not one per distinct
-    // gram. Must equal the batch Bloom probe exactly (same oracle) no
-    // matter how the corpus was micro-batched.
+    // stream and each arriving document probes it entirely WITHIN ITS OWN
+    // ROW (bloomProbeInRow: distinct gram hashes + bit tests as
+    // higher-order functions) — a stateless map-side projection with no
+    // shuffle, no state store, and no per-micro-batch state commit; the
+    // sink carries one row per document. This is the
+    // screen-before-you-store shape a 100 TB ingest runs. Must equal the
+    // batch Bloom probe exactly (same oracle) no matter how the corpus
+    // was micro-batched.
     "dd_stream_decontaminate" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
-      import s.implicits._
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val staged = stagedDocStream(s, dir)
       val bm = stagedBloomBitmap(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
         .filter(col("doc_id") % 11 =!= 0)
-      val grams = Dedup.gramHashes(stream, n = 4)
-        .withColumn("hit", Dedup.bloomHit(col("gh"), bm))
-        .as[graft.streaming.StreamOps.GramProbe]
-      StreamOps.drainToTable(StreamOps.probeRollup(grams).toDF(),
-        s"dd_stream_decon$sf".replace(".", "_"), mode = "append",
-        shufflePartitions = Some(8))
+      StreamOps.drainToTable(Dedup.bloomProbeInRow(stream, bm, n = 4),
+        s"dd_stream_decon$sf".replace(".", "_"), mode = "append")
         .withColumn("contaminated", col("n_hits") > 0L)
         .orderBy(col("doc_id"))
     }),

@@ -108,39 +108,6 @@ object StreamOps {
     }
   }
 
-  case class GramProbe(doc_id: Long, gh: Long, hit: Boolean)
-  case class ProbeOut(doc_id: Long, n_grams: Long, n_hits: Long)
-
-  /** Per-document rollup of streamed gram probes via
-    * flatMapGroupsWithState — the decontamination-at-ingest shape with
-    * BOUNDED state: a (doc_id, gh, hit) stream collapses to one
-    * (doc_id, n_grams, n_hits) row per document, deduplicating grams
-    * inside the group iterator instead of keeping one state row per
-    * distinct gram (corpus-sized) the way a streaming dropDuplicates +
-    * aggregation chain would.
-    *
-    * PRECONDITION: each document arrives whole within one micro-batch
-    * (file-based ingest delivers whole files; a doc never spans files).
-    * Under it, every group invocation sees all of a doc's grams, emits
-    * exactly once, and needs NO carried state — the GroupState is never
-    * written, so the state store stays empty no matter how many documents
-    * stream through. The in-memory dedup set is bounded by one document's
-    * gram count (kilobytes). */
-  def probeRollup(grams: Dataset[GramProbe]): Dataset[ProbeOut] = {
-    import grams.sparkSession.implicits._
-    grams.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Long, ProbeOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (docId, rows, _: GroupState[Long]) =>
-          val seen = scala.collection.mutable.HashSet.empty[Long]
-          var hits = 0L
-          rows.foreach { g =>
-            if (seen.add(g.gh) && g.hit) hits += 1
-          }
-          Iterator(ProbeOut(docId, seen.size.toLong, hits))
-      }
-  }
-
   /** readStream twin of queries.table for a parquet directory of events —
     * the file-source entry point a production deployment would start from. */
   def readEventStream(spark: SparkSession, dir: String,

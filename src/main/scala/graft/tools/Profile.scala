@@ -68,6 +68,62 @@ object Profile {
         time("q12_shipping_delay")(q(spark, sfDir))
         q(spark, sfDir).explain("formatted")
       }),
+      "jaccard_stages" -> (() => {
+        // mirrors Dedup.ngramJaccard's internal pipeline stage by stage
+        import graft.functions.VectorExpressions.{sortedDistinctStrings, sortedIntersectCount}
+        import graft.etl.{functions => F}
+        val docs = table(spark, sfDir, "documents")
+        val threshold = 0.5
+        val tSlack = threshold - 1e-6
+        val toksC = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
+        val bucketC = floor(size(split(col("text"), "\\s+")).cast("double") / lit(10)).cast("long")
+        var prep: DataFrame = null
+        time("prep_tokenize+materialize") {
+          prep = Dedup.materialize(docs.select(
+            col("doc_id"), col("lang"), toksC.as("toks"), bucketC.as("bucket")))
+          prep
+        }
+        val tokStream = prep.select(col("doc_id"), col("lang"), col("bucket"),
+          size(col("toks")).as("n"), explode(col("toks")).as("tok"))
+        val dfTab = tokStream.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+        time("df_table")(dfTab)
+        val pfxLen = (col("n") - ceil(lit(tSlack) * col("n")) + lit(1)).cast("int")
+        var prefixes: DataFrame = null
+        time("prefix_build+materialize") {
+          prefixes = Dedup.materialize(tokStream.join(dfTab, "tok")
+            .groupBy(col("doc_id"), col("lang"), col("bucket"), col("n"))
+            .agg(sort_array(collect_list(struct(col("tdf"), col("tok")))).as("ranked"))
+            .select(col("doc_id"), col("lang"), col("bucket"),
+              explode(slice(col("ranked"), lit(1), pfxLen)).as("pt"))
+            .select(col("doc_id"), col("lang"), col("bucket"), col("pt.tok").as("tok")))
+          prefixes
+        }
+        val (a, b, chunkCond) = graft.ops.Skew.chunkedSelfJoin(prefixes, "doc_id", 4)
+        var cand: DataFrame = null
+        time("candidates+materialize") {
+          cand = Dedup.materialize(a.join(b, col("a.lang") === col("b.lang") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.tok") === col("b.tok") && chunkCond &&
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct())
+          cand
+        }
+        val inter = sortedIntersectCount(col("a.toks"), col("b.toks"))
+        val jaccard = round(inter.cast("double") /
+          (size(col("a.toks")) + size(col("b.toks")) - inter).cast("double"), 6)
+        val sizePre =
+          least(size(col("a.toks")), size(col("b.toks"))).cast("double") * (1.0 + tSlack) >=
+            lit(tSlack) * (size(col("a.toks")) + size(col("b.toks"))).cast("double")
+        time("verify_join+sort") {
+          cand.join(prep.as("a"), cand("doc_a") === col("a.doc_id"))
+            .join(prep.as("b"), cand("doc_b") === col("b.doc_id"))
+            .filter(sizePre && jaccard >= threshold)
+            .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
+            .repartition(col("doc_a"), col("doc_b"))
+            .orderBy(col("doc_a"), col("doc_b"))
+        }
+      }),
       "cluster_stages" -> (() => {
         val docs = table(spark, sfDir, "documents")
         var pairs: DataFrame = null

@@ -129,6 +129,21 @@ class OpsSpec extends SparkSpec {
     assert(!j.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("ngram jaccard: prefix branch (gridMax=0) ≡ grid branch result set") {
+    // default gridMax routes every tiny test block through the pair grid;
+    // gridMax=0 forces every block through the PPJoin prefix filter — the
+    // two branches must produce the identical verified pair set
+    val grid = rows(Dedup.ngramJaccard(docs, threshold = 0.4))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pfx = rows(Dedup.ngramJaccard(docs, threshold = 0.4, gridMax = 0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pfx == grid)
+    assert(grid.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(docs, threshold = 0.0)
+    }
+  }
+
   private lazy val vecs = Seq(
     (1L, Array(1f, 0f, 0f, 0f), 0),
     (2L, Array(0.9f, -0.1f, 0f, 0f), 0),  // close to 1, same sign-orthant

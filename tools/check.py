@@ -48,8 +48,15 @@ def compare(name, got, want):
     return problems
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -78,6 +85,8 @@ def main():
             fails += 1
             continue
         problems = compare(name, got, want)
+        report[name] = {"ok": not problems, "spark_rows": len(got),
+                        "oracle_rows": len(want), "problems": problems[:6]}
         if problems:
             fails += 1
             print(f"FAIL {name}:")
@@ -91,6 +100,9 @@ def main():
     if missing:
         print("oracle without output:", sorted(missing))
         fails += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     print("RESULT:", "FAIL" if fails else "PASS", f"({fails} failing)")
     sys.exit(1 if fails else 0)
 
