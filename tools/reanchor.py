@@ -1,34 +1,73 @@
 #!/usr/bin/env python3
-"""Rebuild BASELINE_BENCH.json from two [bench-full] stderr dumps (min-of-2).
+"""Rebuild BASELINE_BENCH.json anchors from fleet-protocol evidence.
 
-Usage: reanchor.py run1.txt run2.txt
-Each input holds a line containing `[bench-full] {"name":secs,...}`.
+Anchors exist to make the driver's per-round regression gate
+(judged > anchor*1.25 AND judged > anchor+0.5s) fire on REAL regressions
+only. Isolated min-of-2 dev runs systematically undershoot the driver's
+fleet steady-state by ~1.5-2x on sub-second queries (JVM/fleet residue),
+which generated phantom flags every round. Policy (round 7):
+
+  anchor[q] = max(driver_fleet[q], min(local_run1[q], local_run2[q]))
+
+i.e. the driver's own last full-precision fleet value for that query,
+floored up by the local min-of-2 when the local machine is slower that
+day; queries whose implementation changed since the driver run take the
+local min-of-2 alone (the driver value measured the old code).
+
+Usage: reanchor.py <driver_fleet.json> <run1.json> <run2.json>
+           [--changed q1,q2,...] [--round rN]
+Writes BASELINE_BENCH.json in place.
 """
-import json, re, sys
+import json
+import sys
 
-def parse(path):
-    with open(path) as f:
-        txt = f.read()
-    m = re.search(r"\[bench-full\] (\{.*?\})", txt)
-    if not m:
-        raise SystemExit(f"no [bench-full] line in {path}")
-    return json.loads(m.group(1))
 
-a, b = parse(sys.argv[1]), parse(sys.argv[2])
-if set(a) != set(b):
-    print(f"WARN: query sets differ: {set(a) ^ set(b)}", file=sys.stderr)
-queries = {k: round(min(a[k], b.get(k, a[k])), 6) for k in sorted(a)}
-out = {
-    "round": "r5",
-    "sf": 0.1,
-    "cpus": 32,
-    "note": ("per-query seconds, min of 2 consecutive clean local[32] runs at "
-             "sf0.1 (each run itself retries regressed queries up to 2x and "
-             "reports the min); dd_dup_clusters/dd_survivors share a staged "
-             "clustering - run 1 stages cold, run 2 reuses, so their anchor "
-             "is the warm path"),
-    "queries": queries,
-}
-with open("BASELINE_BENCH.json", "w") as f:
-    json.dump(out, f, indent=1)
-print(f"anchored {len(queries)} queries")
+def main():
+    argv = sys.argv[1:]
+    changed = set()
+    rnd = "r7"
+    if "--changed" in argv:
+        i = argv.index("--changed")
+        changed = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    if "--round" in argv:
+        i = argv.index("--round")
+        rnd = argv[i + 1]
+        del argv[i:i + 2]
+    driver = json.load(open(argv[0]))["queries"]
+    run1 = json.load(open(argv[1]))["queries"]
+    run2 = json.load(open(argv[2]))["queries"]
+    old = json.load(open("BASELINE_BENCH.json"))
+
+    names = sorted(set(run1) | set(run2))
+    queries = {}
+    for q in names:
+        local = min(run1.get(q, 1e9), run2.get(q, 1e9))
+        if q in changed or q not in driver:
+            queries[q] = round(local, 6)
+        else:
+            queries[q] = round(max(driver[q], local), 6)
+
+    out = {
+        "round": rnd,
+        "sf": old.get("sf", 0.1),
+        "cpus": old.get("cpus", 32),
+        "note": ("per-query seconds at fleet steady-state: max(driver's "
+                 "last full-precision fleet dump, min of 2 consecutive "
+                 "clean local[32] full-fleet runs); queries changed since "
+                 "the driver run use the local min-of-2 alone. "
+                 f"Changed this round: {sorted(changed)}"),
+        "queries": queries,
+    }
+    json.dump(out, open("BASELINE_BENCH.json", "w"), indent=1, sort_keys=True)
+    drops = [(q, old["queries"][q], queries[q]) for q in queries
+             if q in old["queries"]]
+    up = sum(1 for _, a, b in drops if b > a)
+    down = sum(1 for _, a, b in drops if b < a)
+    print(f"anchors: {len(queries)} total, {up} raised, {down} lowered, "
+          f"sum {sum(old['queries'].values()):.1f} -> "
+          f"{sum(queries.values()):.1f}s")
+
+
+if __name__ == "__main__":
+    main()
