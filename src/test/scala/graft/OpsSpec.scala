@@ -144,6 +144,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("edit distance: PassJoin branch (gridMax=0) ≡ grid branch result set") {
+    // extra docs exercise every PassJoin lane: 6/7 are shorter than
+    // maxDist+1 chars (no surviving-segment guarantee -> both-short grid),
+    // 8 is a one-substitution neighbor of 1 in the same block
+    val extra = Seq(
+      (6L, "tiny doc", "en"),
+      (7L, "tiny dog", "en"),
+      (8L, "the quick brown fox jumps over the lazy dogs near the river bank", "en")
+    ).toDF("doc_id", "text", "lang")
+    val all = docs.unionByName(extra)
+    val grid = rows(Dedup.editDistance(all))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val seg = rows(Dedup.editDistance(all, gridMax = 0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(seg == grid)
+    assert(grid.nonEmpty)
+    assert(grid.exists(t => t._1 == 6L && t._2 == 7L)) // both-short pair kept
+    intercept[IllegalArgumentException] { Dedup.editDistance(all, maxDist = 0) }
+  }
+
   private lazy val vecs = Seq(
     (1L, Array(1f, 0f, 0f, 0f), 0),
     (2L, Array(0.9f, -0.1f, 0f, 0f), 0),  // close to 1, same sign-orthant
