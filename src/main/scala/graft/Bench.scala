@@ -167,9 +167,14 @@ object Bench {
     System.out.flush()
     try spark.stop() catch { case _: Throwable => () }
     // Diagnostics share the judged line's stream (stdout), so OUR ordering
-    // is write-order deterministic; the sleep is only a fallback against
-    // third-party stderr (Spark/JVM shutdown noise) whose forwarding
-    // thread could otherwise land a line after the JSON.
+    // is write-order deterministic. Third-party stderr (Spark/JVM shutdown
+    // noise via log4j) is made deterministic too: stopping the logging
+    // backend flushes and closes its appenders, so no logger can emit a
+    // line after this point. The sleep stays only as a last-resort
+    // fallback for raw System.err writers outside log4j.
+    try org.apache.logging.log4j.LogManager.shutdown()
+    catch { case _: Throwable => () }
+    System.err.flush()
     Thread.sleep(300)
     println(judgedLine(results, failed,
       java.nio.file.Paths.get(sfDir).getFileName.toString))

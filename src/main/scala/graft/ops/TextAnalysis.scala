@@ -100,27 +100,45 @@ object TextAnalysis {
     * Ratios divide two exact integers and round once, so the values are
     * engine-exact. */
   def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame = {
-    val toks = split(F.normalizeText(lower(col("text"))), " ")
-    val grams = docs.filter(size(toks) >= n)
-      .select(col("doc_id"), toks.as("toks"),
-        explode(sequence(lit(1), size(toks) - (n - 1))).as("i"))
+    // A document's n-grams all derive from its one `text` cell, so the
+    // per-doc rollup never needs to cross rows: sort the gram array and
+    // count distinct values / the longest equal run WITHIN the row. Zero
+    // shuffles, zero joins — the whole operator is a map over the scan
+    // (the explode + two-shuffle formulation measured 6.3x on 10x data at
+    // sf1; this one is embarrassingly parallel at any corpus size).
+    val toksC = split(F.normalizeText(lower(col("text"))), " ")
+    val sortedGrams = array_sort(transform(
+      sequence(lit(1), size(col("__toks")) - (n - 1)),
+      i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+    val g = col("__g")
+    val total = size(g).cast("long")
+    // boundary positions: 1-based indexes where a new distinct gram starts
+    // in the sorted array; run lengths are gaps between consecutive
+    // boundaries (with a sentinel end at |g|+1), so
+    // distinct = |bounds|, top count = max gap.
+    val bounds = org.apache.spark.sql.functions.filter(
+      sequence(lit(1), size(g)),
+      i => i === 1 || element_at(g, i) =!= element_at(g, i - 1))
+    val stats = when(total > 0, struct(
+        size(bounds).cast("long").as("d"),
+        array_max(zip_with(
+          concat(slice(bounds, lit(2), size(bounds)), array(size(g) + 1)),
+          bounds, (b, a) => b - a)).cast("long").as("t")))
+      .otherwise(struct(lit(0L).as("d"), lit(0L).as("t")))
+    docs
+      .select(col("doc_id"), toksC.as("__toks"))
       .select(col("doc_id"),
-        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
-    val perGram = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    val stats = perGram.groupBy(col("doc_id")).agg(
-      sum(col("c")).as("total_grams"),
-      count(lit(1)).as("distinct_grams"),
-      max(col("c")).as("top_gram_count"))
-    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
-        coalesce(col("distinct_grams"), lit(0L)).as("distinct_grams"),
-        coalesce(col("top_gram_count"), lit(0L)).as("top_gram_count"),
-        coalesce(round(col("top_gram_count").cast("double")
-          / col("total_grams"), 6), lit(0.0)).as("top_gram_share"),
-        coalesce(round(lit(1.0) - col("distinct_grams").cast("double")
-          / col("total_grams"), 6), lit(0.0)).as("rep_ratio"))
+        when(size(col("__toks")) >= n, sortedGrams)
+          .otherwise(array().cast("array<string>")).as("__g"))
+      .select(col("doc_id"), total.as("total_grams"), stats.as("__st"))
+      .select(col("doc_id"), col("total_grams"),
+        col("__st.d").as("distinct_grams"),
+        col("__st.t").as("top_gram_count"),
+        coalesce(round(col("__st.t").cast("double")
+          / nullif(col("total_grams"), lit(0L)), 6), lit(0.0))
+          .as("top_gram_share"),
+        coalesce(round(lit(1.0) - col("__st.d").cast("double")
+          / nullif(col("total_grams"), lit(0L)), 6), lit(0.0)).as("rep_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -314,33 +332,93 @@ object TextAnalysis {
     * pair stream then meets ONE score table keyed on the full bigram —
     * well-hashed keys, a single big-stream join instead of two, and no
     * corpus-sized stream ever shuffles on the skewed prefix alone. */
-  def bigramLogProb(docs: DataFrame): DataFrame = {
+  /** The collapsed per-document gram stream: one row per DISTINCT n-gram
+    * per document with its in-doc count, computed INSIDE each row (sort
+    * the gram array, read distinct values + run lengths off the sorted
+    * order — the same zero-shuffle kernel as repetitionStats) and only
+    * then exploded. Consumers downstream see a stream already shrunk by
+    * the in-doc repetition factor, and because no filter sits between the
+    * scan and the explode, the tokenize regex runs exactly once per pass
+    * (a filter(size(toks) >= n) gets pushed below the projection and
+    * re-evaluates the split — measured as 2x tokenize per pass; shorter
+    * docs explode an empty array instead, which drops the row for free
+    * and keeps the excluded-doc contract). Carried columns (`carry`) ride
+    * alongside doc_id. */
+  private[graft] def docGramCounts(docs: DataFrame, n: Int,
+                                   carry: Seq[String]): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    val sortedGrams = array_sort(transform(
+      sequence(lit(1), size(col("__toks")) - (n - 1)),
+      i => concat_ws(" ", slice(col("__toks"), i, lit(n)))))
+    val g = col("__g")
+    val bounds = org.apache.spark.sql.functions.filter(
+      sequence(lit(1), size(g)),
+      i => i === 1 || element_at(g, i) =!= element_at(g, i - 1))
+    val runs = zip_with(
+      concat(slice(bounds, lit(2), size(bounds)), array(size(g) + 1)),
+      bounds, (b, a) => b - a)
+    // guard on |g| > 0: sequence(1, 0) is DESCENDING in Spark, so the
+    // boundary scan over an empty gram array would visit index 0 and trip
+    // ANSI element_at — the when() short-circuits it (If evaluates only
+    // the taken branch).
+    val gramCounts = when(size(g) > 0,
+        zip_with(transform(bounds, i => element_at(g, i)), runs,
+          (gr, c) => struct(gr.as("g"), c.as("c"))))
+      .otherwise(array().cast("array<struct<g:string,c:int>>"))
+    docs
+      .select(keep :+
+        split(F.normalizeText(lower(col("text"))), " ").as("__toks"): _*)
+      .select(keep :+
+        (when(size(col("__toks")) >= n, sortedGrams)
+          .otherwise(array().cast("array<string>")).as("__g")): _*)
+      .select(keep :+ explode(gramCounts).as("gc"): _*)
+      .select(keep :+ col("gc.g").as("g") :+
+        col("gc.c").cast("long").as("c"): _*)
+  }
+
+  def bigramLogProb(docs: DataFrame,
+                    broadcastVocabMax: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val toks = split(F.normalizeText(lower(col("text"))), " ")
-    val pairs = docs.filter(size(toks) >= 2)
-      .select(col("doc_id"), toks.as("toks"),
-        explode(sequence(lit(1), size(toks) - 1)).as("i"))
+    // Tokens are space-free (normalizeText collapses all whitespace), so
+    // the "w1 w2" gram splits back unambiguously.
+    val dpc = docGramCounts(docs, 2, Nil)
       .select(col("doc_id"),
-        element_at(col("toks"), col("i")).as("w1"),
-        element_at(col("toks"), col("i") + 1).as("w2"))
-    // Materialize the vocab-sized bigram table ONCE: ctx and the score
-    // join both derive from it, and without the barrier each derivation
-    // re-runs the corpus explode + count (Catalyst doesn't share
-    // subtrees across join branches) — three corpus passes instead of
-    // two. The checkpoint is vocabulary-sized, never corpus-sized.
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"),
+        col("c"))
+    // Bigram counts roll up from the collapsed stream (map-side combine
+    // bounds the shuffle by vocabulary x partitions, never corpus
+    // tokens); materialized once — ctx, the score join, AND the one-row
+    // vocabulary probe below all derive from it.
     val bg = Dedup.materialize(
-      pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
-    // context totals roll up from the bigram counts (far fewer rows than
-    // re-counting the pair stream)
+      dpc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb")))
     val ctx = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
     val scores = bg.join(ctx, Seq("w1"))
       .select(col("w1"), col("w2"),
         (-log(col("cb").cast("double") / col("cp"))).as("nll"))
-    pairs.join(scores, Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll").cast(DecimalType(30, 10))).cast("double") /
-          count(lit(1)), 6).as("avg_nll"))
+    // Size-adaptive score join (same class of bounded driver probe as the
+    // ngramJaccard block census): a natural-language bigram vocabulary is
+    // sublinear in the corpus (Heaps' law) and broadcastable far beyond
+    // this library's test scales — then the corpus stream never shuffles
+    // at all, and the per-doc rollup collapses map-side because the
+    // stream is still doc-contiguous from the scan. Past the bound, fall
+    // back to the hash-keyed shuffle join (the designed 100 TB path for a
+    // vocabulary that outgrows executor memory).
+    val scored =
+      if (bg.count() <= broadcastVocabMax)
+        dpc.join(broadcast(scores), Seq("w1", "w2"))
+      else dpc.join(scores, Seq("w1", "w2"))
+    // sum(c * nll-as-decimal) == adding the quantized nll c times: exact,
+    // order-independent, same determinism contract as before. Operand
+    // precisions are kept narrow (20,10)x(10,0) -> (31,10) so the product
+    // stays under Spark's 38-digit cap with scale 10 intact — a (30,10)
+    // operand would overflow precision and silently shrink the scale,
+    // rounding the products (observed as 1e-6 drift vs the oracle).
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(sum(col("nll").cast(DecimalType(20, 10)) *
+            col("c").cast(DecimalType(10, 0)))
+          .cast("double") / sum(col("c")), 6).as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -386,15 +464,12 @@ object TextAnalysis {
     * engines) keeps both phases total-order deterministic. */
   def ngramFreq(docs: DataFrame, topN: Int = 10, slices: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = split(F.normalizeText(lower(col("text"))), " ")
-    val pairs = docs.filter(size(toks) >= 2)
-      .select(col("lang"), toks.as("toks"),
-        explode(sequence(lit(1), size(toks) - 1)).as("i"))
-      .select(col("lang"),
-        concat(element_at(col("toks"), col("i")), lit(" "),
-          element_at(col("toks"), col("i") + 1)).as("bigram"))
-    val counts = pairs.groupBy(col("lang"), col("bigram"))
-      .agg(count(lit(1)).as("n"))
+    // per-doc collapsed gram counts (docGramCounts): the explode emits one
+    // row per distinct gram per doc, and the vocab rollup sums the in-doc
+    // counts — same totals, smaller stream, single tokenize pass.
+    val counts = docGramCounts(docs, 2, Seq("lang"))
+      .groupBy(col("lang"), col("g").as("bigram"))
+      .agg(sum(col("c")).as("n"))
     val slice = pmod(xxhash64(col("bigram")), lit(slices.toLong))
     val wLocal = Window.partitionBy(col("lang"), slice)
       .orderBy(col("n").desc, col("bigram"))

@@ -124,6 +124,87 @@ object Profile {
             .orderBy(col("doc_a"), col("doc_b"))
         }
       }),
+      "bigram_stages" -> (() => {
+        // mirrors TextAnalysis.bigramLogProb stage by stage
+        import org.apache.spark.sql.types.DecimalType
+        val docs = table(spark, sfDir, "documents")
+        val toksC = split(graft.etl.functions.normalizeText(lower(col("text"))), " ")
+        def pairs = docs.filter(size(toksC) >= 2)
+          .select(col("doc_id"), toksC.as("toks"),
+            explode(sequence(lit(1), size(toksC) - 1)).as("i"))
+          .select(col("doc_id"),
+            element_at(col("toks"), col("i")).as("w1"),
+            element_at(col("toks"), col("i") + 1).as("w2"))
+        time("pairs_explode_only")(pairs)
+        var bg: DataFrame = null
+        time("bg_count+materialize") {
+          bg = Dedup.materialize(
+            pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
+          bg
+        }
+        val ctx = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+        var scores: DataFrame = null
+        time("ctx+scores+materialize") {
+          scores = Dedup.materialize(bg.join(ctx, Seq("w1"))
+            .select(col("w1"), col("w2"),
+              (-log(col("cb").cast("double") / col("cp"))).as("nll")))
+          scores
+        }
+        time("score_join+rollup") {
+          pairs.join(scores, Seq("w1", "w2"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              round(sum(col("nll").cast(DecimalType(30, 10))).cast("double") /
+                count(lit(1)), 6).as("avg_nll"))
+            .orderBy(col("doc_id"))
+        }
+        isolate()
+        time("full_bigramLogProb")(
+          TextAnalysis.bigramLogProb(docs))
+      }),
+      "bigram_new" -> (() => {
+        val docs = table(spark, sfDir, "documents")
+        var dpc: DataFrame = null
+        time("dpc_scan_only") {
+          dpc = TextAnalysis.docGramCounts(docs, 2, Nil)
+            .select(col("doc_id"),
+              substring_index(col("g"), " ", 1).as("w1"),
+              substring_index(col("g"), " ", -1).as("w2"), col("c"))
+          dpc
+        }
+        var bg: DataFrame = null
+        time("bg_rollup+materialize") {
+          bg = Dedup.materialize(
+            dpc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("cb")))
+          bg
+        }
+        val t0 = System.nanoTime()
+        val vocab = bg.count()
+        println(f"[profile] vocab_count_probe (${vocab})      ${(System.nanoTime()-t0)/1e9}%8.2f s")
+        val ctx = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+        var scores: DataFrame = null
+        time("ctx+scores")(
+          { scores = bg.join(ctx, Seq("w1"))
+              .select(col("w1"), col("w2"),
+                (-log(col("cb").cast("double") / col("cp"))).as("nll"))
+            scores })
+        import org.apache.spark.sql.types.DecimalType
+        time("bcast_join+rollup") {
+          dpc.join(broadcast(scores), Seq("w1", "w2"))
+            .groupBy(col("doc_id"))
+            .agg(sum(col("c")).as("n_bigrams"),
+              round(sum(col("nll").cast(DecimalType(20, 10)) *
+                  col("c").cast(DecimalType(10, 0)))
+                .cast("double") / sum(col("c")), 6).as("avg_nll"))
+            .orderBy(col("doc_id"))
+        }
+        isolate()
+        time("full_bigramLogProb_2nd")(TextAnalysis.bigramLogProb(docs))
+        time("full_bigramLogProb_3rd")(TextAnalysis.bigramLogProb(docs))
+      }),
+      "repetition" -> (() => time("repetitionStats") {
+        TextAnalysis.repetitionStats(table(spark, sfDir, "documents"))
+      }),
       "cluster_stages" -> (() => {
         val docs = table(spark, sfDir, "documents")
         var pairs: DataFrame = null
