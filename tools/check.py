@@ -98,13 +98,16 @@ def main():
             print(f"ok   {name} ({len(got)} rows)")
     if rows_only:
         print("rows-only (no oracle):", ", ".join(rows_only))
-    missing = set(oracle) - {os.path.basename(d.rstrip('/')) for d in names}
+    missing = (set(oracle) if not only else set(oracle) & only) \
+        - {os.path.basename(d.rstrip('/')) for d in names}
     if missing:
         print("oracle without output:", sorted(missing))
         fails += 1
     if json_out:
         with open(json_out, "w") as f:
-            json.dump(report, f, indent=1, sort_keys=True)
+            json.dump({"sf": os.path.basename(sf_dir.rstrip("/")),
+                       "result": "FAIL" if fails else "PASS",
+                       "queries": report}, f, indent=1, sort_keys=True)
     print("RESULT:", "FAIL" if fails else "PASS", f"({fails} failing)")
     sys.exit(1 if fails else 0)
 
