@@ -9,17 +9,22 @@ package object queries {
   /** Driver contract signature: (session, sfDir) => result. */
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Read one of the driver's parquet tables (TESTDATA.md). The events table
-    * carries TIMESTAMP(NANOS) which Spark's µs TimestampType rejects; read
-    * nanos as long and floor-convert (integer DIV — ns epoch values overflow
-    * double's 2^53, so no float division), matching DuckDB's ns->µs
-    * truncation. */
+  /** Read one of the driver's parquet tables (TESTDATA.md). The events
+    * table's `ts` physical type has varied across driver generations:
+    * TIMESTAMP(NANOS) (which Spark's µs TimestampType rejects — read nanos
+    * as long and floor-convert with integer DIV, matching DuckDB's ns->µs
+    * truncation) vs plain TIMESTAMP(MICROS). Dispatch on the landed type so
+    * either generation normalizes to timestamp_ntz. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw =
       if (name == "events") {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        val tsNorm = df.schema("ts").dataType match {
+          case LongType => expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)")
+          case _        => col("ts").cast(TimestampNTZType)
+        }
+        df.withColumn("ts", tsNorm)
       } else spark.read.parquet(s"$dir/$name.parquet")
     // The driver writes each table as ONE file with ONE row group, and a
     // row group is parquet's split unit — so every scan arrives as a
