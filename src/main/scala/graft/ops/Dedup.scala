@@ -929,6 +929,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level exact-substring dedup — the ExactSubstr pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed as a distributed L-gram sweep instead of
+    * the paper's single-node suffix array. A character position is
+    * *duplicated* when the length-`minLen` substring starting there
+    * occurs at ≥ 2 positions corpus-wide (self-repeats count, exactly as
+    * a suffix array would see them); runs of duplicated positions merge
+    * into maximal spans [span_start, span_end). Every duplicated
+    * substring of length ≥ minLen is covered by some reported span —
+    * the same guarantee the suffix-array pass gives at threshold minLen.
+    *
+    * Shape at scale: the gram stream (one row per character position,
+    * hash + doc_id + offset only — the substring itself never leaves the
+    * row that hashed it) makes this the library's most scan-heavy
+    * operator, which is inherent to ExactSubstr at any implementation.
+    * Occurrence counting is a partition-only window over the gram hash:
+    * ONE corpus-wide shuffle, against TWO for the groupBy-then-join-back
+    * form — and since most grams are unique, the partial aggregate that
+    * normally justifies groupBy barely shrinks the stream. Surviving
+    * (duplicated) positions — a small fraction of the corpus — take one
+    * more doc-keyed shuffle and merge into spans INSIDE the row
+    * (sorted-positions fold; state is doc-bounded, never corpus-bounded).
+    * Giant boilerplate grams cost their row count, not its square:
+    * nothing here fans out pairs. */
+  def duplicatedSpans(docs: DataFrame, minLen: Int = 25): DataFrame = {
+    val n = length(col("text"))
+    val grams = docs.filter(n >= minLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1L), (n - minLen + 1).cast("long"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(col("text").substr(col("i").cast("int"), lit(minLen))).as("gh"))
+    val dupPos = grams
+      .withColumn("c", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("i"))
+    // positions -> maximal spans, in-row: a sorted fold that either grows
+    // the open span (p within minLen of its end: overlap or abutment) or
+    // opens a new one. Matches the oracle's lag-based break rule because
+    // the open span's end is always (last merged position) + minLen.
+    dupPos.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("ps"))
+      .select(col("doc_id"), explode(expr(s"""
+        aggregate(ps,
+          cast(array() as array<struct<s:bigint,e:bigint>>),
+          (acc, p) -> CASE
+            WHEN size(acc) > 0 AND p <= element_at(acc, -1).e
+            THEN concat(slice(acc, 1, size(acc) - 1),
+                 array(named_struct('s', element_at(acc, -1).s,
+                                    'e', p + CAST($minLen AS BIGINT))))
+            ELSE concat(acc,
+                 array(named_struct('s', p, 'e', p + CAST($minLen AS BIGINT))))
+          END)""")).as("sp"))
+      .select(col("doc_id"), col("sp.s").as("span_start"),
+        col("sp.e").as("span_end"),
+        (col("sp.e") - col("sp.s")).as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Exact n-gram Jaccard near-dup within deterministic blocks.
     *
     * Result contract (matches the DuckDB oracle): all pairs in the same

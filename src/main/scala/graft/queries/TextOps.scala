@@ -672,6 +672,12 @@ object TextOps extends QueryPack {
     // global first-occurrence survivorship.
     "dd_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(table(s, dir, "documents"), chunkTokens = 8)),
+    // ExactSubstr span dedup (Lee et al. 2022): maximal character spans
+    // whose length-25 substrings recur anywhere in the corpus — the
+    // cut-the-span (not drop-the-doc) granularity the doc/chunk passes
+    // above can't express.
+    "dd_exact_substr" -> ((s, dir) =>
+      Dedup.duplicatedSpans(table(s, dir, "documents"), minLen = 25)),
     // Per-source curation dashboard: doc counts, token volume, quality
     // aggregates, corpus share — the monitoring cut a multi-source corpus
     // pipeline reviews before changing its mix.
@@ -1153,6 +1159,33 @@ object TextOps extends QueryPack {
         |    AS kept_ratio
         |FROM c JOIN f ON c.ch = f.ch
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    // Corpus-wide duplicated L-gram positions, lag-merged into maximal
+    // spans (break when the gap exceeds L); end-exclusive offsets.
+    "dd_exact_substr" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 25 + 1)) AS i,
+        |         text
+        |  FROM documents WHERE length(text) >= 25),
+        |g2 AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INT), 25) AS gr FROM g),
+        |pos AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, count(*) OVER (PARTITION BY gr) AS c FROM g2)
+        |  WHERE c >= 2),
+        |flag AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 25
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM pos),
+        |sp AS (
+        |  SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        |  FROM flag)
+        |SELECT doc_id, min(i) AS span_start, max(i) + 25 AS span_end,
+        |  max(i) + 25 - min(i) AS span_len
+        |FROM sp GROUP BY doc_id, sid
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // tx_quality's score joined to source; decimal-exact mean (davg twin).
     "tx_source_profile" ->

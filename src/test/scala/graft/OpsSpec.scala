@@ -67,6 +67,35 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == (1L, 0L)) // B already seen in doc 1
   }
 
+  test("exact-substr spans: shared runs merge to maximal spans; unique text silent") {
+    // minLen=10. Doc 1 and 2 share a 30-char run mid-text at different
+    // offsets; doc 3 repeats a 12-char run within itself; doc 4 is unique.
+    val shared = "XXXXXXXXXXYYYYYYYYYYZZZZZZZZZZ" // 30 chars
+    val in = Seq(
+      (1L, s"aaaaa${shared}bbbbb"),                 // span at [6, 36)
+      (2L, s"cccccccccc${shared}dd"),               // span at [11, 41)
+      (3L, "qqqqWWWWWWWWWWWWrrrrWWWWWWWWWWWWssss"), // self-repeat, 12 chars
+      (4L, "a completely unique string with no repeats anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.duplicatedSpans(in, minLen = 10))
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    // every duplicated run surfaces as ONE merged span, 1-based inclusive
+    // start / exclusive end, and the unique doc contributes nothing
+    assert(got.count(_._1 == 1L) == 1)
+    assert(got.count(_._1 == 2L) == 1)
+    assert(!got.exists(_._1 == 4L))
+    val s1 = got.find(_._1 == 1L).get
+    assert(s1._2 == 6L && s1._3 == 36L)
+    val s2 = got.find(_._1 == 2L).get
+    assert(s2._2 == 11L && s2._3 == 41L)
+    // the self-repeat in doc 3 covers both W-runs (positions are counted
+    // corpus-wide, within-doc repeats included)
+    val s3 = got.filter(_._1 == 3L)
+    assert(s3.nonEmpty)
+    assert(s3.forall { case (_, s, e) => e - s >= 10L })
+  }
+
   test("pii scrub: counts and placeholders for email, ip, phone") {
     val in = Seq(
       (1L, "write to alice.smith+x@sub.example.org or 192.168.0.1 tel +1-555-0100"),
