@@ -283,6 +283,45 @@ object Dedup {
       .orderBy(col("new_doc"))
   }
 
+  /** Train/eval split-leakage audit — the check a training pipeline runs
+    * BEFORE shipping a split: eval documents with a near-duplicate on the
+    * training side of the boundary (train/test contamination that exact
+    * decontamination misses, because nothing was copied verbatim). Banded
+    * LSH pairs eval against train, then full-signature agreement
+    * (est_jaccard, the minHashVerified rule) confirms; returns one row per
+    * leaking eval doc: n_leaks (confirmed distinct train near-dups),
+    * max_est, first_leak (smallest such train doc_id).
+    *
+    * Shape at scale: the eval side of a 98/1/1 split is ~2% of the corpus
+    * — its band buckets broadcast (the incrementalLsh posture with eval as
+    * the batch), so the train signature table streams through one map-side
+    * join and is never shuffled or self-joined. The verification joins are
+    * candidate-bounded. Callers pass MATERIALIZED signature slices (both
+    * sides here are filters over one staged table — computed once, split
+    * for free). */
+  def splitLeakage(evalSig: DataFrame, trainSig: DataFrame,
+                   numHashes: Int = 16, bands: Int = 4,
+                   minEst: Double = 0.5): DataFrame = {
+    val eb = broadcast(bandBuckets(evalSig, numHashes, bands)
+      .select(col("doc_id").as("eval_doc"), col("band"), col("bh")))
+    val cand = eb.join(bandBuckets(trainSig, numHashes, bands), Seq("band", "bh"))
+      .select(col("eval_doc"), col("doc_id").as("train_doc"))
+      .distinct()
+    val agree = (0 until numHashes).map { i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
+    }.reduce(_ + _)
+    val est = round(agree.cast("double") / numHashes, 6)
+    cand.join(evalSig.as("a"), cand("eval_doc") === col("a.doc_id"))
+      .join(trainSig.as("b"), cand("train_doc") === col("b.doc_id"))
+      .select(col("eval_doc"), col("train_doc"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_leaks"),
+        max(col("est_jaccard")).as("max_est"),
+        min(col("train_doc")).as("first_leak"))
+      .orderBy(col("eval_doc"))
+  }
+
   /** Verified-pair twin of minHashPairsFromSignatures over a materialized
     * signature table (see minHashVerified for semantics). */
   def minHashVerifiedFromSignatures(sig: DataFrame, numHashes: Int = 16,
@@ -955,14 +994,23 @@ object Dedup {
     * nothing here fans out pairs. */
   def duplicatedSpans(docs: DataFrame, minLen: Int = 25): DataFrame = {
     val n = length(col("text"))
+    // The gram hash is INTERNAL (the oracle re-groups raw substrings, the
+    // hash never reaches the result), so it needs width, not the
+    // SQL-reproducible md5 family: two independent codegen'd xxhash64
+    // values = 128 bits, collision-safe at 10^13 grams (expected spurious
+    // collisions ~n²/2^129 ≈ 10^-13) without md5's per-gram hex-string
+    // allocation.
     val grams = docs.filter(n >= minLen)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1L), (n - minLen + 1).cast("long"))).as("i"))
       .select(col("doc_id"), col("i"),
-        md5(col("text").substr(col("i").cast("int"), lit(minLen))).as("gh"))
+        col("text").substr(col("i").cast("int"), lit(minLen)).as("g"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(col("g")).as("gh1"), xxhash64(lit(1), col("g")).as("gh2"))
     val dupPos = grams
       .withColumn("c", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gh1"), col("gh2"))))
       .filter(col("c") >= 2)
       .select(col("doc_id"), col("i"))
     // positions -> maximal spans, in-row: a sorted fold that either grows

@@ -295,6 +295,36 @@ object TextOps extends QueryPack {
       |FROM m GROUP BY new_doc ORDER BY new_doc""".stripMargin
   }
 
+  /** Leakage twin: the same banded CTEs, split by sp4's seed-41 boundary
+    * and confirmed by the minhashVerified agreement rule. */
+  private val splitLeakageOracle: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val bh = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val agree = (0 until 16)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val evalSide = s"${mh(41, "CAST(a.doc_id AS VARCHAR)")} % 10000 >= 9800"
+    val trainSide = s"${mh(41, "CAST(c.doc_id AS VARCHAR)")} % 10000 < 9800"
+    s"""WITH $sigCtes,
+      |banded AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS eval_doc, c.doc_id AS train_doc
+      |  FROM banded a JOIN banded c ON a.band = c.band AND a.bh = c.bh
+      |  WHERE $evalSide AND $trainSide),
+      |v AS (
+      |  SELECT eval_doc, train_doc,
+      |    round(CAST(($agree) AS DOUBLE) / 16, 6) AS est
+      |  FROM cand JOIN sig sa ON cand.eval_doc = sa.doc_id
+      |            JOIN sig sb ON cand.train_doc = sb.doc_id)
+      |SELECT eval_doc, count(*) AS n_leaks, max(est) AS max_est,
+      |  min(train_doc) AS first_leak
+      |FROM v WHERE est >= 0.5
+      |GROUP BY eval_doc ORDER BY eval_doc""".stripMargin
+  }
+
   /** Shared 4-gram-hash CTEs of the decontamination queries (seed 23, the
     * same normalize/split/slice shape as Dedup.gramHashes), ending with
     * `d` (distinct corpus (doc_id, gh)) and `b` (distinct benchmark gh). */
@@ -531,6 +561,16 @@ object TextOps extends QueryPack {
       val sigs = stagedMinHashSigs(s, dir)
       Dedup.incrementalLshFromBuckets(sigs.filter(col("doc_id") % 5 === 0),
         stagedCorpusBands(s, dir))
+    }),
+    // Split-leakage audit: sp4's seed-41 98/1/1 boundary, eval side's band
+    // buckets broadcast against the train side (signatures from the shared
+    // staged table — split for free), confirmed by full-signature
+    // agreement — eval contamination that exact decontamination misses.
+    "dd_split_leakage" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val sigs = stagedMinHashSigs(s, dir)
+      val b = graft.ops.Sampling.bucket(col("doc_id"), seed = 41)
+      Dedup.splitLeakage(sigs.filter(b >= 9800), sigs.filter(b < 9800))
     }),
     // Classifier evaluation: the language-ID confusion matrix against the
     // labeled lang column — the harness that tells you the n-gram
@@ -961,6 +1001,7 @@ object TextOps extends QueryPack {
     "dd_bloom_decontaminate" -> bloomOracle,
     "dd_bloom_confirmed" -> decontaminateOracle,
     "dd_incremental_lsh" -> incrementalLshOracle,
+    "dd_split_leakage" -> splitLeakageOracle,
 
     // Same 4-gram/seed-23 hashing as the decontamination CTEs, over the
     // whole corpus; df cut (2..64) before pairing; the rounded containment

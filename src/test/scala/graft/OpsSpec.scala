@@ -96,6 +96,23 @@ class OpsSpec extends SparkSpec {
     assert(s3.forall { case (_, s, e) => e - s >= 10L })
   }
 
+  test("split leakage: eval near-dup of train confirmed, unrelated eval silent") {
+    // doc 1/2 identical (all bands collide, est 1.0), doc 4 unrelated.
+    // Put 2 and 4 on the eval side, 1/3/5 on the train side explicitly —
+    // the operator takes pre-split signature slices.
+    val sig = Dedup.minHashSignatures(docs).localCheckpoint()
+    val evalSig = sig.filter($"doc_id".isin(2L, 4L))
+    val trainSig = sig.filter(!$"doc_id".isin(2L, 4L))
+    val got = rows(Dedup.splitLeakage(evalSig, trainSig))
+      .map(r => r.getAs[Long]("eval_doc") ->
+        (r.getAs[Long]("n_leaks"), r.getAs[Double]("max_est"),
+          r.getAs[Long]("first_leak"))).toMap
+    assert(got.contains(2L))
+    assert(got(2L)._2 == 1.0) // identical text -> full signature agreement
+    assert(got(2L)._3 == 1L)
+    assert(!got.contains(4L)) // unrelated eval doc never flagged
+  }
+
   test("pii scrub: counts and placeholders for email, ip, phone") {
     val in = Seq(
       (1L, "write to alice.smith+x@sub.example.org or 192.168.0.1 tel +1-555-0100"),
