@@ -188,6 +188,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("exact-substr: gram stream hashes in-row; exactly one window, no join") {
+    val p = plan("dd_exact_substr")
+    // occurrence counting is the single corpus-wide stage: a window over
+    // the gram hash — never a groupBy-then-join-back second pass
+    assert(p.contains("Window"), "lost the partition-only counting window")
+    assert(!p.contains("Join"), s"regressed to a join formulation")
+    // the substring never leaves the row that hashed it: no plan column
+    // carries the gram text through an exchange
+    val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .mkString("\n")
+    assert(exchanges.contains("gh1"), s"exchange not keyed on gram hash:\n$exchanges")
+  }
+
+  test("split leakage: eval bands broadcast; train side never self-joins") {
+    val p = plan("dd_split_leakage")
+    assert(p.contains("BroadcastHashJoin"), "eval band buckets lost their broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("decontaminate joins on gram hashes, never gram strings or cartesian") {
     val p = plan("dd_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
