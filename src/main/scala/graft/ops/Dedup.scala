@@ -37,6 +37,9 @@ object Dedup {
   /** Fingerprints bloomBitmapWords (position slices, k=3, the judged
     * mBits=2¹⁶) over the staged benchmark grams. */
   val BloomStageTag = "bloombits16_v1"
+  /** Fingerprints spanArrays (L-gram sweep, merge rule) at the minLen=25
+    * the ExactSubstr queries use. */
+  val SpanStageTag = "ddspans25_v1"
 
   /** Lineage barrier for iterative/self-joined intermediates: reliable
     * `checkpoint` when the session has a checkpoint dir configured (a real
@@ -968,16 +971,8 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Span-level exact-substring dedup — the ExactSubstr pass of Lee et
-    * al., "Deduplicating Training Data Makes Language Models Better"
-    * (ACL 2022), re-expressed as a distributed L-gram sweep instead of
-    * the paper's single-node suffix array. A character position is
-    * *duplicated* when the length-`minLen` substring starting there
-    * occurs at ≥ 2 positions corpus-wide (self-repeats count, exactly as
-    * a suffix array would see them); runs of duplicated positions merge
-    * into maximal spans [span_start, span_end). Every duplicated
-    * substring of length ≥ minLen is covered by some reported span —
-    * the same guarantee the suffix-array pass gives at threshold minLen.
+  /** Per-doc maximal duplicated-span arrays — the shared kernel of the
+    * ExactSubstr audit (duplicatedSpans) and transform (redactSpans).
     *
     * Shape at scale: the gram stream (one row per character position,
     * hash + doc_id + offset only — the substring itself never leaves the
@@ -992,7 +987,7 @@ object Dedup {
     * (sorted-positions fold; state is doc-bounded, never corpus-bounded).
     * Giant boilerplate grams cost their row count, not its square:
     * nothing here fans out pairs. */
-  def duplicatedSpans(docs: DataFrame, minLen: Int = 25): DataFrame = {
+  def spanArrays(docs: DataFrame, minLen: Int): DataFrame = {
     val n = length(col("text"))
     // The gram hash is INTERNAL (the oracle re-groups raw substrings, the
     // hash never reaches the result), so it needs width, not the
@@ -1019,7 +1014,7 @@ object Dedup {
     // the open span's end is always (last merged position) + minLen.
     dupPos.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("ps"))
-      .select(col("doc_id"), explode(expr(s"""
+      .select(col("doc_id"), expr(s"""
         aggregate(ps,
           cast(array() as array<struct<s:bigint,e:bigint>>),
           (acc, p) -> CASE
@@ -1029,11 +1024,63 @@ object Dedup {
                                     'e', p + CAST($minLen AS BIGINT))))
             ELSE concat(acc,
                  array(named_struct('s', p, 'e', p + CAST($minLen AS BIGINT))))
-          END)""")).as("sp"))
+          END)""").as("spans"))
+  }
+
+  /** Span-level exact-substring dedup — the ExactSubstr pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed as a distributed L-gram sweep instead of
+    * the paper's single-node suffix array. A character position is
+    * *duplicated* when the length-`minLen` substring starting there
+    * occurs at ≥ 2 positions corpus-wide (self-repeats count, exactly as
+    * a suffix array would see them); runs of duplicated positions merge
+    * into maximal spans [span_start, span_end). Every duplicated
+    * substring of length ≥ minLen is covered by some reported span —
+    * the same guarantee the suffix-array pass gives at threshold minLen. */
+  def duplicatedSpans(docs: DataFrame, minLen: Int = 25): DataFrame =
+    duplicatedSpansFrom(spanArrays(docs, minLen))
+
+  /** Audit over an ALREADY-MATERIALIZED span-array table (the staged-
+    * parquet form both ExactSubstr queries share — the gram sweep is the
+    * dominant cost and identical between them). */
+  def duplicatedSpansFrom(spans: DataFrame): DataFrame =
+    spans
+      .select(col("doc_id"), explode(col("spans")).as("sp"))
       .select(col("doc_id"), col("sp.s").as("span_start"),
         col("sp.e").as("span_end"),
         (col("sp.e") - col("sp.s")).as("span_len"))
       .orderBy(col("doc_id"), col("span_start"))
+
+  /** The ExactSubstr TRANSFORM: cut every duplicated span out of every
+    * document and return the cleaned corpus — the audit above made
+    * actionable (the paper's actual dedup step removes all duplicated
+    * occurrences; a keep-one-copy policy is a survivorship choice layered
+    * on top, exactly as dd_exact does for whole docs). Documents without
+    * spans pass through verbatim via the left join. The stitch is one
+    * in-row fold over the doc's own span array (state is doc-bounded):
+    * emit the gap before each span, skip the span, emit the tail. */
+  def redactSpans(docs: DataFrame, minLen: Int = 25): DataFrame =
+    redactFromSpans(docs, spanArrays(docs, minLen))
+
+  /** Transform over an already-materialized span-array table (see
+    * duplicatedSpansFrom). */
+  def redactFromSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(expr("""
+          concat(
+            aggregate(spans, named_struct('acc', '', 'cur', CAST(1 AS BIGINT)),
+              (st, sp) -> named_struct(
+                'acc', concat(st.acc,
+                  substring(text, CAST(st.cur AS INT), CAST(sp.s - st.cur AS INT))),
+                'cur', sp.e)).acc,
+            substring(text, CAST(element_at(spans, -1).e AS INT),
+              CAST(length(text) - element_at(spans, -1).e + 1 AS INT)))"""))
+          .as("clean_text"),
+        coalesce(size(col("spans")), lit(0)).cast("long").as("n_spans"),
+        coalesce(expr(
+          "aggregate(spans, CAST(0 AS BIGINT), (a, sp) -> a + (sp.e - sp.s))"),
+          lit(0L)).as("n_cut"))
   }
 
   /** Exact n-gram Jaccard near-dup within deterministic blocks.

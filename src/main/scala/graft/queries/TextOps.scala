@@ -46,6 +46,20 @@ object TextOps extends QueryPack {
     s.read.parquet(staged)
   }
 
+  /** Per-doc duplicated-span arrays (ExactSubstr kernel, minLen=25) —
+    * the stage shared by the audit (dd_exact_substr) and the transform
+    * (dd_substr_redact): the corpus-wide gram sweep dominates both and is
+    * identical between them. Tag: Dedup.SpanStageTag. */
+  private def stagedSpanArrays(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val staged = tmpStage(dir, graft.ops.Dedup.SpanStageTag)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      Dedup.spanArrays(table(s, dir, "documents"), minLen = 25)
+        .write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged)
+  }
+
   /** Distinct (doc_id, gh) 4-gram hash table over the whole documents
     * corpus — the stage shared by all three decontamination queries
     * (dd_decontaminate, dd_bloom_decontaminate, dd_bloom_confirmed): the
@@ -717,7 +731,19 @@ object TextOps extends QueryPack {
     // cut-the-span (not drop-the-doc) granularity the doc/chunk passes
     // above can't express.
     "dd_exact_substr" -> ((s, dir) =>
-      Dedup.duplicatedSpans(table(s, dir, "documents"), minLen = 25)),
+      Dedup.duplicatedSpansFrom(stagedSpanArrays(s, dir))),
+    // The ExactSubstr TRANSFORM: the spans cut out of every document —
+    // fingerprint + lengths judged (the cleaned corpus itself is the
+    // operator's output; the query projects its stable summary).
+    "dd_substr_redact" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Dedup.redactFromSpans(table(s, dir, "documents"),
+          stagedSpanArrays(s, dir))
+        .select(col("doc_id"), col("n_spans"), col("n_cut"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
     // Per-source curation dashboard: doc counts, token volume, quality
     // aggregates, corpus share — the monitoring cut a multi-source corpus
     // pipeline reviews before changing its mix.
@@ -1227,6 +1253,55 @@ object TextOps extends QueryPack {
         |  max(i) + 25 - min(i) AS span_len
         |FROM sp GROUP BY doc_id, sid
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Same span CTEs; per doc, stitch the gaps between spans (lag of the
+    // previous span end) plus the tail, left-joined so span-free docs pass
+    // through verbatim.
+    "dd_substr_redact" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 25 + 1)) AS i,
+        |         text
+        |  FROM documents WHERE length(text) >= 25),
+        |g2 AS (
+        |  SELECT doc_id, i, substr(text, CAST(i AS INT), 25) AS gr FROM g),
+        |pos AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, count(*) OVER (PARTITION BY gr) AS c FROM g2)
+        |  WHERE c >= 2),
+        |flag AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 25
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM pos),
+        |sp AS (
+        |  SELECT doc_id, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        |  FROM flag),
+        |spans AS (
+        |  SELECT doc_id, min(i) AS s, max(i) + 25 AS e
+        |  FROM sp GROUP BY doc_id, sid),
+        |w AS (
+        |  SELECT doc_id, s, e,
+        |    lag(e, 1, CAST(1 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+        |  FROM spans),
+        |hd AS (
+        |  SELECT w.doc_id,
+        |    string_agg(substr(d.text, CAST(w.pe AS INT), CAST(w.s - w.pe AS INT)),
+        |               '' ORDER BY w.s) AS head,
+        |    max(w.e) AS laste, count(*) AS n_spans,
+        |    CAST(sum(w.e - w.s) AS BIGINT) AS n_cut
+        |  FROM w JOIN documents d ON w.doc_id = d.doc_id
+        |  GROUP BY w.doc_id),
+        |r AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN h.doc_id IS NULL THEN d.text
+        |         ELSE h.head || substr(d.text, CAST(h.laste AS INT)) END AS clean,
+        |    COALESCE(h.n_spans, 0) AS n_spans,
+        |    COALESCE(h.n_cut, 0) AS n_cut
+        |  FROM documents d LEFT JOIN hd h ON d.doc_id = h.doc_id)
+        |SELECT doc_id, n_spans, n_cut,
+        |  CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // tx_quality's score joined to source; decimal-exact mean (davg twin).
     "tx_source_profile" ->

@@ -96,6 +96,23 @@ class OpsSpec extends SparkSpec {
     assert(s3.forall { case (_, s, e) => e - s >= 10L })
   }
 
+  test("exact-substr redact: spans cut, gaps stitched, span-free docs verbatim") {
+    val shared = "XXXXXXXXXXYYYYYYYYYYZZZZZZZZZZ" // 30 chars
+    val unique = "a completely unique string with no repeats anywhere at all"
+    val in = Seq(
+      (1L, s"aaaaa${shared}bbbbb"),
+      (2L, s"cccccccccc${shared}dd"),
+      (3L, unique)
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.redactSpans(in, minLen = 10))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("n_cut"))).toMap
+    assert(got(1L) == (("aaaaabbbbb", 1L, 30L)))
+    assert(got(2L) == (("ccccccccccdd", 1L, 30L)))
+    assert(got(3L) == ((unique, 0L, 0L))) // untouched, via the left join
+  }
+
   test("split leakage: eval near-dup of train confirmed, unrelated eval silent") {
     // doc 1/2 identical (all bands collide, est 1.0), doc 4 unrelated.
     // Put 2 and 4 on the eval side, 1/3/5 on the train side explicitly —

@@ -188,8 +188,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("exact-substr: gram stream hashes in-row; exactly one window, no join") {
-    val p = plan("dd_exact_substr")
+  test("exact-substr kernel: gram stream hashes in-row; one window, no join") {
+    // the judged queries read the staged span parquet, so the shape under
+    // test is the kernel that builds it
+    val p = graft.ops.Dedup.spanArrays(
+        graft.queries.table(spark, dir, "documents"), minLen = 25)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // occurrence counting is the single corpus-wide stage: a window over
     // the gram hash — never a groupBy-then-join-back second pass
     assert(p.contains("Window"), "lost the partition-only counting window")
