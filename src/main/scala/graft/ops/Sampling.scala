@@ -107,6 +107,43 @@ object Sampling {
       .orderBy(col(strataCol))
   }
 
+  /** Source repeat-factors — the "how many epochs of each source" side of
+    * data mixing, the OVERSAMPLING complement of temperatureWeights'
+    * subsampling quotas (the data-constrained regime of Muennighoff et
+    * al. 2023: when a source's α = 0.5 share of the token budget exceeds
+    * its inventory, it repeats across epochs rather than shrinking the
+    * run). Per source: token inventory, temperature weight over TOKEN
+    * counts (same IEEE-sqrt / DECIMAL-normalizer discipline as
+    * temperatureWeights), the budget share, and repeat_factor =
+    * min(share / inventory, maxEpochs) — > 1 means repeat, < 1 means
+    * subsample; effective_tokens caps at the integer maxEpochs × inventory
+    * so the cap path stays in exact integer arithmetic.
+    *
+    * Shape at scale: one partial-agg (count, sum) per source and a
+    * broadcast one-row normalizer — the corpus is scanned once, never
+    * shuffled; output is |sources| rows. */
+  def repeatFactors(df: DataFrame, strataCol: String,
+                    tokenBudget: Long, maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nTok = size(split(col("text"), "\\s+")).cast("long")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+    val z = counts.agg(
+      sum(sqrt(col("n_tokens").cast("double")).cast(DecimalType(30, 10)))
+        .as("__z"))
+    val weight = sqrt(col("n_tokens").cast("double")) / col("__z").cast("double")
+    val target = floor(weight * tokenBudget).cast("long")
+    val rf = least(target.cast("double") / col("n_tokens").cast("double"),
+      lit(maxEpochs.toDouble))
+    counts.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        round(weight, 6).as("weight"),
+        target.as("target_tokens"),
+        round(rf, 6).as("repeat_factor"),
+        least(target, col("n_tokens") * maxEpochs).as("effective_tokens"))
+      .orderBy(col(strataCol))
+  }
+
   /** Materialize a temperature mix: keep exactly min(quota_s, n_s)
     * documents per stratum, where quota_s comes from temperatureWeights —
     * the step that turns the α = 0.5 mixing weights into an actual

@@ -635,6 +635,13 @@ object TextOps extends QueryPack {
     "sp5_temperature" -> ((s, dir) =>
       graft.ops.Sampling.temperatureWeights(table(s, dir, "documents"),
         strataCol = "source", budget = 10000L)),
+    // Epoch/repeat-factor mixing against a 500k-token budget: the
+    // oversampling side of the recipe — at sf0.01 every source caps at
+    // maxEpochs (data-constrained), at sf0.1 the same budget lands the
+    // uncapped repeat regime.
+    "sp8_repeat_factors" -> ((s, dir) =>
+      graft.ops.Sampling.repeatFactors(table(s, dir, "documents"),
+        strataCol = "source", tokenBudget = 500000L)),
     // Materialized temperature mix: the sp5 quotas applied — exactly
     // min(quota, |source|) docs kept per source by the deterministic
     // reservoir rule.
@@ -1153,6 +1160,25 @@ object TextOps extends QueryPack {
         |  round(sqrt(CAST(n_docs AS DOUBLE)) / CAST(z.z AS DOUBLE), 6) AS weight,
         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / CAST(z.z AS DOUBLE) * 10000) AS BIGINT) AS quota
         |FROM c CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // Same sqrt/DECIMAL-normalizer discipline over TOKEN counts; the
+    // double ops (divide, least, round) produce identical values in both
+    // engines; the cap path is exact integer arithmetic.
+    "sp8_repeat_factors" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,10))) AS z FROM c),
+        |t AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    sqrt(CAST(n_tokens AS DOUBLE)) / CAST(z.z AS DOUBLE) AS w,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / CAST(z.z AS DOUBLE) * 500000) AS BIGINT) AS target_tokens
+        |  FROM c CROSS JOIN z)
+        |SELECT source, n_docs, n_tokens, round(w, 6) AS weight, target_tokens,
+        |  round(least(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4.0), 6) AS repeat_factor,
+        |  least(target_tokens, n_tokens * 4) AS effective_tokens
+        |FROM t ORDER BY source""".stripMargin,
 
     // Same (hash, doc_id) rank, same seed-31 hash family.
     "sp3_reservoir" ->

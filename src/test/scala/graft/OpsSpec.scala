@@ -768,6 +768,30 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("quota")).sum <= 1000L)
   }
 
+  test("repeatFactors: scarce source repeats up to the cap, rich source subsamples") {
+    // 10-token docs: "rich" holds 900 tokens, "scarce" 100. Budget 2000
+    // with sqrt flattening gives scarce a 500-token share over a 100-token
+    // inventory -> raw factor 5, capped at 4 epochs; rich's 1500-token
+    // share over 900 -> ~1.66, uncapped.
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val d = ((1 to 90).map(i => (i.toLong, ten, "rich")) ++
+      (91 to 100).map(i => (i.toLong, ten, "scarce")))
+      .toDF("doc_id", "text", "source")
+    val got = rows(graft.ops.Sampling.repeatFactors(d, "source",
+        tokenBudget = 2000L, maxEpochs = 4))
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Double]("repeat_factor"), r.getAs[Long]("effective_tokens")))
+      .toMap
+    val (rn, rt, rf, re) = got("rich")
+    val (sn, st, sf, se) = got("scarce")
+    assert(rn == 900L && sn == 100L)
+    // sqrt(900)/sqrt(100) are exact doubles: the 75%/25% split is exact
+    assert(rt == 1500L && st == 500L)
+    assert(sf == 4.0 && se == 400L)   // capped: 4 epochs of the inventory
+    assert(rf > 1.6 && rf < 1.7 && re == 1500L) // oversampled, uncapped
+  }
+
   test("gramContainment: quote-in-page caught, stop-grams cut, df=1 can't pair") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val page = quote + " " + (1 to 40).map(i => s"p$i").mkString(" ")
