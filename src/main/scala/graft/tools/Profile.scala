@@ -45,6 +45,29 @@ object Profile {
       "minhash_sig" -> (() => time("minhash_sig") {
         Dedup.minHashSignatures(table(spark, sfDir, "documents"))
       }),
+      // the exact judged path, stage wiped first — what Bench times
+      "substr_query" -> (() => {
+        graft.queries.wipeStages()
+        time("dd_exact_substr(query fn)")(
+          graft.SparkEntry.queries("dd_exact_substr")(spark, sfDir))
+      }),
+      // attributes the ExactSubstr stage cost: the kernel itself (explode +
+      // double-xxhash64 + window) vs the single-row-group repartition the
+      // loader inserts at driver SFs vs the parquet stage write
+      "substr_stages" -> (() => {
+        time("span_kernel(loader table)")(
+          Dedup.spanArrays(table(spark, sfDir, "documents"), 25))
+        isolate()
+        time("span_kernel(raw scan)")(
+          Dedup.spanArrays(
+            spark.read.parquet(s"$sfDir/documents.parquet"), 25))
+        isolate()
+        val out = graft.queries.tmpStage(sfDir, "profile_spans")
+        val t0 = System.nanoTime()
+        Dedup.spanArrays(table(spark, sfDir, "documents"), 25)
+          .write.mode("overwrite").parquet(out)
+        println(f"[profile] span_stage_parquet_write     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }),
       "minhash_est_stages" -> (() => {
         var sig: DataFrame = null
         time("sig_build+materialize") {
