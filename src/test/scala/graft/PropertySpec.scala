@@ -177,6 +177,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exact-substr spans match the brute-force duplicated-window reference " +
+    "on random corpora") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(19)
+    val L = 6
+    for (trial <- 1 to 4) {
+      // small alphabet + shared motifs force real cross- and in-doc repeats
+      def word() = ("abc" (rnd.nextInt(3))).toString * (1 + rnd.nextInt(3))
+      val docs = (1 to 12).map { id =>
+        (id.toLong, (1 to (8 + rnd.nextInt(20))).map(_ => word()).mkString)
+      }
+      // reference: every length-L window that occurs >= 2 times corpus-wide
+      // marks its start position; sorted positions merge when gap <= L
+      val wins = docs.flatMap { case (id, t) =>
+        (0 to t.length - L).map(i => (t.substring(i, i + L), id, i + 1L))
+      }
+      val dupKeys = wins.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val want = wins.filter(w => dupKeys(w._1))
+        .groupBy(_._2).view.mapValues { ps =>
+          val sorted = ps.map(_._3).sorted
+          sorted.foldLeft(List.empty[(Long, Long)]) {
+            case ((s, e) :: tail, p) if p <= e => (s, p + L) :: tail
+            case (acc, p) => (p, p + L) :: acc
+          }.reverse
+        }.toMap
+      val got = rows(Dedup.duplicatedSpans(
+          docs.toDF("doc_id", "text"), minLen = L))
+        .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.map(r =>
+          (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toList)
+        .toMap
+      assert(got == want, s"trial $trial: span mismatch")
+      // and the transform is consistent: cutting `want` by hand equals
+      // the operator's cleaned text
+      val cleanWant = docs.map { case (id, t) =>
+        val spans = want.getOrElse(id, Nil)
+        val kept = new StringBuilder
+        var cur = 1L
+        spans.foreach { case (s, e) =>
+          kept ++= t.substring(cur.toInt - 1, s.toInt - 1); cur = e }
+        kept ++= t.substring(cur.toInt - 1)
+        id -> kept.toString
+      }.toMap
+      val cleanGot = rows(Dedup.redactSpans(docs.toDF("doc_id", "text"), L))
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
+        .toMap
+      assert(cleanGot == cleanWant, s"trial $trial: redact mismatch")
+    }
+  }
+
   test("as-of join matches the brute-force per-row argmax on random events") {
     import graft.ops.AsOf
     val rnd = new scala.util.Random(7)
