@@ -30,6 +30,45 @@ object StarSchema {
       .select((keyName +: cols).map(col): _*)
   }
 
+  /** The 100 TB twin of `buildDim` (SURVEY §7.3.1's documented caveat,
+    * made executable): the SAME dense 1..n surrogate keys in the SAME
+    * total order, with no global window and no single-partition exchange
+    * at any stage — the dimension stays distributed throughout.
+    *
+    * How: range-repartition the distinct rows by the key order (globally
+    * ordered partitions), sort within partitions, then decompose
+    * `monotonically_increasing_id` — (partitionId << 33) | ordinal — into
+    * its parts. The global rank is the ordinal plus the count of rows in
+    * earlier partitions; those counts are one row per partition (a
+    * driver probe bounded by the partition count, the A4 class SURVEY
+    * §7.3.7 licenses) and ride back as a broadcast map literal.
+    *
+    * The ranged+sorted layout is MATERIALIZED first: the counts job and
+    * the remap job must see identical partition boundaries, and the range
+    * partitioner's sampling pass would otherwise be free to re-draw them
+    * between jobs. */
+  def buildDimDense(src: DataFrame, cols: Seq[String], orderCol: String,
+                    keyName: String, partitions: Int = 0): DataFrame = {
+    val d = src.select(cols.map(col): _*).distinct()
+    val order = (orderCol +: cols.filterNot(_ == orderCol)).map(col)
+    val p =
+      if (partitions > 0) partitions
+      else d.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = graft.ops.Dedup.materialize(
+      d.repartitionByRange(p, order: _*).sortWithinPartitions(order: _*)
+        .select(col("*"), spark_partition_id().as("__pid"),
+          monotonically_increasing_id().as("__mid")))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val ordinal = col("__mid") - col("__pid").cast("long") * lit(1L << 33)
+    ranged
+      .withColumn(keyName,
+        (element_at(typedlit(offsets), col("__pid")) + ordinal + 1L).cast("int"))
+      .select((keyName +: cols).map(col): _*)
+  }
+
   /** dim_fecha (build_dim_fecha, transform/clean_data.py:17-29 +
     * main.py:160-190): union date columns from several sources, parse,
     * null-drop, distinct, derive key + calendar parts. */

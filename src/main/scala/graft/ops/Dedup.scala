@@ -301,12 +301,22 @@ object Dedup {
     * join and is never shuffled or self-joined. The verification joins are
     * candidate-bounded. Callers pass MATERIALIZED signature slices (both
     * sides here are filters over one staged table — computed once, split
-    * for free). */
+    * for free).
+    *
+    * PRECONDITION on `evalSig`: the broadcast posture assumes the eval
+    * side is the SMALL side of the split (bands × |eval| bucket rows must
+    * fit the driver/executor broadcast budget — fine for the designed
+    * ~1–2% eval slice at any corpus size, since the table is rows × bands
+    * of (long, int, long)). A caller auditing an unusually large eval
+    * slice passes `broadcastEval = false` to let the planner pick the
+    * join strategy instead of forcing a broadcast that could OOM — the
+    * same opt-out contract incrementalLsh documents for its batch side. */
   def splitLeakage(evalSig: DataFrame, trainSig: DataFrame,
                    numHashes: Int = 16, bands: Int = 4,
-                   minEst: Double = 0.5): DataFrame = {
-    val eb = broadcast(bandBuckets(evalSig, numHashes, bands)
-      .select(col("doc_id").as("eval_doc"), col("band"), col("bh")))
+                   minEst: Double = 0.5, broadcastEval: Boolean = true): DataFrame = {
+    val ebRaw = bandBuckets(evalSig, numHashes, bands)
+      .select(col("doc_id").as("eval_doc"), col("band"), col("bh"))
+    val eb = if (broadcastEval) broadcast(ebRaw) else ebRaw
     val cand = eb.join(bandBuckets(trainSig, numHashes, bands), Seq("band", "bh"))
       .select(col("eval_doc"), col("doc_id").as("train_doc"))
       .distinct()
@@ -995,9 +1005,23 @@ object Dedup {
     // values = 128 bits, collision-safe at 10^13 grams (expected spurious
     // collisions ~n²/2^129 ≈ 10^-13) without md5's per-gram hex-string
     // allocation.
+    // Two-level position explode: a single sequence(1, n−minLen+1) would
+    // materialize one O(doc_length) long array per document row before
+    // exploding — a multi-MB document allocates it all at once. Chunk ids
+    // first (a tiny array), then ≤ chunkChars positions per chunk row:
+    // per-row allocation is bounded at ~32 KB whatever the document size,
+    // and the disjoint chunk ranges union to exactly [1, n−minLen+1].
+    val chunkChars = 4096L
+    val maxPos = (n - minLen + 1).cast("long")
     val grams = docs.filter(n >= minLen)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1L), (n - minLen + 1).cast("long"))).as("i"))
+        explode(sequence(lit(0L),
+          // `/` is true division in Spark SQL; the cast truncates the
+          // non-negative quotient back to the integer chunk index
+          ((n.cast("long") - minLen) / chunkChars).cast("long"))).as("k"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(col("k") * chunkChars + 1,
+          least((col("k") + 1) * chunkChars, maxPos))).as("i"))
       .select(col("doc_id"), col("i"),
         col("text").substr(col("i").cast("int"), lit(minLen)).as("g"))
       .select(col("doc_id"), col("i"),
@@ -1191,15 +1215,37 @@ object Dedup {
       .groupBy(col("doc_id"), col("lang"), col("bucket"), col("n"))
       .agg(sort_array(collect_list(struct(col("tdf"), col("tok"))))
         .as("ranked"))
-      .select(col("doc_id"), col("lang"), col("bucket"),
-        explode(slice(col("ranked"), lit(1), pfxLen)).as("pt"))
-      .select(col("doc_id"), col("lang"), col("bucket"),
-        col("pt.tok").as("tok")))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n"),
+        posexplode(slice(col("ranked"), lit(1), pfxLen)))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n"),
+        col("pos"), col("col.tok").as("tok")))
     val (a, b, chunkCond) = Skew.chunkedSelfJoin(prefixes, "doc_id", chunks)
+    // PPJoin positional filter (Xiao et al.): both ranked token lists are
+    // sorted by the SAME total order (tdf asc, tok asc — tdf is a global
+    // per-token property, so a shared token has one sort key in both
+    // docs), hence common tokens appear in the same relative order and a
+    // match at 0-based positions (i, j) bounds the overlap by
+    //   o ≤ min(i, j) + 1 + min(na−i−1, nb−j−1)
+    // (at most min(i, j) shared tokens can precede the match, this token,
+    // then at most the shorter remaining suffix). J(a,b) ≥ t requires
+    // o ≥ t/(1+t)·(na+nb); using tSlack keeps the bound permissive, so no
+    // qualifying pair is dropped — the bound holds for EVERY shared
+    // token, so filtering each matched occurrence before the distinct
+    // cannot lose a pair whose true overlap qualifies. The length filter
+    // (min ≥ t·max, the sizePre of the verify stage) also rides the join
+    // condition here: both cuts run inside the equi-join's post-filter,
+    // shrinking the candidate stream feeding distinct + exact verify.
+    val na = col("a.n"); val nb = col("b.n")
+    val ia = col("a.pos"); val jb = col("b.pos")
+    val lenOk = least(na, nb).cast("double") >= lit(tSlack) * greatest(na, nb).cast("double")
+    val overlapNeed = lit(tSlack / (1.0 + tSlack)) * (na + nb).cast("double")
+    val overlapUb = least(ia, jb) + lit(1) +
+      least(na - ia - lit(1), nb - jb - lit(1))
     val candPfx = a.join(b, col("a.lang") === col("b.lang") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.tok") === col("b.tok") && chunkCond &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          lenOk && overlapUb.cast("double") >= overlapNeed)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // A doc belongs to exactly one block and a block feeds exactly one

@@ -404,8 +404,11 @@ object TextAnalysis {
     // stream is still doc-contiguous from the scan. Past the bound, fall
     // back to the hash-keyed shuffle join (the designed 100 TB path for a
     // vocabulary that outgrows executor memory).
+    // broadcastVocabMax = 0 means the caller has already decided on the
+    // shuffle path — skip the count() probe entirely so bg is not
+    // materialized twice on a cold run just to confirm a foregone choice.
     val scored =
-      if (bg.count() <= broadcastVocabMax)
+      if (broadcastVocabMax > 0 && bg.count() <= broadcastVocabMax)
         dpc.join(broadcast(scores), Seq("w1", "w2"))
       else dpc.join(scores, Seq("w1", "w2"))
     // sum(c * nll-as-decimal) == adding the quantized nll c times: exact,

@@ -241,6 +241,15 @@ object Etl extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A7 at 100 TB: dense surrogate keys with NO global window — range
+    // partition + per-partition ordinal + broadcast offset remap
+    // (StarSchema.buildDimDense). The oracle is the row_number form, so
+    // hash-green here IS the proof the two paths assign identical keys.
+    "etl_dense_keys" -> ((s, dir) =>
+      StarSchema.buildDimDense(table(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment"), "c_custkey", "customer_key")
+        .orderBy(col("customer_key"))),
+
     // Malformed-input resilience (PERMISSIVE): nation rows land in a CSV
     // where key%5=0 rows carry an EXTRA field and key%5=1 rows a MISSING
     // one; both classes surface in the corrupt-record column while clean
@@ -633,6 +642,15 @@ object Etl extends QueryPack {
       """SELECT l_returnflag, count(*) AS n,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
         |FROM lineitem WHERE l_quantity >= 30
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The row_number form of the surrogate key — the dense-remap Spark
+    // path must reproduce it bit-for-bit.
+    "etl_dense_keys" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY c_custkey, c_name, c_mktsegment) AS INT) AS customer_key,
+        |  c_custkey, c_name, c_mktsegment
+        |FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment FROM customer)
+        |ORDER BY customer_key""".stripMargin
   )
 }

@@ -143,13 +143,15 @@ object Vectors extends QueryPack {
     // sums, no global sort.
     "mm_shard_manifest" -> ((s, dir) =>
       graft.ops.Packing.shardManifest(
-        Multimodal.decodeMeta(table(s, dir, "documents")),
+        Multimodal.decodeMetaFromDocs(table(s, dir, "documents")),
         bytesCol = "n_bytes", groupCol = "format", shardBytes = 65536L)),
 
-    // Multimodal metadata decode (stub decoder — deterministic arithmetic
-    // over the payload bytes, so it IS oracle-checkable).
+    // Multimodal metadata decode: text bytes wrapped in VALID PNG/JPEG
+    // containers, then genuinely header-parsed back (Multimodal
+    // .HeaderDecoder). Synthesis is deterministic, so it IS
+    // oracle-checkable without the oracle parsing bytes.
     "mm_decode_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(table(s, dir, "documents"))),
+      Multimodal.decodeMetaFromDocs(table(s, dir, "documents"))),
 
     // Frame sampling: per-asset rows fan out to per-frame rows, no shuffle.
     "mm_frame_sample" -> ((s, dir) =>
@@ -158,7 +160,7 @@ object Vectors extends QueryPack {
     // Resize planning over decoded metadata (aspect-preserving bound).
     "mm_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
-        Multimodal.decodeMeta(table(s, dir, "documents")), maxSide = 256))
+        Multimodal.decodeMetaFromDocs(table(s, dir, "documents")), maxSide = 256))
   )
 
   /** DuckDB twin of ops.Similarity.cosine — sequential double fold. */
@@ -402,12 +404,14 @@ object Vectors extends QueryPack {
         |  round(CAST(sum(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
-    // decodeMeta's byte arithmetic + per-format running totals; floor
+    // decodeMeta's container arithmetic (n_bytes = text bytes + 33-byte
+    // PNG / 39-byte JFIF header) + per-format running totals; floor
     // division via the exact (x - mod) / width pattern on both sides.
     "mm_shard_manifest" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CAST(octet_length(encode(text))
+        |      + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes,
         |    CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS grp
         |  FROM documents WHERE text IS NOT NULL),
         |s AS (
@@ -446,10 +450,15 @@ object Vectors extends QueryPack {
         |  CAST(floor(height * scale) AS BIGINT) AS out_h
         |FROM s ORDER BY doc_id""".stripMargin,
 
-    // FakeDecoder's arithmetic, restated over UTF-8 byte length.
+    // synthesizePayload's deterministic container build, restated over
+    // UTF-8 byte length: dimensions derive from the BODY length, n_bytes
+    // adds the real header size (33-byte PNG sig+IHDR / 39-byte JFIF
+    // SOI+APP0+SOF0). The Spark side parses these values back out of the
+    // actual bytes.
     "mm_decode_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text))
+        |    + CASE WHEN doc_id % 3 = 0 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes,
         |  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
         |  CAST(64 + (octet_length(encode(text)) * 31) % 417 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,

@@ -145,6 +145,22 @@ class EtlSpec extends SparkSpec {
     assert(got == Seq((1, 10L), (2, 20L), (3, 30L)))
   }
 
+  test("buildDimDense: equals the row_number form, tie-breaks included") {
+    // duplicate orderCol values force the tie-break columns to decide;
+    // duplicate full rows must collapse via the distinct first
+    val src = Seq((2L, "b"), (1L, "c"), (1L, "a"), (3L, "a"), (1L, "a"))
+      .toDF("k", "v")
+    val want = rows(StarSchema.buildDim(src, Seq("k", "v"), "k", "id")
+      .orderBy("id")).map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    // more partitions than rows: some range partitions land empty, so the
+    // offset remap must survive gaps in the partition-id sequence
+    for (p <- Seq(1, 3, 8)) {
+      val got = rows(StarSchema.buildDimDense(src, Seq("k", "v"), "k", "id", p)
+        .orderBy("id")).map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      assert(got == want, s"partitions=$p")
+    }
+  }
+
   test("buildDimFecha: union, null-drop, distinct, calendar parts") {
     val a = Seq(Some("2024-03-05 00:00:00"), None).toDF("f")
     val b = Seq(Some("2024-03-05 00:00:00"), Some("2023-12-31 00:00:00")).toDF("f")

@@ -707,12 +707,61 @@ class OpsSpec extends SparkSpec {
       rows(sketch).map(r => (r.getInt(0), r.getInt(1), r.getLong(2))))
   }
 
-  test("multimodal decode: deterministic stub metadata, schema stable") {
+  test("multimodal decode: synthesized containers parse back via real header walk") {
+    import Multimodal.{MediaRow, HeaderDecoder}
     val d = Seq((1L, "abc"), (3L, "xy")).toDF("doc_id", "text")
-    val got = rows(Multimodal.decodeMeta(d))
-    assert(got.map(_.getAs[Long]("n_bytes")).toSeq == Seq(3L, 2L))
+    val got = rows(Multimodal.decodeMetaFromDocs(d))
+    // body bytes + real header size (39 JFIF / 33 PNG)
+    assert(got.map(_.getAs[Long]("n_bytes")).toSeq == Seq(3L + 39L, 2L + 33L))
     assert(got.map(_.getAs[String]("format")).toSeq == Seq("jpeg", "png"))
     assert(got.forall(_.getAs[Long]("channels") == 3L))
+    // dimensions come from the body length, parsed back out of the bytes
+    assert(got.map(r => (r.getAs[Long]("width"), r.getAs[Long]("height"))).toSeq ==
+      Seq((64L + 3 % 577, 64L + 3 * 31 % 417), (64L + 2 % 577, 64L + 2 * 31 % 417)))
+  }
+
+  test("header decoder: parses hand-built PNG/JPEG, degrades on corrupt input") {
+    import Multimodal.{MediaRow, HeaderDecoder}
+    // valid PNG via the synthesizer, then corrupt its CRC -> unknown
+    val png = Multimodal.synthesizePayload(0L, Array.fill(10)('a'.toByte))
+    val pm = HeaderDecoder.decodeOne(MediaRow(7L, png))
+    assert((pm.format, pm.width, pm.height, pm.channels) == ("png", 74L, 64L + 310L, 3L))
+    val bad = png.clone(); bad(30) = (bad(30) ^ 0x55).toByte
+    assert(HeaderDecoder.decodeOne(MediaRow(7L, bad)).format == "unknown")
+    // SOF2 (progressive) frame header is recognized like SOF0
+    val jpg = Multimodal.synthesizePayload(1L, Array.fill(5)('b'.toByte))
+    val sofAt = 20 // SOI(2) + APP0(18): marker byte of the SOF segment
+    assert((jpg(sofAt) & 0xFF) == 0xFF && (jpg(sofAt + 1) & 0xFF) == 0xC0)
+    val prog = jpg.clone(); prog(sofAt + 1) = 0xC2.toByte
+    val jm = HeaderDecoder.decodeOne(MediaRow(1L, prog))
+    assert((jm.format, jm.width, jm.height) == ("jpeg", 69L, 64L + 5 * 31 % 417))
+    // DHT (C4) must NOT be mistaken for a frame header: splice one in
+    // before SOF0 and verify the walk skips it by its length field
+    val dht = Array(0xFF, 0xC4, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    val spliced = jpg.take(20) ++ dht ++ jpg.drop(20)
+    val sm = HeaderDecoder.decodeOne(MediaRow(1L, spliced))
+    assert((sm.format, sm.width) == ("jpeg", 69L))
+    // truncated / non-media buffers degrade, never throw
+    assert(HeaderDecoder.decodeOne(MediaRow(1L, Array[Byte]())).format == "unknown")
+    assert(HeaderDecoder.decodeOne(MediaRow(1L, "plain text".getBytes)).format == "unknown")
+    assert(HeaderDecoder.decodeOne(
+      MediaRow(1L, Array(0xFF, 0xD8, 0xFF).map(_.toByte))).format == "jpeg")
+  }
+
+  test("decoder seam: a custom decoder (the old stub) swaps in unchanged") {
+    // FakeDecoder now lives here: it proves the Decoder trait still admits
+    // a non-parsing implementation (e.g. a future JNI codec) — pipeline
+    // plumbing identical, only the per-row extraction differs.
+    object FakeDecoder extends Multimodal.Decoder {
+      def decode(rows: Iterator[Multimodal.MediaRow]): Iterator[Multimodal.MediaMeta] =
+        rows.map(r => Multimodal.MediaMeta(r.doc_id, r.payload.length.toLong,
+          64L + r.payload.length % 577L, 64L + (r.payload.length * 31L) % 417L,
+          3L, if (r.doc_id % 3 == 0) "png" else "jpeg"))
+    }
+    val media = Seq((3L, "abcd".getBytes)).toDF("doc_id", "payload")
+    val got = rows(Multimodal.decodeMeta(media, FakeDecoder))
+    assert(got.map(r => (r.getAs[Long]("n_bytes"), r.getAs[String]("format"))).toSeq ==
+      Seq((4L, "png")))
   }
 
   test("spikes: 2x-trailing-average rule, full-history guard, per type") {

@@ -256,6 +256,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(600))
   }
 
+  test("dense surrogate keys: no global window, no single-partition exchange") {
+    val cust = queries.table(spark, dir, "customer")
+    // layout stage: distribution comes from RANGE partitioning over the
+    // key order — the stage a global row_number would collapse to one task
+    val d = cust.select("c_custkey", "c_name", "c_mktsegment").distinct()
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("c_custkey"))
+    val layout = d.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(layout.contains("rangepartitioning") || layout.contains("RangePartitioning"),
+      layout.take(600))
+    // judged path end-to-end: the final remap plan must carry no Window
+    // and no SinglePartition exchange anywhere (buildDim's row_number form
+    // would show both)
+    val p = plan("etl_dense_keys")
+    assert(!p.contains("Window"), "dense path regressed to a window\n" + p.take(900))
+    assert(!p.contains("SinglePartition"),
+      "dense path collapsed to one partition\n" + p.take(900))
+  }
+
   test("bucketed join is co-located: no shuffle feeds the join itself") {
     val p = plan("etl_bucketed_join")
     // both sides bucketed by the join key -> the SMJ reads bucketed scans
