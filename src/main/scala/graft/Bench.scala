@@ -117,14 +117,33 @@ object Bench {
       t
     }
     val baseline = loadBaseline()
+    // Per-query stage tag: "cold" = this query's FIRST timed window built
+    // a staged intermediate (measurement is build-inclusive); "warm" = it
+    // rode stage files something else built. Surfacing this in the
+    // artifact makes the staged-query protocol explicit (the r7
+    // ExactSubstr asymmetry), and the retry loop below uses it to keep
+    // min-of-retries on one protocol.
+    val stageTags = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+        queries.drainStageLog() // accesses before this window aren't ours
         var best = timeOne(name, fn)
+        val accesses = queries.drainStageLog()
+        val builtDirs = accesses.collect { case (p, true) => p }.distinct
+        if (builtDirs.nonEmpty) stageTags(name) = "cold"
+        else if (accesses.nonEmpty) stageTags(name) = "warm"
         var retries = 0
         while (retries < 2 && !failed(name) &&
                baseline.get(name).exists(regressed(best, _))) {
+          // Protocol-consistent retry: a stage-cold first run must stay
+          // stage-cold on retry — otherwise the min silently swaps in the
+          // stage-READ path and the reported number measures a different
+          // operation than the anchor did. Wipe exactly what this query
+          // built; downstream consumers get it rebuilt by the retry.
+          builtDirs.foreach(queries.wipeStageDir(spark, _))
           val t = timeOne(name, fn)
+          queries.drainStageLog()
           // a retry that THROWS returns near-zero elapsed time — folding it
           // into the min would report both an error and a fake speedup
           if (!failed(name)) best = math.min(best, t)
@@ -136,6 +155,10 @@ object Bench {
     // --- every diagnostic line BEFORE the judged line (tail-capture) ---
     System.out.println("[bench-full] " + results
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+    if (stageTags.nonEmpty)
+      System.out.println("[bench-stage] " + stageTags.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}"))
     // The judged line only has room for the slowest ~85 queries (the rest
     // fold into an "omitted" count) — persist the FULL per-query report to
     // a file as well, full precision, for offline reading. Dev-loop subset
@@ -150,7 +173,10 @@ object Bench {
         else s"BENCH_FULL_$sfName.json"),
       results.map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" }
         .mkString(s"""{"sf":"${java.nio.file.Paths.get(sfDir).getFileName}","queries":{""",
-          ",", "}}\n"))
+          ",", "}," +
+          stageTags.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":"$v"""" }
+            .mkString("\"stage\":{", ",", "}}\n")))
     catch { case _: Throwable => () }
     if (baseline.nonEmpty) {
       System.out.println("[bench-delta vs BASELINE_BENCH.json anchor, min-of-runs]")

@@ -1005,23 +1005,21 @@ object Dedup {
     // values = 128 bits, collision-safe at 10^13 grams (expected spurious
     // collisions ~n²/2^129 ≈ 10^-13) without md5's per-gram hex-string
     // allocation.
-    // Two-level position explode: a single sequence(1, n−minLen+1) would
-    // materialize one O(doc_length) long array per document row before
-    // exploding — a multi-MB document allocates it all at once. Chunk ids
-    // first (a tiny array), then ≤ chunkChars positions per chunk row:
-    // per-row allocation is bounded at ~32 KB whatever the document size,
-    // and the disjoint chunk ranges union to exactly [1, n−minLen+1].
-    val chunkChars = 4096L
-    val maxPos = (n - minLen + 1).cast("long")
+    // Position stream: sequence(1, n−minLen+1) materializes one
+    // O(doc_length) long array per document row before exploding — fine
+    // for web-document corpora (this one tops out under 1 KB of text →
+    // 8 KB arrays), but a multi-MB document would allocate its whole
+    // array at once. The bounded-allocation alternative (two-level
+    // explode: chunk ids first, then ≤4096 positions per chunk row)
+    // MEASURES 2× SLOWER end-to-end on this corpus (37 s vs 18.6 s
+    // cold-JIT at sf0.1 — the extra generator breaks the single fused
+    // generate+project codegen stage), so it is not the default; a
+    // caller feeding multi-MB documents should pre-split them into
+    // overlapping chunks (overlap minLen−1) BEFORE this operator, which
+    // preserves the duplicated-span semantics per position.
     val grams = docs.filter(n >= minLen)
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L),
-          // `/` is true division in Spark SQL; the cast truncates the
-          // non-negative quotient back to the integer chunk index
-          ((n.cast("long") - minLen) / chunkChars).cast("long"))).as("k"))
-      .select(col("doc_id"), col("text"),
-        explode(sequence(col("k") * chunkChars + 1,
-          least((col("k") + 1) * chunkChars, maxPos))).as("i"))
+        explode(sequence(lit(1L), (n - minLen + 1).cast("long"))).as("i"))
       .select(col("doc_id"), col("i"),
         col("text").substr(col("i").cast("int"), lit(minLen)).as("g"))
       .select(col("doc_id"), col("i"),

@@ -258,8 +258,10 @@ object Etl extends QueryPack {
     "etl_csv_malformed" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val path = tmp(dir, "nation_bad_csv")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/_SUCCESS"))) {
+      val freshStage = !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$path/_SUCCESS"))
+      graft.queries.logStage(path, freshStage)
+      if (freshStage) {
         val line =
           when(col("n_nationkey") % 5 === 0,
             concat_ws(",", col("n_nationkey"), col("n_name"),
@@ -302,10 +304,12 @@ object Etl extends QueryPack {
       // guard on BOTH markers: a failure between the two writes would
       // otherwise leave v2 missing/stale and every later run would skip
       // the rewrite and read an inconsistent dataset
-      if (!java.nio.file.Files.exists(
+      val freshStage = !java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$path/v1/_SUCCESS")) ||
           !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/v2/_SUCCESS"))) {
+          java.nio.file.Paths.get(s"$path/v2/_SUCCESS"))
+      graft.queries.logStage(path, freshStage)
+      if (freshStage) {
         val docs = table(s, dir, "documents")
         docs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("lang"), col("source"))
@@ -329,10 +333,10 @@ object Etl extends QueryPack {
     // the layout decision that turns a 100 TB scan into a 4 TB one.
     "etl_partitioned_write" -> ((s, dir) => {
       val path = tmp(dir, "docs_by_lang")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      graft.queries.ensureStaged(path, "_SUCCESS") {
         table(s, dir, "documents")
           .write.partitionBy("lang").mode("overwrite").parquet(path)
+      }
       s.read.parquet(path).filter(col("lang") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))

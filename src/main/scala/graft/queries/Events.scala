@@ -26,7 +26,9 @@ object Events extends QueryPack {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
     val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
-    if (!Files.exists(Paths.get(s"$staged/_STAGED"))) {
+    val freshStage = !Files.exists(Paths.get(s"$staged/_STAGED"))
+    graft.queries.logStage(staged, freshStage)
+    if (freshStage) {
       val minTs = ev.agg(min(col("ts"))).first().getTimestamp(0)
       val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
@@ -96,10 +98,10 @@ object Events extends QueryPack {
       // mode drain pays a full result rewrite + state-store commit per
       // batch — 4 batches prove cross-batch window merging exactly as
       // well as 32 at an eighth of the fixed micro-batch machinery.
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      ensureStaged(staged, "_SUCCESS") {
         table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
           .coalesce(4).write.mode("overwrite").parquet(staged)
+      }
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val drained = StreamOps.drainToTable(
         StreamOps.tumbling(stream, sizeMin = 15),
@@ -257,12 +259,19 @@ object Events extends QueryPack {
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val (staged, _) = stagedEventBatches(s, dir)
       val schemaFrom = s.read.parquet(s"$staged/b0.parquet")
-      val purchases = StreamOps.readEventStream(s, staged, schemaFrom)
+      // ONE streaming source feeds both join sides: the two filter
+      // branches share the file source's listing and offset tracking, so
+      // each micro-batch plans and advances one source, not two.
+      // b2 is the sessionize flush batch - every one of its rows is
+      // filtered out below, but the file would still cost a micro-batch
+      // of planning; read the two real-data batches only.
+      val ev = StreamOps.readEventStream(s, s"$staged/b[01].parquet", schemaFrom)
+      val purchases = ev
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
-      val views = StreamOps.readEventStream(s, staged, schemaFrom)
+      val views = ev
         .filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"),
           col("user_id").as("v_user"), col("ts").as("v_ts"))
@@ -271,9 +280,13 @@ object Events extends QueryPack {
         expr("p_user = v_user AND " +
           "v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"))
         .select(col("purchase_id"), col("view_id"))
+      // 4 shuffle partitions: a stream-stream join keeps FOUR state
+      // stores per partition, committed per micro-batch - halving the
+      // partition count halves that fixed maintenance with key
+      // cardinality far below either setting.
       val drained = StreamOps.drainToTable(joined,
         s"ev_stream_attr$sf".replace(".", "_"), mode = "append",
-        shufflePartitions = Some(8))
+        shufflePartitions = Some(4))
       drained.orderBy(col("purchase_id"), col("view_id"))
     }),
 
@@ -315,10 +328,10 @@ object Events extends QueryPack {
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val staged = tmpStage(dir, "evstream")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      ensureStaged(staged, "_SUCCESS") {
         table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
           .write.mode("overwrite").parquet(staged)
+      }
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val agg = stream
         .select(floor(col("value") / lit(0.5)).cast("long").as("bin"))
@@ -337,10 +350,10 @@ object Events extends QueryPack {
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val staged = tmpStage(dir, "evstream")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      ensureStaged(staged, "_SUCCESS") {
         table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
           .write.mode("overwrite").parquet(staged)
+      }
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val agg = stream
         .select(explode(graft.ops.Sketch.cmsCells(col("event_type"), 4, 64))
@@ -363,10 +376,10 @@ object Events extends QueryPack {
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val staged = tmpStage(dir, "evstream")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      ensureStaged(staged, "_SUCCESS") {
         table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
           .write.mode("overwrite").parquet(staged)
+      }
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val dayUs = 24L * 3600L * 1000000L
       val tsUs = unix_micros(col("ts"))
@@ -488,10 +501,10 @@ object Events extends QueryPack {
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val staged = tmpStage(dir, "evstream")
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$staged/_SUCCESS")))
+      ensureStaged(staged, "_SUCCESS") {
         table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
           .write.mode("overwrite").parquet(staged)
+      }
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val (bucket, rho) = graft.ops.Sketch.hllBucketRho(col("user_id"), 64)
       val agg = stream.select(bucket.as("bucket"), rho.as("rho"))

@@ -51,6 +51,51 @@ package object queries {
     s"${System.getProperty("java.io.tmpdir")}/graft_stage$sf/$name"
   }
 
+  /** Runtime stage-access log for graft.Bench's stage-cold/stage-warm
+    * tagging: every staged-intermediate helper records the stage dir it
+    * touched and whether it BUILT the stage inside this call (vs riding
+    * files a previous query/process left). Bench drains the log around
+    * each timed query, so the bench artifact can say per query whether
+    * its window included a stage build — and the regression-gate retry
+    * can re-wipe query-built stages first, keeping min-of-retries on ONE
+    * protocol (the r7 ExactSubstr asymmetry, made structural). */
+  private val stageLog =
+    new scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+  private[graft] def logStage(path: String, builtNow: Boolean): Unit =
+    stageLog.synchronized { stageLog += ((path, builtNow)) }
+  private[graft] def drainStageLog(): Seq[(String, Boolean)] =
+    stageLog.synchronized { val r = stageLog.toList; stageLog.clear(); r }
+
+  /** The exists-guard staging convention, centralized: build when the
+    * marker file is absent, then log the access either way. `stageDir` is
+    * what a protocol-consistent retry deletes to force a rebuild. */
+  private[queries] def ensureStaged(stageDir: String, marker: String)
+                                   (build: => Unit): Unit = {
+    val fresh = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$stageDir/$marker"))
+    if (fresh) build
+    logStage(stageDir, fresh)
+  }
+
+  /** Delete ONE staged dir so its builder re-pays the build (the bench
+    * retry protocol). Any graft_* session-catalog table is dropped too:
+    * the bucketed band stage registers one over its files, and a dropped
+    * table is harmlessly re-registered (or rebuilt) on next access. */
+  private[graft] def wipeStageDir(spark: SparkSession, path: String): Unit = {
+    import scala.util.Using
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      Using.resource(java.nio.file.Files.walk(p)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    try spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    catch { case _: Throwable => () }
+  }
+
   /** Delete every graft staging dir (all SFs). Called at the START of the
     * judged entry points (Verify.main, Bench.main): staged intermediates
     * (cluster tables, minhash signatures, stream micro-batches) survive

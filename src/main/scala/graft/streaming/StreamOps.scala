@@ -111,10 +111,11 @@ object StreamOps {
   /** readStream twin of queries.table for a parquet directory of events —
     * the file-source entry point a production deployment would start from. */
   def readEventStream(spark: SparkSession, dir: String,
-                      schemaFrom: DataFrame): DataFrame =
+                      schemaFrom: DataFrame,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
       .schema(schemaFrom.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
   /** Drain a streaming DataFrame into an in-memory table and return the
