@@ -102,6 +102,58 @@ object Quality {
       .orderBy(col("rule"))
   }
 
+  /** Population-Stability-Index drift gate: compare the (event_type ×
+    * value-decile) distribution of the stream's EARLY half against its
+    * LATE half — the standard go/no-go check before a new data window is
+    * admitted to a training mix or a model is left in production.
+    * PSI_type = Σ_bins (p_early − p_late)·ln(p_early/p_late), add-one
+    * smoothed over the FULL fixed bin space (absent bins contribute their
+    * smoothed mass); >0.2 conventionally flags actionable drift.
+    *
+    * Scale shape: one bounds aggregate (one broadcast row), one map-side
+    * binning pass, and aggregates over |types|×`bins` cells — nothing
+    * grows with the stream beyond the single scan. Halves are split by
+    * 2·ts ≥ t0+t1 (integer epoch-µs arithmetic, no midpoint division);
+    * the per-type sum runs through DECIMAL (order-independent, the
+    * tx_unigram_logprob discipline). */
+  def psiDrift(events: DataFrame, bins: Int = 10): DataFrame = {
+    // loader hands ts as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the
+    // UTC session cast is instant-preserving (the Events-pack convention)
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val bounds = events.agg(min(tsUs).as("t0"), max(tsUs).as("t1"),
+      min(col("value")).as("v0"), max(col("value")).as("v1"))
+    val cells = events.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        (tsUs * 2 >= col("t0") + col("t1")).as("late"),
+        least(floor((col("value") - col("v0")) /
+            (col("v1") - col("v0")) * bins),
+          lit((bins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("late"), 0L).otherwise(1L)).as("ce"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("cl"))
+    // Enumerate the full (type × bin) grid so bins observed in neither
+    // half still carry their smoothed term — PSI is defined over the
+    // fixed bin space, not the support of the sample.
+    val grid = events.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"))
+    val full = grid.join(cells, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("ce"), lit(0L)).as("ce"),
+        coalesce(col("cl"), lit(0L)).as("cl"))
+    val tots = full.groupBy(col("event_type"))
+      .agg(sum(col("ce")).as("te"), sum(col("cl")).as("tl"))
+    val pe = (col("ce") + 1).cast(DoubleType) / (col("te") + bins)
+    val pl = (col("cl") + 1).cast(DoubleType) / (col("tl") + bins)
+    full.join(broadcast(tots), Seq("event_type"))
+      .select(col("event_type"), col("te"), col("tl"),
+        ((pe - pl) * log(pe / pl)).cast(DecimalType(30, 10)).as("term"))
+      .groupBy(col("event_type"))
+      .agg(max(col("te")).as("n_early"), max(col("tl")).as("n_late"),
+        round(sum(col("term")).cast(DoubleType), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   /** Referential-integrity check for one FK edge: how many child rows have
     * no parent (a NULL fk counts as an orphan — it references nothing).
     * Parent keys are made distinct first, so the join fans out at most

@@ -486,4 +486,83 @@ object TextAnalysis {
       .filter(col("rank") <= topN)
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every document
+    * by how much its hashed-n-gram profile looks like a TARGET slice of the
+    * corpus versus the corpus as a whole —
+    * w(doc) = Σ_features log(p_target(b) / p_raw(b)), features = word
+    * unigrams + bigrams hashed into `buckets` buckets, both distributions
+    * add-one smoothed. Resampling docs ∝ exp(w) reproduces the paper's
+    * selection; the weight itself is the judged output.
+    *
+    * Scale shape: the feature space is FIXED at `buckets` — both
+    * distribution estimates are map-side-combined aggregates bounded by
+    * buckets × partitions regardless of corpus size, the log-ratio table is
+    * `buckets` rows broadcast, and the per-doc rollup collapses map-side
+    * because the gram stream stays doc-contiguous from the scan. Nothing in
+    * the plan grows super-linearly with the corpus; this is exactly the
+    * posture that lets DSIR run at web-corpus scale in the paper.
+    *
+    * Determinism: per-bucket log-ratio is rounded to 6 dp, then the per-doc
+    * sum runs in DECIMAL (exact, order-independent — the
+    * tx_unigram_logprob discipline). */
+  def dsirWeights(docs: DataFrame, target: Column,
+                  buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val grams = docGramCounts(docs.withColumn("__t", target), 1, Seq("__t"))
+      .unionByName(docGramCounts(docs.withColumn("__t", target), 2, Seq("__t")))
+      .select(col("doc_id"), col("__t"),
+        pmod(Dedup.seededHash(29, col("g")), lit(buckets.toLong)).as("b"),
+        col("c"))
+    // Corpus-wide and target-slice bucket counts: two aggregates over the
+    // same bounded key space, joined into one buckets-row score table.
+    val raw = grams.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+    val tgt = grams.filter(col("__t")).groupBy(col("b"))
+      .agg(sum(col("c")).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tr")).crossJoin(
+      tgt.agg(sum(col("ct")).as("tt")))
+    val lambda = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(
+          log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("tt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + buckets)), 6)
+          .cast(DecimalType(20, 6)).as("lam"))
+    grams.join(broadcast(lambda), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("lam") * col("c").cast(DecimalType(10, 0)))
+          .cast("double"), 6).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** First-iteration BPE merge census (Sennrich et al. 2016): the
+    * byte-pair frequency table a tokenizer build derives its first merge
+    * from — every adjacent character pair inside each vocabulary word,
+    * weighted by the word's corpus frequency, ranked by total count.
+    *
+    * Scale shape: pair generation runs over the DISTINCT word vocabulary
+    * (Heaps-sublinear), not the corpus stream; the word census collapses
+    * map-side; the pair rollup is bounded by |alphabet|² keys. The only
+    * full-corpus pass is the census scan. */
+  def bpeMergeCensus(docs: DataFrame, topN: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val census = docs
+      .select(explode(split(F.normalizeText(lower(col("text"))), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val pairs = census
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+    // |alphabet|² rows at most — one tiny final rank.
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    pairs.select(col("pair"), col("n"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= topN)
+      .orderBy(col("rank"))
+  }
 }

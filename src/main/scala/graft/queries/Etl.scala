@@ -443,7 +443,13 @@ object Etl extends QueryPack {
     "dq4_profile_approx" -> ((s, dir) =>
       graft.ops.Quality.profileApprox(table(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey",
-            "l_returnflag", "l_linestatus", "l_shipdate")))
+            "l_returnflag", "l_linestatus", "l_shipdate"))),
+
+    // PSI drift between the event stream's early and late halves over
+    // (event_type × value-decile) — the distribution-shift gate run
+    // before a new data window joins a training mix.
+    "dq5_psi_drift" -> ((s, dir) =>
+      graft.ops.Quality.psiDrift(table(s, dir, "events")))
   )
 
   /** One UNION ALL branch of the dq4 approximate profile per column —
@@ -559,6 +565,38 @@ object Etl extends QueryPack {
           "l_returnflag", "l_linestatus", "l_shipdate")
         .map(hllBranch)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name, bucket"),
+
+    // Same integer half-split (2·ts ≥ t0+t1), same equal-width binning
+    // with the identical floating-point expression order, same add-one
+    // smoothing over the full 10-bin grid, same DECIMAL-summed terms.
+    "dq5_psi_drift" ->
+      """WITH bd AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |                   min(value) AS v0, max(value) AS v1 FROM events),
+        |c AS (SELECT event_type,
+        |        (epoch_us(ts) * 2 >= t0 + t1) AS late,
+        |        CAST(least(floor((value - v0) / (v1 - v0) * 10), 9) AS BIGINT) AS bin
+        |      FROM events CROSS JOIN bd),
+        |cc AS (SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS ce,
+        |         CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS cl
+        |       FROM c GROUP BY 1, 2),
+        |grid AS (SELECT event_type, bin
+        |         FROM (SELECT DISTINCT event_type FROM events) t
+        |         CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g),
+        |f AS (SELECT g.event_type, g.bin,
+        |        coalesce(ce, 0) AS ce, coalesce(cl, 0) AS cl
+        |      FROM grid g LEFT JOIN cc ON g.event_type = cc.event_type
+        |                              AND g.bin = cc.bin),
+        |tot AS (SELECT event_type, CAST(sum(ce) AS BIGINT) AS te,
+        |               CAST(sum(cl) AS BIGINT) AS tl
+        |        FROM f GROUP BY 1)
+        |SELECT event_type, max(te) AS n_early, max(tl) AS n_late,
+        |  round(CAST(sum(CAST((pe - pl) * ln(pe / pl) AS DECIMAL(30,10))) AS DOUBLE), 6) AS psi
+        |FROM (SELECT f.event_type, te, tl,
+        |        (ce + 1) / CAST(te + 10 AS DOUBLE) AS pe,
+        |        (cl + 1) / CAST(tl + 10 AS DOUBLE) AS pl
+        |      FROM f JOIN tot ON f.event_type = tot.event_type) q
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "etl_csv_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

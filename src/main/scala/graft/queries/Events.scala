@@ -599,6 +599,20 @@ object Events extends QueryPack {
         .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+    // GROUP-disjoint train/val/test split: the subset is a pure hash of
+    // user_id, so every event of a user lands in the same subset — the
+    // leakage rule row-level splitting (sp4_split) cannot give. One
+    // map-side-combined aggregate; assignment is a map over its output.
+    "sp9_group_split" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Sampling.hashSplit(
+        table(s, dir, "events").groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        idCol = "user_id", seed = 53,
+        cuts = Seq("train" -> 8000, "val" -> 9000, "test" -> 10000))
+        .select(col("user_id"), col("n_events"), col("subset"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1096,6 +1110,17 @@ object Events extends QueryPack {
         |  min(ts) AS first_ts, max(ts) AS last_ts,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // Same seed-53 hash family as Sampling.bucket, same cumulative
+    // 80/10/10 cut points, applied to the per-user rollup.
+    "sp9_group_split" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CASE WHEN CAST(('0x' || substr(md5(53 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(53 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS subset
+        |FROM u ORDER BY user_id""".stripMargin
   )
 }

@@ -845,7 +845,32 @@ object TextOps extends QueryPack {
         cp.getFileSystem(hconf).delete(cp, true)
       }
       s.read.parquet(target).orderBy(col("keep_id"))
-    })
+    }),
+    // DSIR importance weights (Xie et al., NeurIPS 2023): every document's
+    // hashed unigram+bigram profile scored against the English slice of
+    // the corpus as the selection target — the data-mix reweighting step
+    // of a pretraining pipeline. Feature space fixed at 4096 buckets, so
+    // the distribution estimates and the broadcast score table are
+    // corpus-size-independent.
+    "tx_dsir_weights" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.dsirWeights(table(s, dir, "documents"),
+        target = col("lang") === "en")
+    }),
+    // First BPE merge iteration (Sennrich et al. 2016): adjacent char-pair
+    // census over the word vocabulary, weighted by corpus frequency — the
+    // tokenizer-induction step.
+    "tx_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMergeCensus(table(s, dir, "documents"))),
+    // Vocabulary typo/variant detection: blocked Jaro-Winkler self-join on
+    // the distinct word vocabulary (native codegen'd JW expression,
+    // DuckDB-exact semantics incl. the 0.7 boost threshold and integer
+    // transposition halving). The synthetic corpus draws from a small
+    // clean word list (no typos), so the judged threshold sits at 0.5 to
+    // exercise the full kernel — a real corpus would run the 0.9 default.
+    "dd_fuzzy_jw" -> ((s, dir) =>
+      graft.ops.Fuzzy.vocabJaroWinkler(table(s, dir, "documents"),
+        minSim = 0.5))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -1464,6 +1489,65 @@ object TextOps extends QueryPack {
         |FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
         |WHERE (${mh(17, "CAST(d.doc_id AS VARCHAR)")} % 10000) * t.k * c.actual
         |      < t.total * 10000
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Same seed-29 bucket hash, same add-one smoothing, same 6-dp-rounded
+    // per-bucket log-ratio summed in DECIMAL (order-independent).
+    "tx_dsir_weights" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, tgt, unnest(toks) AS g FROM t),
+        |b2 AS (SELECT doc_id, tgt, toks[i] || ' ' || toks[i+1] AS g
+        |       FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2) z),
+        |gr AS (SELECT doc_id, tgt, ${mh(29, "g")} % 4096 AS b, count(*) AS c
+        |       FROM (SELECT * FROM u UNION ALL SELECT * FROM b2) q GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM gr GROUP BY b),
+        |tg AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM gr WHERE tgt GROUP BY b),
+        |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+        |               (SELECT CAST(sum(ct) AS BIGINT) FROM tg) AS tt),
+        |lam AS (SELECT b,
+        |    CAST(round(ln((coalesce(ct, 0) + 1) / CAST(tt + 4096 AS DOUBLE))
+        |             - ln((cr + 1) / CAST(tr + 4096 AS DOUBLE)), 6) AS DECIMAL(20,6)) AS lam
+        |  FROM raw LEFT JOIN tg USING (b) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+        |  round(CAST(sum(lam * c) AS DOUBLE), 6) AS dsir_weight
+        |FROM gr JOIN lam USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same census tokenization, same >=2-char cut, same (n desc, pair)
+    // total order.
+    "tx_bpe_merges" ->
+      """WITH tm AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, count(*) AS wc FROM tm WHERE len(w) >= 2 GROUP BY w),
+        |p AS (SELECT substr(w, i, 2) AS pair, CAST(sum(wc) AS BIGINT) AS n
+        |      FROM (SELECT w, wc, unnest(range(1, len(w))) AS i FROM c) z
+        |      GROUP BY 1)
+        |SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+        |FROM p ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity IS the pinned semantics
+    // (StringExpressions.JaroWinkler matches it byte-for-byte); same
+    // (first-char, length) blocking with the cross-length probe and the
+    // threshold on the ROUNDED similarity in both engines.
+    "dd_fuzzy_jw" ->
+      """WITH tm AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS c FROM tm
+        |      WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)
+        |SELECT a.w AS w1, b.w AS w2,
+        |       round(jaro_winkler_similarity(a.w, b.w), 4) AS sim,
+        |       a.c AS c1, b.c AS c2
+        |FROM v a JOIN v b
+        |  ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
+        | AND len(b.w) - len(a.w) IN (0, 1)
+        | AND (len(a.w) <> len(b.w) OR a.w < b.w)
+        | AND round(jaro_winkler_similarity(a.w, b.w), 4) >= 0.5
+        |ORDER BY w1, w2""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, EventWindows, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, EventWindows, Fuzzy, Multimodal, Quality, Similarity, TextAnalysis}
 
 /** Extended operator surface (SURVEY.md §2.9): dedup recall against the
   * exact-Jaccard oracle, similarity ranking, window/session semantics,
@@ -1034,6 +1034,83 @@ class OpsSpec extends SparkSpec {
     // doc 3 has one token -> no bigram; ties (n=1) break on bigram string
     assert(got == Seq(("en", "a b", 3L, 1L), ("en", "b a", 1L, 2L),
       ("en", "b c", 1L, 3L)))
+  }
+
+  test("jaroWinkler kernel matches DuckDB's semantics on the variant-distinguishing cases") {
+    import graft.functions.StringExpressions.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def j(a: String, b: String): Double = jw(u(a), u(b))
+    // values probed from duckdb jaro_winkler_similarity (rapidfuzz family)
+    assert(j("martha", "marhta") == 0.9611111111111111)
+    assert(j("DIXON", "DICKSONX") == 0.8133333333333332)
+    // integer transposition halving: classic half-count would give 0.9375
+    assert(j("abcxxxxx", "bcaxxxxx") == 0.9583333333333334)
+    // boost threshold is strict: jaro 2/3 with prefix 4 keeps the raw jaro
+    assert(j("abcdefgh", "abcdxxxx") == 0.6666666666666666)
+    assert(j("prefix", "prefzz") == 0.8666666666666666)
+    // window clamps at 0 for short strings; empties are 0, not 1
+    assert(j("abc", "acb") == 0.5555555555555555)
+    assert(j("ab", "ba") == 0.0 && j("", "") == 0.0 && j("a", "") == 0.0)
+    assert(j("abcd", "abcd") == 1.0 && j("a", "a") == 1.0)
+    assert(j("a", "ab") == 0.8500000000000001)
+  }
+
+  test("vocabJaroWinkler: typo pair found once, blocking bounds the candidates") {
+    val d = Seq(
+      (1L, "hello world hello"), (2L, "helo world"), (3L, "zebra Zebra77 quartz"))
+      .toDF("doc_id", "text")
+    val got = rows(Fuzzy.vocabJaroWinkler(d, minSim = 0.9))
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c1"), r.getAs[Long]("c2")))
+    // helo/hello: same first char, len diff 1, jw = 0.96 -> one emission,
+    // counts ride along (hello appears twice). Zebra77 fails the ASCII
+    // filter; zebra/quartz different blocks; world/hello different blocks.
+    assert(got == Seq(("helo", "hello", 1L, 2L)))
+  }
+
+  test("dsirWeights: target-like docs score higher; n_feats counts grams") {
+    val d = Seq(
+      (1L, "alpha beta alpha", "en"),   // target slice
+      (2L, "alpha beta gamma", "en"),   // target slice
+      (3L, "delta epsilon", "fr"),      // raw-only vocabulary
+      (4L, "alpha beta", "fr"))         // raw doc made of target-ish grams
+      .toDF("doc_id", "text", "lang")
+    val got = rows(TextAnalysis.dsirWeights(d, target = col("lang") === "en",
+        buckets = 64))
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_weight"))).toMap
+    // unigrams + bigrams: doc 1 has 3 + 2 = 5 features
+    assert(got(1L)._1 == 5L && got(3L)._1 == 3L)
+    // target-vocabulary docs must outscore the never-in-target doc (the
+    // absolute sign is smoothing-dominated at toy scale, so only the
+    // ordering — what resampling consumes — is asserted)
+    assert(got(4L)._2 > got(3L)._2 && got(1L)._2 > got(3L)._2)
+  }
+
+  test("bpeMergeCensus: pair counts weighted by word frequency, rank order") {
+    val d = Seq((1L, "abc abc ab"), (2L, "abc xy")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.bpeMergeCensus(d, topN = 10))
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"), r.getAs[Long]("rank")))
+    // words: abc x3, ab x1, xy x1 -> ab: 3+1=4, bc: 3, xy: 1
+    assert(got == Seq(("ab", 4L, 1L), ("bc", 3L, 2L), ("xy", 1L, 3L)))
+  }
+
+  test("psiDrift: symmetric halves score 0, drifted type scores positive") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // 'stable': identical value distribution in both halves -> psi == 0.
+    // 'drift': values move from the bottom decile to the top decile.
+    val ev = (Seq.tabulate(8)(i => (ts(i), "stable", (i % 4) * 1.0)) ++
+      Seq.tabulate(8)(i => (ts(16 + i), "stable", (i % 4) * 1.0)) ++
+      Seq.tabulate(8)(i => (ts(i), "drift", 0.0)) ++
+      Seq.tabulate(8)(i => (ts(16 + i), "drift", 3.0)))
+      .toDF("ts", "event_type", "value")
+    val got = rows(Quality.psiDrift(ev, bins = 4))
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_early"), r.getAs[Long]("n_late"),
+          r.getAs[Double]("psi"))).toMap
+    assert(got("stable") == ((8L, 8L, 0.0)))
+    assert(got("drift")._3 > 1.0)   // full-decile shift is way past the 0.2 bar
   }
 
   test("multimodal frame sample strides over fake frames; resize preserves ratio") {

@@ -592,4 +592,25 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("Batched: true"), s"$q lost vectorized scan")
     }
   }
+
+  test("fuzzy JW: blocked equi-join, native expression, never cartesian") {
+    val p = plan("dd_fuzzy_jw")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "vocabulary self-join lost its blocking keys")
+    assert(p.contains("jaro_winkler"), "JW not evaluated by the native expression")
+  }
+
+  test("dsir: score table broadcasts; per-doc rollup partially aggregates") {
+    val p = plan("tx_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), "bucket score table lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("HashAggregate").length - 1 >= 2)
+  }
+
+  test("psi drift: one broadcast bounds row, no global window") {
+    val p = plan("dq5_psi_drift")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "bounds row lost its broadcast")
+    assert(!p.contains("Window"), "PSI must not sort the stream globally")
+  }
 }
