@@ -45,6 +45,17 @@ object Profile {
       "minhash_sig" -> (() => time("minhash_sig") {
         Dedup.minHashSignatures(table(spark, sfDir, "documents"))
       }),
+      // same-algorithm scale probe: force EVERY block through the prefix
+      // branch at both scales, so growth measures the prefix path itself
+      // rather than the grid→prefix algorithm migration the size-adaptive
+      // split performs between sf0.1 and f30
+      "jaccard_prefix_only" -> (() => time("jaccard_prefix_only") {
+        Dedup.ngramJaccard(table(spark, sfDir, "documents"), gridMax = 1)
+      }),
+      // and the pure grid form at the bench default, for the same reason
+      "jaccard_judged" -> (() => time("jaccard_judged") {
+        Dedup.ngramJaccard(table(spark, sfDir, "documents"))
+      }),
       // the exact judged path, stage wiped first — what Bench times
       "substr_query" -> (() => {
         graft.queries.wipeStages()
