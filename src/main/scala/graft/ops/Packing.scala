@@ -63,4 +63,36 @@ object Packing {
         pmod(start, sb).as("shard_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fixed-size overlapping chunking — the RAG / long-context
+    * preprocessing cut: each document's token stream becomes
+    * `chunkTokens`-token windows advancing by `chunkTokens − overlap`, so
+    * consecutive chunks share `overlap` tokens of context. Emits
+    * bookkeeping plus a content fingerprint per chunk (md5 of the chunk
+    * text) rather than the text itself — what an index builder keys on.
+    *
+    * Scale shape: pure per-row fan-out (sequence + posexplode inside the
+    * row) — zero shuffles, zero joins; the whole operator is a map over
+    * the scan, like tokenStats. Tokenization is the shared
+    * normalize-then-split contract (case preserved). */
+  def chunkOverlap(docs: DataFrame, chunkTokens: Int = 64,
+                   overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"),
+        split(graft.etl.functions.normalizeText(col("text")), " ").as("__t"))
+      .select(col("doc_id"), col("__t"), size(col("__t")).as("n"))
+      .select(col("doc_id"), col("n"), col("__t"),
+        posexplode(sequence(lit(1), greatest(col("n"), lit(1)),
+          lit(stride))).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkTokens), col("n") - col("start_tok") + 1).cast("long")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__t"), col("start_tok"), lit(chunkTokens)))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -154,6 +154,46 @@ object Quality {
       .orderBy(col("event_type"))
   }
 
+  /** Binned two-sample Kolmogorov–Smirnov drift statistic — psiDrift's
+    * shape-sensitive sibling: D = sup over the binned value axis of
+    * |ECDF_early − ECDF_late| per event_type. PSI reacts to mass
+    * re-weighting between bins; KS catches location/shape shifts PSI's
+    * coarse 10-bin smoothing can dilute. Binned at `bins` cells, so the
+    * approximation error is ≤ 1/bins of CDF resolution and the cumulative
+    * window is over ≤ `bins` rows per type — never a global sort of the
+    * stream (the exact-KS formulation would window over every event).
+    * Same integer half-split and identical-expression binning as psiDrift;
+    * null values drop from both halves symmetrically. */
+  def ksDrift(events: DataFrame, bins: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val bounds = events.agg(min(tsUs).as("t0"), max(tsUs).as("t1"),
+      min(col("value")).as("v0"), max(col("value")).as("v1"))
+    val cells = events.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        (tsUs * 2 >= col("t0") + col("t1")).as("late"),
+        least(floor((col("value") - col("v0")) /
+            (col("v1") - col("v0")) * bins),
+          lit((bins - 1).toDouble)).cast("long").as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("late"), 0L).otherwise(1L)).as("ce"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("cl"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tots = cells.groupBy(col("event_type"))
+      .agg(sum(col("ce")).as("te"), sum(col("cl")).as("tl"))
+    cells
+      .withColumn("cce", sum(col("ce")).over(w))
+      .withColumn("ccl", sum(col("cl")).over(w))
+      .join(broadcast(tots), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("te")).as("n_early"), max(col("tl")).as("n_late"),
+        round(max(abs(col("cce").cast(DoubleType) / col("te") -
+          col("ccl").cast(DoubleType) / col("tl"))), 6).as("ks"))
+      .orderBy(col("event_type"))
+  }
+
   /** Referential-integrity check for one FK edge: how many child rows have
     * no parent (a NULL fk counts as an orphan — it references nothing).
     * Parent keys are made distinct first, so the join fans out at most

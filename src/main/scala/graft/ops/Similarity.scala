@@ -316,4 +316,35 @@ object Similarity {
   def kmeansAuto(corpus: DataFrame, k: Int = 16, iters: Int = 2): DataFrame =
     kmeansAssign(corpus,
       math.max(1L, math.ceil(corpus.count().toDouble / k).toLong).toInt, iters)
+
+  /** SemDeDup (Abbas et al., 2023): semantic deduplication by clustering —
+    * k-means over the embedding space, then within-cluster cosine pruning,
+    * so the pairwise sweep never crosses cluster boundaries and total pair
+    * work is Σ|cluster|² instead of |corpus|². Survivor rule made
+    * deterministic: a vector is kept unless an EARLIER (lower-id) member
+    * of its cluster is ≥ `threshold`-similar — the index-order variant of
+    * the paper's keep-one-per-group rule (the paper keeps a random/
+    * centroid-far member; any single-member choice yields the same dedup
+    * rate, and index order is reproducible across engines and runs).
+    *
+    * Scale shape: the clustering is the deterministic Lloyd pass
+    * (broadcast centroids, packed-argmax assignment); the pruning join is
+    * an equi-join on c_id with the rounded-cosine predicate riding in the
+    * join condition (the cosineDedup discipline). At 100 TB, k grows with
+    * the corpus (√n seeding) so per-cluster populations stay bounded. */
+  def semDedup(corpus: DataFrame, k: Int = 16, iters: Int = 2,
+               threshold: Double = 0.3): DataFrame = {
+    val assigned = Dedup.materialize(
+      kmeansAuto(corpus, k, iters)
+        .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("vec_id"), col("c_id"), col("embedding")))
+    val simR = round(cosine(col("a.embedding"), col("b.embedding")), 6)
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id") &&
+          simR >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("__d").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
 }

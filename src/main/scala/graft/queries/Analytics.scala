@@ -298,6 +298,28 @@ object Analytics extends QueryPack {
     // Exact interpolated percentiles per group (Spark `percentile` and
     // DuckDB `quantile_cont` share the (n-1)*p linear-interpolation
     // definition — verified bit-identical at 6 dp).
+    // Robust outlier gate: median + MAD per event_type, flag values past
+    // 3σ-equivalent (3·1.4826·MAD). Medians are exact interpolated
+    // percentiles (the st1 parity contract), rounded 6 dp before the
+    // comparison pass so both engines cut on identical constants; two
+    // bounded broadcast joins, no window.
+    "st5_mad" -> ((s, dir) => {
+      import s.implicits._
+      val ev = table(s, dir, "events").select($"event_type", $"value")
+      val med = ev.groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val withMed = ev.join(broadcast(med), Seq("event_type"))
+      val mad = withMed.groupBy($"event_type")
+        .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+      withMed.join(broadcast(mad), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(max($"med").as("med"), max($"mad").as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(abs($"value" - $"med") > $"mad" * 4.4478, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy($"event_type")
+    }),
+
     "st1_percentile" -> ((s, dir) => {
       import s.implicits._
       table(s, dir, "orders")
@@ -569,6 +591,19 @@ object Analytics extends QueryPack {
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    // Same quantile_cont medians rounded 6 dp, same 3·1.4826 cut.
+    "st5_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+        |  FROM events JOIN med USING (event_type) GROUP BY 1)
+        |SELECT event_type, max(med) AS med, max(mad) AS mad, count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(value - med) > mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "st1_percentile" ->
       """SELECT o_orderstatus,

@@ -449,7 +449,13 @@ object Etl extends QueryPack {
     // (event_type × value-decile) — the distribution-shift gate run
     // before a new data window joins a training mix.
     "dq5_psi_drift" -> ((s, dir) =>
-      graft.ops.Quality.psiDrift(table(s, dir, "events")))
+      graft.ops.Quality.psiDrift(table(s, dir, "events"))),
+
+    // Binned two-sample KS statistic — dq5's shape-sensitive sibling:
+    // sup |ECDF_early − ECDF_late| over a 256-cell value grid, cumulative
+    // window bounded by the grid, never the stream.
+    "dq6_ks_drift" -> ((s, dir) =>
+      graft.ops.Quality.ksDrift(table(s, dir, "events")))
   )
 
   /** One UNION ALL branch of the dq4 approximate profile per column —
@@ -596,6 +602,33 @@ object Etl extends QueryPack {
         |        (ce + 1) / CAST(te + 10 AS DOUBLE) AS pe,
         |        (cl + 1) / CAST(tl + 10 AS DOUBLE) AS pl
         |      FROM f JOIN tot ON f.event_type = tot.event_type) q
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same half-split and binning expressions as dq5 at 256 cells; ECDFs
+    // from cumulative windows over the bounded bin axis.
+    "dq6_ks_drift" ->
+      """WITH bd AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |                   min(value) AS v0, max(value) AS v1 FROM events),
+        |c AS (SELECT event_type,
+        |        (epoch_us(ts) * 2 >= t0 + t1) AS late,
+        |        CAST(least(floor((value - v0) / (v1 - v0) * 256), 255) AS BIGINT) AS bin
+        |      FROM events CROSS JOIN bd),
+        |cc AS (SELECT event_type, bin,
+        |         CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS ce,
+        |         CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS cl
+        |       FROM c WHERE bin IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin,
+        |          sum(ce) OVER (PARTITION BY event_type ORDER BY bin
+        |            ROWS UNBOUNDED PRECEDING) AS cce,
+        |          sum(cl) OVER (PARTITION BY event_type ORDER BY bin
+        |            ROWS UNBOUNDED PRECEDING) AS ccl
+        |        FROM cc),
+        |tot AS (SELECT event_type, CAST(sum(ce) AS BIGINT) AS te,
+        |               CAST(sum(cl) AS BIGINT) AS tl
+        |        FROM cc GROUP BY 1)
+        |SELECT event_type, max(te) AS n_early, max(tl) AS n_late,
+        |  round(max(abs(CAST(cce AS DOUBLE) / te - CAST(ccl AS DOUBLE) / tl)), 6) AS ks
+        |FROM cum JOIN tot USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "etl_csv_source" ->

@@ -870,7 +870,12 @@ object TextOps extends QueryPack {
     // exercise the full kernel — a real corpus would run the 0.9 default.
     "dd_fuzzy_jw" -> ((s, dir) =>
       graft.ops.Fuzzy.vocabJaroWinkler(table(s, dir, "documents"),
-        minSim = 0.5))
+        minSim = 0.5)),
+    // RAG / long-context chunking: 64-token windows, 16-token overlap,
+    // chunk content fingerprinted — a pure per-row fan-out, zero shuffles.
+    "tx_chunk_overlap" -> ((s, dir) =>
+      graft.ops.Packing.chunkOverlap(table(s, dir, "documents"),
+        chunkTokens = 64, overlap = 16))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -1548,6 +1553,25 @@ object TextOps extends QueryPack {
         | AND len(b.w) - len(a.w) IN (0, 1)
         | AND (len(a.w) <> len(b.w) OR a.w < b.w)
         | AND round(jaro_winkler_similarity(a.w, b.w), 4) >= 0.5
-        |ORDER BY w1, w2""".stripMargin
+        |ORDER BY w1, w2""".stripMargin,
+
+    // Same normalize-then-split tokenization (case preserved), same
+    // 1-based stride-48 starts, same end-clamped 64-token slices.
+    "tx_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(toks) AS n, CAST(i AS BIGINT) AS start_tok,
+        |    toks[i : least(i + 63, len(toks))] AS chunk
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS i
+        |        FROM t) z)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS BIGINT) AS chunk_idx,
+        |  start_tok, CAST(least(64, n - start_tok + 1) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -43,6 +43,13 @@ object Vectors extends QueryPack {
     "emb_kmeans" -> ((s, dir) =>
       Similarity.kmeansAuto(table(s, dir, "embeddings"), k = 16, iters = 2)),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup by k-means clustering +
+    // within-cluster cosine pruning with a deterministic lower-id survivor
+    // rule — pair work bounded by cluster populations, never |corpus|².
+    "dd_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(table(s, dir, "embeddings"), k = 16, iters = 2,
+        threshold = 0.3)),
+
     // ANN evaluation: recall@5 of the sign-LSH path against the exact
     // brute-force ranking, per query — the "measure the approximation,
     // don't guess" harness a pipeline must run before trusting an ANN
@@ -176,6 +183,39 @@ object Vectors extends QueryPack {
     (0 until 8).map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
       .mkString("CAST(", " + ", " AS BIGINT)")
 
+  /** The deterministic Lloyd-pass CTE chain (seed → assign → decimal-exact
+    * means → final assign), shared by the emb_kmeans and dd_semdedup
+    * oracles — one SQL twin of Similarity.kmeansAuto(k=16, iters=2). */
+  private lazy val kmeansCtes: String =
+    s"""ce AS (
+      |  SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS every FROM embeddings),
+      |c0 AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id % (SELECT every FROM ce) = 0),
+      |a1 AS (
+      |  SELECT vec_id, embedding, c_id FROM (
+      |    SELECT v.vec_id, v.embedding, c.c_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+      |    FROM embeddings v CROSS JOIN c0 c) t WHERE rn = 1),
+      |m AS (
+      |  SELECT c_id, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM a1),
+      |cm AS (
+      |  SELECT c_id, dim,
+      |    round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS cv
+      |  FROM m GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT c_id, list(CAST(cv AS REAL) ORDER BY dim) AS c_emb
+      |  FROM cm GROUP BY c_id),
+      |a2 AS (
+      |  SELECT vec_id, c_id, sim FROM (
+      |    SELECT v.vec_id, c.c_id, ${cos("v.embedding", "c.c_emb")} AS sim,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+      |    FROM embeddings v CROSS JOIN c1 c) t WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
@@ -229,35 +269,24 @@ object Vectors extends QueryPack {
     // per-dim means rounded 6 dp and cast to REAL (the float Spark's
     // second round folds over), then the final assignment.
     "emb_kmeans" ->
-      s"""WITH ce AS (
-        |  SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS every FROM embeddings),
-        |c0 AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  WHERE vec_id % (SELECT every FROM ce) = 0),
-        |a1 AS (
-        |  SELECT vec_id, embedding, c_id FROM (
-        |    SELECT v.vec_id, v.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN c0 c) t WHERE rn = 1),
-        |m AS (
-        |  SELECT c_id, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
-        |    unnest(embedding) AS v
-        |  FROM a1),
-        |cm AS (
-        |  SELECT c_id, dim,
-        |    round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS cv
-        |  FROM m GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT c_id, list(CAST(cv AS REAL) ORDER BY dim) AS c_emb
-        |  FROM cm GROUP BY c_id),
-        |a2 AS (
-        |  SELECT vec_id, c_id, sim FROM (
-        |    SELECT v.vec_id, c.c_id, ${cos("v.embedding", "c.c_emb")} AS sim,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN c1 c) t WHERE rn = 1)
+      s"""WITH $kmeansCtes
         |SELECT vec_id, c_id, sim FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // Same kmeans CTE machinery as emb_kmeans, then the within-cluster
+    // lower-id pruning sweep with the same 6-dp rounded cosine.
+    "dd_semdedup" ->
+      s"""WITH $kmeansCtes,
+        |a2v AS (
+        |  SELECT a2.vec_id, a2.c_id, e.embedding
+        |  FROM a2 JOIN embeddings e USING (vec_id)),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a2v a JOIN a2v b
+        |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |   AND ${cos("a.embedding", "b.embedding")} >= 0.3)
+        |SELECT a2.vec_id, a2.c_id, (d.vec_id IS NULL) AS keep
+        |FROM a2 LEFT JOIN drp d ON a2.vec_id = d.vec_id
+        |ORDER BY a2.vec_id""".stripMargin,
 
     // Both rankings rebuilt with the same CTE machinery as their own
     // oracles, intersected per query; left join keeps 0-hit queries.

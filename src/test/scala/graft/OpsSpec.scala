@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, EventWindows, Fuzzy, Multimodal, Quality, Similarity, TextAnalysis}
+import graft.ops.{Dedup, EventWindows, Fuzzy, Multimodal, Packing, Quality, Similarity, TextAnalysis}
 
 /** Extended operator surface (SURVEY.md §2.9): dedup recall against the
   * exact-Jaccard oracle, similarity ranking, window/session semantics,
@@ -1111,6 +1111,45 @@ class OpsSpec extends SparkSpec {
           r.getAs[Double]("psi"))).toMap
     assert(got("stable") == ((8L, 8L, 0.0)))
     assert(got("drift")._3 > 1.0)   // full-decile shift is way past the 0.2 bar
+  }
+
+  test("semDedup: duplicate dropped by lower-id rule, dissimilar vectors kept") {
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f), 0),    // exact dup of 0 -> dropped
+      (2L, Array(0f, 1f, 0f), 0),    // orthogonal -> kept
+      (3L, Array(-1f, 0f, 0f), 0))   // anti-parallel -> kept
+      .toDF("vec_id", "embedding", "label")
+    // k=1 puts everything in one cluster so the pruning sweep sees all pairs
+    val got = rows(Similarity.semDedup(e, k = 1, iters = 2, threshold = 0.3))
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("chunkOverlap: stride/overlap bookkeeping and end clamp") {
+    val d = Seq((1L, (1 to 10).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val got = rows(Packing.chunkOverlap(d, chunkTokens = 4, overlap = 2))
+      .map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_fp")))
+    assert(got.map(c => (c._1, c._2, c._3)) ==
+      Seq((0L, 1L, 4L), (1L, 3L, 4L), (2L, 5L, 4L), (3L, 7L, 4L), (4L, 9L, 2L)))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("t1 t2 t3 t4".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got.head._4 == md5)
+  }
+
+  test("ksDrift: identical halves score 0, disjoint supports score 1") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = (Seq.tabulate(8)(i => (ts(i), "stable", (i % 4) * 1.0)) ++
+      Seq.tabulate(8)(i => (ts(16 + i), "stable", (i % 4) * 1.0)) ++
+      Seq.tabulate(8)(i => (ts(i), "drift", 0.0)) ++
+      Seq.tabulate(8)(i => (ts(16 + i), "drift", 3.0)))
+      .toDF("ts", "event_type", "value")
+    val got = rows(Quality.ksDrift(ev, bins = 16))
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("ks")).toMap
+    assert(got("stable") == 0.0)
+    assert(got("drift") == 1.0)
   }
 
   test("multimodal frame sample strides over fake frames; resize preserves ratio") {

@@ -613,4 +613,16 @@ class PlanSpec extends SparkSpec {
       "bounds row lost its broadcast")
     assert(!p.contains("Window"), "PSI must not sort the stream globally")
   }
+
+  test("semdedup: pruning is an equi-join on cluster id, never cartesian") {
+    val p = plan("dd_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster sweep lost its c_id equi-key")
+  }
+
+  test("chunk overlap: pure per-row fan-out — no join, no aggregation") {
+    val p = plan("tx_chunk_overlap")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "chunking must stay a map over the scan")
+  }
 }
