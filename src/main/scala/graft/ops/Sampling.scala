@@ -195,4 +195,31 @@ object Sampling {
         col("__total") * lit(Buckets))
       .drop("__actual", "__total", "__k")
   }
+
+  /** DSIR's selection step (Xie et al., NeurIPS 2023): sample k documents
+    * without replacement with probability ∝ exp(importance weight) via the
+    * Gumbel top-k trick — key = weight + Gumbel noise, keep the k largest.
+    * Made deterministic and engine-reproducible: the noise is
+    * −ln(−ln(u)) with u = (hashBucket(id)+0.5)/10⁴ — a pure function of
+    * the document id under the shared seeded-md5 family, so the selected
+    * set is stable across runs, partitionings, and engines.
+    *
+    * Scale shape: the key is map-side arithmetic over the (already
+    * doc-bounded) weight table and the cut is a distributed top-k
+    * (TakeOrdered — per-partition heads, never a global sort); the final
+    * rank numbers only k rows. Ordering ties break on doc_id after 6-dp
+    * rounding. Expects the dsirWeights output schema
+    * (doc_id, n_feats, dsir_weight). */
+  def dsirGumbelTopK(weights: DataFrame, k: Int, seed: Int = 47): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (bucket(col("doc_id"), seed).cast("double") + 0.5) / Buckets
+    val keyed = weights
+      .withColumn("key", round(col("dsir_weight") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+    keyed.select(col("doc_id"), col("dsir_weight"), col("key"),
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id")))
+          .cast("long").as("rank"))
+      .orderBy(col("rank"))
+  }
 }

@@ -317,6 +317,87 @@ object Similarity {
     kmeansAssign(corpus,
       math.max(1L, math.ceil(corpus.count().toDouble / k).toLong).toInt, iters)
 
+  /** Per-dimension-pair covariance of the embedding corpus — the XᵀX
+    * pass every PCA / whitening / decorrelation step starts from, shaped
+    * the way distributed linear algebra must be: each row fans out to its
+    * upper-triangle coordinate pairs and a partial HashAggregate combines
+    * them MAP-SIDE, so the exchange carries at most d·(d+1)/2 × partitions
+    * partial rows — never a row per (vector × pair). At d = 64 that is
+    * 2 080 cells regardless of corpus size; 100 TB costs exactly the scan
+    * plus the FLOPs (n·d²/2 generated rows are the Gram products
+    * themselves, not overhead).
+    *
+    * Determinism contract: per-row products are IEEE double (exact float
+    * widening), accumulated in decimal(30,10) (order-independent across
+    * partitions, tie-free per the dsum note in queries/package.scala), and
+    * the covariance assembles from the three exact sums in one fixed
+    * expression tree — bit-equal to the DuckDB twin. */
+  def covarianceMatrix(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(30, 10)
+    // Second generator explodes the i-suffix slice, not the whole vector:
+    // j = i + pos, so only the upper triangle is ever materialized.
+    val pairs = corpus
+      .select(col(vecCol).as("__v"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("i"), col("x"),
+        posexplode(expr("slice(__v, i + 1, size(__v) - i)")).as(Seq("p", "y")))
+      .select(col("i").cast("long").as("dim_i"),
+        (col("i") + col("p")).cast("long").as("dim_j"),
+        col("x").cast("double").as("xd"), col("y").cast("double").as("yd"))
+    pairs.groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd").cast(dec)).as("sx"),
+        sum(col("yd").cast(dec)).as("sy"),
+        sum((col("xd") * col("yd")).cast(dec)).as("sxy"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        round(col("sxy").cast("double") / col("n") -
+          col("sx").cast("double") / col("n") *
+            (col("sy").cast("double") / col("n")), 6).as("cov"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
+  /** Deterministic ±1 sign for randomProject's projection matrix — the
+    * parity bit of the shared seeded-md5 family, so the matrix is a pure
+    * function of (seed, i, j) that any engine can re-derive. */
+  private[graft] def projSign(seed: Int, i: Int, j: Int): Double =
+    if ((Dedup.seededHashJvm(seed, s"$i:$j") & 1L) == 0L) 1.0 else -1.0
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1 variant):
+    * embed d-dim vectors into `outDims` dims via a seeded sign matrix,
+    * scaled 1/√outDims so expected norms are preserved. The workhorse
+    * cheap-dimensionality-reduction step in front of clustering / LSH at
+    * scale — and the right shape for it: the matrix is DATA-INDEPENDENT
+    * (derived from the seed, never trained, nothing broadcast), the
+    * projection is one codegen'd expression per output dim, and the whole
+    * operator is map-only — zero shuffles at any corpus size.
+    *
+    * Determinism: signs are exact ±1 (multiplication exact), the 64-term
+    * accumulation is one left-associated double chain (same IEEE order as
+    * the SQL twin), and √outDims is IEEE-exact for the power-of-two
+    * default. */
+  def randomProject(corpus: DataFrame, inDims: Int = 64, outDims: Int = 16,
+                    seed: Int = 41, vecCol: String = "embedding"): DataFrame = {
+    // The outDims·inDims-term tree lives in its own Project (not inside
+    // the Generate): a Project splits oversized expressions into Janino
+    // methods, a generator input cannot — inlined, the 1024-node array
+    // kills whole-stage codegen for the stage.
+    val outs = (0 until outDims).map { j =>
+      (0 until inDims).map { i =>
+        element_at(col(vecCol), i + 1).cast("double") * lit(projSign(seed, i, j))
+      }.reduce(_ + _)
+    }
+    corpus
+      .select(col("vec_id") +: outs.zipWithIndex.map { case (o, j) =>
+        round(o / sqrt(lit(outDims.toDouble)), 6).as(s"__o$j")
+      }: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until outDims).map(j => col(s"__o$j")): _*))
+          .as(Seq("out_dim", "value")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"),
+        col("value"))
+      .orderBy(col("vec_id"), col("out_dim"))
+  }
+
   /** SemDeDup (Abbas et al., 2023): semantic deduplication by clustering —
     * k-means over the embedding space, then within-cluster cosine pruning,
     * so the pairwise sweep never crosses cluster boundaries and total pair

@@ -565,4 +565,82 @@ object TextAnalysis {
       .filter(col("rank") <= topN)
       .orderBy(col("rank"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * word shingles that occur in NO other document — the complement of the
+    * boilerplate/duplication signal, used to rank documents by how much
+    * genuinely new text they contribute to a corpus (the ExactSubstr
+    * family's per-doc rollup, at shingle granularity).
+    *
+    * Scale shape (the ExactSubstr posture): corpus-wide shingle document
+    * frequency is a partition-only window over the shingle — ONE shuffle,
+    * no join-back (shingles are mostly unique, so a groupBy's partial
+    * aggregate would barely shrink the stream) — followed by one doc-keyed
+    * rollup. Shingles are distinct within a doc (Dedup.shingles), so the
+    * window count IS the document frequency. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), n)).as("g"))
+    g.withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact pairwise shingle-set Jaccard between SOURCES — the
+    * corpus-composition overlap matrix a data-mixing decision reads
+    * (two crawls sharing 40% of their shingles should not both be
+    * upweighted). Exact, not MinHash-estimated: source count is a bounded
+    * dimension, so exactness is affordable at any corpus size.
+    *
+    * Scale shape: the only corpus-bounded shuffle is the distinct
+    * (source, shingle) stream; sources then collapse into ONE bitmask row
+    * per distinct shingle (bit_or over a broadcast-ranked source index),
+    * and the mask census — at most min(2^|sources|, |shingles|) rows,
+    * in practice a handful — carries all pairwise intersection counts
+    * through a tiny in-row bit expansion. Nothing pairwise ever touches
+    * corpus-sized data; adding a source adds a bit, not a pass. */
+  def sourcePairJaccard(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Dense source index: a bounded dim table; the 1-partition window
+    // ranks |sources| rows, never data.
+    val srcIdx = docs.select(col("source")).distinct()
+      .select(col("source"),
+        (row_number().over(Window.orderBy(col("source"))) - 1).as("sidx"))
+    val masks = docs
+      .select(col("source"), explode(Dedup.shingles(col("text"), n)).as("g"))
+      .distinct()
+      .join(broadcast(srcIdx), Seq("source"))
+      .groupBy(col("g"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), sidx)")).as("mask"))
+    val census = masks.groupBy(col("mask")).agg(count(lit(1)).as("n_grams"))
+      .withColumn("bs", expr(
+        "filter(sequence(0, 62), i -> shiftright(mask, i) % 2 = 1)"))
+    val inter = census
+      .select(col("n_grams"), col("bs"), explode(col("bs")).as("ia"))
+      .select(col("n_grams"), col("ia"), explode(col("bs")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(sum(col("n_grams")).as("n_inter"))
+    val sizes = census
+      .select(col("n_grams"), explode(col("bs")).as("ia"))
+      .groupBy(col("ia")).agg(sum(col("n_grams")).as("sz"))
+    // Full a<b pair frame over the source dim (zero-overlap pairs kept).
+    val a = srcIdx.select(col("source").as("src_a"), col("sidx").as("ia"))
+    val b = srcIdx.select(col("source").as("src_b"), col("sidx").as("ib"))
+    a.join(b, col("ia") < col("ib"))
+      .join(inter, Seq("ia", "ib"), "left")
+      .join(sizes.select(col("ia"), col("sz").as("sa")), Seq("ia"))
+      .join(sizes.select(col("ia").as("ib"), col("sz").as("sb")), Seq("ib"))
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("sa") + col("sb") - coalesce(col("n_inter"), lit(0L))).as("n_union"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("sa") + col("sb") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

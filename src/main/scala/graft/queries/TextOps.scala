@@ -875,10 +875,60 @@ object TextOps extends QueryPack {
     // chunk content fingerprinted — a pure per-row fan-out, zero shuffles.
     "tx_chunk_overlap" -> ((s, dir) =>
       graft.ops.Packing.chunkOverlap(table(s, dir, "documents"),
-        chunkTokens = 64, overlap = 16))
+        chunkTokens = 64, overlap = 16)),
+
+    // Per-doc n-gram novelty: fraction of a doc's distinct shingles seen
+    // in no other document — corpus-wide document frequency via ONE
+    // partition-only window over the shingle (the ExactSubstr posture).
+    "tx_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(table(s, dir, "documents"))),
+
+    // Exact source-pair shingle Jaccard: the corpus-composition overlap
+    // matrix — sources collapse to a bitmask per distinct shingle, all
+    // pairwise counts ride a tiny mask census (never a pairwise pass
+    // over corpus-sized data).
+    "tx_src_jaccard" -> ((s, dir) =>
+      TextAnalysis.sourcePairJaccard(table(s, dir, "documents"))),
+
+    // DSIR selection: Gumbel top-k over the judged importance weights —
+    // deterministic hash-derived noise, distributed TakeOrdered cut.
+    "sp10_dsir_sample" -> ((s, dir) =>
+      graft.ops.Sampling.dsirGumbelTopK(
+        TextAnalysis.dsirWeights(table(s, dir, "documents"),
+          target = org.apache.spark.sql.functions.col("lang") === "en"),
+        k = 200))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
+
+  /** DuckDB twin of TextAnalysis.dsirWeights (unigram+bigram hashed
+    * features, bucket log-likelihood-ratio score table, per-doc weight) —
+    * shared by the tx_dsir_weights and sp10_dsir_sample oracles so the
+    * selection step provably reads the judged weights. */
+  private lazy val dsirCtes: String =
+    s"""t AS (
+      |  SELECT doc_id, (lang = 'en') AS tgt,
+      |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |u AS (SELECT doc_id, tgt, unnest(toks) AS g FROM t),
+      |b2 AS (SELECT doc_id, tgt, toks[i] || ' ' || toks[i+1] AS g
+      |       FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i
+      |             FROM t WHERE len(toks) >= 2) z),
+      |gr AS (SELECT doc_id, tgt, ${mh(29, "g")} % 4096 AS b, count(*) AS c
+      |       FROM (SELECT * FROM u UNION ALL SELECT * FROM b2) q GROUP BY 1, 2, 3),
+      |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM gr GROUP BY b),
+      |tg AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM gr WHERE tgt GROUP BY b),
+      |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+      |               (SELECT CAST(sum(ct) AS BIGINT) FROM tg) AS tt),
+      |lam AS (SELECT b,
+      |    CAST(round(ln((coalesce(ct, 0) + 1) / CAST(tt + 4096 AS DOUBLE))
+      |             - ln((cr + 1) / CAST(tr + 4096 AS DOUBLE)), 6) AS DECIMAL(20,6)) AS lam
+      |  FROM raw LEFT JOIN tg USING (b) CROSS JOIN tot),
+      |dsirw AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      |    round(CAST(sum(lam * c) AS DOUBLE), 6) AS dsir_weight
+      |  FROM gr JOIN lam USING (b)
+      |  GROUP BY doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,
@@ -1499,28 +1549,66 @@ object TextOps extends QueryPack {
     // Same seed-29 bucket hash, same add-one smoothing, same 6-dp-rounded
     // per-bucket log-ratio summed in DECIMAL (order-independent).
     "tx_dsir_weights" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, (lang = 'en') AS tgt,
-        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      s"""WITH $dsirCtes
+        |SELECT doc_id, n_feats, dsir_weight FROM dsirw ORDER BY doc_id""".stripMargin,
+
+    // Same weight CTEs as tx_dsir_weights, then the deterministic Gumbel
+    // key (hash-bucket uniform, -ln(-ln(u))) and the top-200 cut with the
+    // same (key DESC, doc_id) total order as the Spark TakeOrdered.
+    "sp10_dsir_sample" ->
+      s"""WITH $dsirCtes,
+        |k AS (
+        |  SELECT doc_id, dsir_weight,
+        |    round(dsir_weight - ln(-ln((${mh(47, "doc_id")} % 10000 + 0.5) / 10000)), 6) AS key
+        |  FROM dsirw)
+        |SELECT doc_id, dsir_weight, key,
+        |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+        |FROM k ORDER BY key DESC, doc_id LIMIT 200""".stripMargin,
+
+    // Distinct per-doc shingles (the shingleCtes stream deduplicated),
+    // document frequency as a window count, per-doc rollup.
+    "tx_ngram_novelty" ->
+      s"""WITH $shingleCtes,
+        |d AS (SELECT DISTINCT doc_id, s FROM sh),
+        |f AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM d)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Source-keyed twin of the shingle stream; exact distinct-set Jaccard
+    // per source pair, zero-overlap pairs kept by the outer pair frame.
+    "tx_src_jaccard" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents),
-        |u AS (SELECT doc_id, tgt, unnest(toks) AS g FROM t),
-        |b2 AS (SELECT doc_id, tgt, toks[i] || ' ' || toks[i+1] AS g
-        |       FROM (SELECT doc_id, tgt, toks, unnest(range(1, len(toks))) AS i
-        |             FROM t WHERE len(toks) >= 2) z),
-        |gr AS (SELECT doc_id, tgt, ${mh(29, "g")} % 4096 AS b, count(*) AS c
-        |       FROM (SELECT * FROM u UNION ALL SELECT * FROM b2) q GROUP BY 1, 2, 3),
-        |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM gr GROUP BY b),
-        |tg AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM gr WHERE tgt GROUP BY b),
-        |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
-        |               (SELECT CAST(sum(ct) AS BIGINT) FROM tg) AS tt),
-        |lam AS (SELECT b,
-        |    CAST(round(ln((coalesce(ct, 0) + 1) / CAST(tt + 4096 AS DOUBLE))
-        |             - ln((cr + 1) / CAST(tr + 4096 AS DOUBLE)), 6) AS DECIMAL(20,6)) AS lam
-        |  FROM raw LEFT JOIN tg USING (b) CROSS JOIN tot)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-        |  round(CAST(sum(lam * c) AS DOUBLE), 6) AS dsir_weight
-        |FROM gr JOIN lam USING (b)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |lng AS (
+        |  SELECT source, toks, unnest(range(1, len(toks) - 1)) AS i
+        |  FROM t WHERE len(toks) >= 3),
+        |sh AS (
+        |  SELECT source, array_to_string(toks[i:i+2], ' ') AS s FROM lng
+        |  UNION ALL
+        |  SELECT source, array_to_string(toks, ' ') FROM t WHERE len(toks) < 3),
+        |d AS (SELECT DISTINCT source, s FROM sh),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY source),
+        |ix AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM d a JOIN d b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pa.source AS src_a, pb.source AS src_b,
+        |  coalesce(ix.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+        |  sa.sz + sb.sz - coalesce(ix.n_inter, CAST(0 AS BIGINT)) AS n_union,
+        |  round(CAST(coalesce(ix.n_inter, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / (sa.sz + sb.sz - coalesce(ix.n_inter, CAST(0 AS BIGINT))), 6) AS jaccard
+        |FROM (SELECT DISTINCT source FROM documents) pa
+        |JOIN (SELECT DISTINCT source FROM documents) pb ON pa.source < pb.source
+        |LEFT JOIN ix ON ix.src_a = pa.source AND ix.src_b = pb.source
+        |JOIN sz sa ON sa.source = pa.source
+        |JOIN sz sb ON sb.source = pb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // Same census tokenization, same >=2-char cut, same (n desc, pair)
     // total order.

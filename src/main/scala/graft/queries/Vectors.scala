@@ -145,6 +145,18 @@ object Vectors extends QueryPack {
         .orderBy(col("label"))
     }),
 
+    // Distributed XᵀX: upper-triangle covariance matrix of the embedding
+    // corpus (the PCA/whitening prep pass) — map-side Gram partials bound
+    // the exchange to d(d+1)/2 cells × partitions at any corpus size.
+    "emb_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(table(s, dir, "embeddings"))),
+
+    // Johnson–Lindenstrauss ±1 random projection to 16 dims (seeded sign
+    // matrix, data-independent, map-only — zero shuffles). Judged
+    // flattened to (vec_id, out_dim, value) scalar rows.
+    "emb_rand_proj" -> ((s, dir) =>
+      Similarity.randomProject(table(s, dir, "embeddings"))),
+
     // WebDataset-style export plan: assets packed into 64 KiB shards per
     // format, each with its shard id + byte offset — per-group prefix
     // sums, no global sort.
@@ -216,7 +228,42 @@ object Vectors extends QueryPack {
       |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
       |    FROM embeddings v CROSS JOIN c1 c) t WHERE rn = 1)""".stripMargin
 
+  /** DuckDB twin of Similarity.randomProject's seeded ±1 chain — generated
+    * from the SAME projSign derivation the Spark side multiplies by, so
+    * the two engines share one matrix by construction. */
+  private lazy val randProjOracle: String = {
+    val exprs = (0 until 16).map { j =>
+      val chain = (0 until 64).map { i =>
+        val s = if (Similarity.projSign(41, i, j) > 0) "1.0" else "-1.0"
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * $s"
+      }.mkString(" + ")
+      s"round(($chain) / sqrt(16.0), 6)"
+    }
+    s"""SELECT vec_id, CAST(unnest(range(16)) AS BIGINT) AS out_dim,
+      |  unnest([${exprs.mkString(",\n")}]) AS value
+      |FROM embeddings ORDER BY vec_id, out_dim""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // Same decimal(30,10) accumulation and the same fixed expression tree
+    // (sxy/n - sx/n * (sy/n)) as the Spark side — exact sums, one IEEE
+    // assembly, 6-dp round.
+    "emb_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.i AS dim_i, b.i AS dim_j, a.x AS xd, b.x AS yd
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        |SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(xd*yd AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+        |    - CAST(sum(CAST(xd AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+        |      * (CAST(sum(CAST(yd AS DECIMAL(30,10))) AS DOUBLE) / count(*)), 6) AS cov
+        |FROM p GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j""".stripMargin,
+
+    "emb_rand_proj" -> randProjOracle,
+
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
         |scored AS (

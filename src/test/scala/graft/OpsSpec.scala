@@ -1163,4 +1163,74 @@ class OpsSpec extends SparkSpec {
     assert(plan(1L) == (256L, 64L))   // scaled down by 2, ratio kept
     assert(plan(2L) == (100L, 50L))   // under the bound -> untouched
   }
+
+  test("covarianceMatrix: hand-checked 2-dim corpus, upper triangle only") {
+    val e = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 6.0f)), (3L, Seq(5.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.covarianceMatrix(e))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cov")).toMap
+    // means: x=(3,4); var(x)=((−2)²+0²+2²)/3, var(y)=((−2)²+2²+0²)/3,
+    // cov(x,y)=((−2)(−2)+0·2+2·0)/3
+    assert(got.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(math.abs(got((0L, 0L)) - 8.0 / 3) < 1e-6)
+    assert(math.abs(got((1L, 1L)) - 8.0 / 3) < 1e-6)
+    assert(math.abs(got((0L, 1L)) - 4.0 / 3) < 1e-6)
+  }
+
+  test("randomProject: norm-preserving in expectation, sign matrix fixed by seed") {
+    val e = Seq((1L, (0 until 64).map(i => if (i == 7) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.randomProject(e))
+    assert(got.length == 16)
+    // a one-hot input reads out row 7 of the sign matrix / 4 exactly
+    got.foreach { r =>
+      val j = r.getAs[Long]("out_dim").toInt
+      val want = Similarity.projSign(41, 7, j) / 4.0
+      assert(math.abs(r.getAs[Double]("value") - want) < 1e-9, s"dim $j")
+    }
+  }
+
+  test("ngramNovelty: shared shingles lower novelty; unique doc scores 1") {
+    val got = rows(TextAnalysis.ngramNovelty(docs))
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    assert(got(1L) == 0.0)   // exact dup of 2 -> nothing unique
+    assert(got(2L) == 0.0)
+    assert(got(4L) == 1.0)   // no shingle shared with anyone
+    assert(got(3L) > 0 && got(3L) < 1)   // near dup: tail shingles unique
+  }
+
+  test("sourcePairJaccard: identical sources hit 1, disjoint hit 0") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "alpha beta gamma delta epsilon", "s2"),   // same shingles as s1
+      (3L, "zeta eta theta iota kappa", "s3")         // disjoint
+    ).toDF("doc_id", "text", "source")
+    val got = rows(TextAnalysis.sourcePairJaccard(d))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(got.size == 3)   // full pair frame incl. zero-overlap pairs
+    assert(got(("s1", "s2"))._3 == 1.0)
+    assert(got(("s1", "s3")) == ((0L, 6L, 0.0)))
+    assert(got(("s2", "s3")) == ((0L, 6L, 0.0)))
+  }
+
+  test("dsirGumbelTopK: k rows, rank follows the JVM-recomputed key order") {
+    val weights = Seq((1L, 10L, 5.0), (2L, 10L, -5.0), (3L, 10L, 4.9), (4L, 10L, 4.8))
+    val w = weights.toDF("doc_id", "n_feats", "dsir_weight")
+    val got = rows(graft.ops.Sampling.dsirGumbelTopK(w, k = 3))
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    // recompute the deterministic keys host-side from the shared hash
+    // family and check the selected ids + order exactly
+    def key(id: Long, wt: Double): Double = {
+      val b = java.lang.Math.floorMod(Dedup.seededHashJvm(47, id.toString), 10000L)
+      val u = (b.toDouble + 0.5) / 10000L
+      BigDecimal(wt - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = weights.map { case (id, _, wt) => (id, key(id, wt)) }
+      .sortBy { case (id, k) => (-k, id) }.take(3)
+    assert(got.map(r => (r.getLong(0), r.getAs[Double]("key"))) == want)
+  }
 }

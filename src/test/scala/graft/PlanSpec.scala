@@ -625,4 +625,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
       "chunking must stay a map over the scan")
   }
+
+  test("covariance: map-side Gram partials, no join, bounded exchange") {
+    val p = plan("emb_covariance")
+    assert(!p.contains("Join"), "X^T X must not self-join the corpus")
+    // partial + final HashAggregate around the (dim_i, dim_j) exchange —
+    // the exchange carries d(d+1)/2 × partitions partial rows, never a
+    // row per (vector × pair)
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+    assert(!p.contains("SortAggregate"),
+      "decimal Gram partials fell back to SortAggregate")
+  }
+
+  test("random projection: map-only until the final sort — no join, no agg") {
+    val p = plan("emb_rand_proj")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "the seeded matrix is data-independent; nothing may shuffle or join")
+    // codegen-safety structure: the generator must explode PRECOMPUTED
+    // projection columns — a Project splits the 1024-term chains into
+    // Janino methods, a generator input cannot (inlined, the stage loses
+    // whole-stage codegen to a CompileException fallback)
+    assert(p.contains("posexplode(array(__o0"),
+      "projection chains inlined into the Generate")
+  }
+
+  test("source jaccard: corpus joins only the broadcast source index") {
+    val p = plan("tx_src_jaccard")
+    assert(p.contains("BroadcastHashJoin"), "source index lost its broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "pairwise work must ride the mask census, not a corpus cartesian")
+  }
+
+  test("ngram novelty: one gram window + one doc rollup, no join") {
+    val p = plan("tx_ngram_novelty")
+    assert(!p.contains("Join"),
+      "document frequency must be a window over the gram, not a join-back")
+    assert(p.split(" Window").length - 1 >= 1, p.take(600))
+  }
+
+  test("dsir gumbel selection: a distributed top-k, never a global sort") {
+    val p = plan("sp10_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-cut must be TakeOrdered (per-partition heads), not Sort+Limit")
+  }
 }
