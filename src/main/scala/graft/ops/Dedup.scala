@@ -727,6 +727,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Soft dedup: per-document training weight 1/|cluster| instead of
+    * removal — every duplicate cluster contributes ONE document-equivalent
+    * of gradient signal, spread over its members, rather than being cut to
+    * a single survivor (down-weighting preserves benign variation that
+    * hard dedup throws away; cf. Muennighoff et al. 2023 on the value of
+    * bounded repetition). Documents in no duplicate cluster keep weight 1
+    * and label themselves (cluster_id = doc_id), so the output is a total
+    * weighting of the corpus a sampler can consume directly.
+    *
+    * Shape at scale: one left equi-join of the corpus ids against the
+    * (much smaller) cluster membership — duplicates are a minority of a
+    * deduplicated corpus, so AQE typically broadcasts the cluster side;
+    * the fallback shuffle is keyed on doc_id, the best-distributed key
+    * there is. No window, no global structure. */
+  def dedupWeights(clusters: DataFrame, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id"),
+        col("n_members")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
+        round(lit(1.0) / coalesce(col("n_members"), lit(1L)), 6).as("weight"))
+      .orderBy(col("doc_id"))
+
   /** Benchmark decontamination — the pre-training hygiene pass: find
     * corpus documents sharing any word n-gram with a benchmark/eval set,
     * so evaluation data can be excluded from training. Returns

@@ -643,4 +643,102 @@ object TextAnalysis {
           .as("jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Hashed-feature linear classifier score — the model-based quality gate
+    * from public LLM data pipelines (GPT-3's WebText-similarity filter,
+    * LLaMA's reference classifier; Brown et al. 2020 §A): each unigram
+    * hashes to a feature bucket, the document score is the mean bucket
+    * weight, and documents with positive score pass the gate.
+    *
+    * The judged weight table is DETERMINISTIC — w(t) = (h(t) mod 2001) −
+    * 1000 ∈ [−1000, 1000], h the shared md5 seededHash family — so the
+    * cross-engine hash/score/threshold kernel is pinned exactly; a real
+    * deployment swaps the hash-derived weight for a broadcast join against
+    * learned weights (same plan shape: the score table is vocabulary-sized,
+    * the per-doc rollup unchanged).
+    *
+    * Shape at scale: integer weights are exact, so the per-doc sum partial-
+    * aggregates map-side (token stream collapses to one row per document
+    * per partition before the exchange); the hash is the codegen'd
+    * md5Hash60 — no interpreted lambda in the hot loop. One bounded
+    * shuffle; the threshold test runs on the integer sum (no float
+    * boundary). */
+  def classifierScore(docs: DataFrame, seed: Int = 31): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(F.normalizeText(lower(col("text"))), " ")).as("term"))
+    toks
+      .select(col("doc_id"),
+        (Dedup.seededHash(seed, col("term")) % 2001 - 1000).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("wsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("wsum").cast("double") / (col("n_tokens") * 1000.0), 6)
+          .as("clf_score"),
+        (col("wsum") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): documents are
+    * scored by the corpus's own unigram LM (unigramLogProb — lower avg
+    * negative log-likelihood = more typical text) and split into
+    * head / middle / tail terciles; CCNet trains on head+middle and
+    * audits tail. Cut points ride one broadcast row (the tp2_curriculum
+    * posture); assignment is a map-side comparison against the 6-dp-rounded
+    * cuts, on the same 6-dp-rounded scores both engines compute.
+    *
+    * At 100 TB the exact percentile over per-doc scores becomes
+    * approx_percentile (mergeable t-digest) — same one-row broadcast, cuts
+    * within sketch error; exact is kept here for the oracle (the
+    * tx_quality_filter stance). */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val scored = unigramLogProb(docs)
+    // tercile fractions as DOUBLE division on both engines — a bare 1.0/3
+    // literal is DECIMAL division in both Spark and DuckDB, each at its
+    // own scale, which would feed the two quantile calls different
+    // fractions
+    val cuts = scored.agg(
+      round(expr("percentile(avg_nll, cast(1 as double)/3)"), 6).as("cut_head"),
+      round(expr("percentile(avg_nll, cast(2 as double)/3)"), 6).as("cut_middle"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("cut_head"), lit("head"))
+          .when(col("avg_nll") <= col("cut_middle"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("cut_head"), col("cut_middle"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Inverted-index term lookup — the corpus-search primitive behind
+    * membership/attribution audits ("how many documents contain X, and
+    * where"; cf. WIMBD, Elazar et al. 2024): per query term, document
+    * frequency, collection frequency, and the first/last containing
+    * document. Terms absent from the corpus report zeros (−1 doc ids) —
+    * a search must distinguish "not found" from "not indexed".
+    *
+    * Shape at scale: the literal IN-list filter runs map-side against the
+    * token stream BEFORE any exchange, so the shuffle carries only
+    * matching (term, doc) rows — cost follows the query terms' posting
+    * sizes, not the corpus; the final frame is |terms| rows joined against
+    * the tiny census. A standing search service would stage the full
+    * inverted index once (term-bucketed parquet) and equi-join it; this
+    * operator is the ad-hoc scan-time form. */
+  def termLookup(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val termDim = terms.toDF("term")
+    val census = docs
+      .select(col("doc_id"),
+        explode(split(F.normalizeText(lower(col("text"))), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    termDim.join(broadcast(census), Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("tf"), lit(0L)).as("tf"),
+        coalesce(col("first_doc"), lit(-1L)).as("first_doc"),
+        coalesce(col("last_doc"), lit(-1L)).as("last_doc"))
+      .orderBy(col("term"))
+  }
 }

@@ -331,6 +331,36 @@ object Analytics extends QueryPack {
         .orderBy($"o_orderstatus")
     }),
 
+    // Robust aggregation: 5/95-percentile caps per group, winsorized mean
+    // (values clamped to the caps) and trimmed mean (values outside them
+    // dropped) — the outlier-insensitive summary a metrics pipeline
+    // publishes next to the raw mean. Caps ride the broadcast per-group
+    // row (the st5_mad posture); both means use the decimal-exact davg
+    // discipline. Clamp comparisons are boundary-safe: a value equal to a
+    // cap is unchanged by clamping and included by trimming in both
+    // engines.
+    "st6_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders").select($"o_orderstatus", $"o_totalprice")
+      val caps = o.groupBy($"o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.05)"), 6).as("lo_cap"),
+        round(expr("percentile(o_totalprice, 0.95)"), 6).as("hi_cap"))
+      val kept = $"o_totalprice" >= $"lo_cap" && $"o_totalprice" <= $"hi_cap"
+      o.join(broadcast(caps), Seq("o_orderstatus"))
+        .groupBy($"o_orderstatus", $"lo_cap", $"hi_cap")
+        .agg(count(lit(1)).as("n"),
+          davg(greatest(least($"o_totalprice", $"hi_cap"), $"lo_cap"), 6)
+            .as("win_mean"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(kept, $"o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            .cast("double") / sum(when(kept, 1L).otherwise(0L)), 6)
+            .as("trim_mean"))
+        .select($"o_orderstatus", $"n", $"lo_cap", $"hi_cap",
+          $"win_mean", $"n_kept", $"trim_mean")
+        .orderBy($"o_orderstatus")
+    }),
+
     // SQL entry surface + GROUPING SETS (finer than rollup/cube): the query
     // text goes through Spark's parser over temp views — same Catalyst plan
     // machinery as the DataFrame API. NULLS FIRST pinned explicitly (Spark
@@ -611,6 +641,21 @@ object Analytics extends QueryPack {
         |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "st6_winsorize" ->
+      """WITH caps AS (
+        |  SELECT o_orderstatus,
+        |    round(quantile_cont(o_totalprice, 0.05), 6) AS lo_cap,
+        |    round(quantile_cont(o_totalprice, 0.95), 6) AS hi_cap
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, count(*) AS n, lo_cap, hi_cap,
+        |  round(CAST(sum(CAST(greatest(least(o_totalprice, hi_cap), lo_cap) AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS win_mean,
+        |  CAST(sum(CASE WHEN o_totalprice >= lo_cap AND o_totalprice <= hi_cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN o_totalprice >= lo_cap AND o_totalprice <= hi_cap THEN CAST(o_totalprice AS DECIMAL(30,10)) END) AS DOUBLE)
+        |    / sum(CASE WHEN o_totalprice >= lo_cap AND o_totalprice <= hi_cap THEN 1 ELSE 0 END), 6) AS trim_mean
+        |FROM orders JOIN caps USING (o_orderstatus)
+        |GROUP BY o_orderstatus, lo_cap, hi_cap
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "gs1_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -896,7 +896,26 @@ object TextOps extends QueryPack {
       graft.ops.Sampling.dsirGumbelTopK(
         TextAnalysis.dsirWeights(table(s, dir, "documents"),
           target = org.apache.spark.sql.functions.col("lang") === "en"),
-        k = 200))
+        k = 200)),
+
+    // Model-based quality gate: hashed-unigram linear classifier with a
+    // deterministic weight table — the scoring/threshold kernel judged
+    // end-to-end; learned weights drop in as a broadcast join.
+    "tx_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(table(s, dir, "documents"))),
+    // CCNet head/middle/tail terciles over the corpus's own unigram-LM
+    // score; cut points ride one broadcast row.
+    "tx_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(table(s, dir, "documents"))),
+    // Corpus search: per-term posting stats (df, tf, first/last doc) for
+    // an ad-hoc query vocabulary, incl. an absent term's zero row.
+    "ix1_term_lookup" -> ((s, dir) =>
+      TextAnalysis.termLookup(table(s, dir, "documents"),
+        Seq("table", "scan", "merge", "vector", "zz_absent"))),
+    // Soft dedup over the shared staged clustering: weight 1/|cluster|
+    // per member, singletons keep 1 — removal-free duplicate handling.
+    "dd_dedup_weights" -> ((s, dir) =>
+      Dedup.dedupWeights(stagedClusters(s, dir), table(s, dir, "documents")))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -1564,6 +1583,81 @@ object TextOps extends QueryPack {
         |SELECT doc_id, dsir_weight, key,
         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
         |FROM k ORDER BY key DESC, doc_id LIMIT 200""".stripMargin,
+
+    // Same md5 weight family inside the lambda; integer weight sum (exact),
+    // double division only at the rounded score.
+    "tx_classifier_score" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(toks,
+        |      t -> ${mh(31, "t")} % 2001 - 1000), 'sum') AS BIGINT) AS wsum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(wsum AS DOUBLE) / (n_tokens * CAST(1000 AS DOUBLE)), 6) AS clf_score,
+        |  (wsum > 0) AS keep
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // tx_unigram_logprob's score CTEs + tercile cuts; fractions as DOUBLE
+    // division (a bare 1.0/3 is decimal division at engine-specific scale).
+    "tx_ppl_buckets" ->
+      """WITH tm AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, count(*) AS c FROM tm GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM f),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(-ln(CAST(c AS DOUBLE) / n_total) AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |  FROM tm JOIN f USING(term) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |cuts AS (
+        |  SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3), 6) AS cut_head,
+        |    round(quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3), 6) AS cut_middle
+        |  FROM sc)
+        |SELECT doc_id, avg_nll,
+        |  CASE WHEN avg_nll <= cut_head THEN 'head'
+        |       WHEN avg_nll <= cut_middle THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  cut_head, cut_middle
+        |FROM sc CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    // Posting stats filtered to the query vocabulary BEFORE any grouping;
+    // the outer term frame keeps absent terms as zero rows.
+    "ix1_term_lookup" ->
+      """WITH tm AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |    count(*) AS tf, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |  FROM tm
+        |  WHERE term IN ('table', 'scan', 'merge', 'vector', 'zz_absent')
+        |  GROUP BY term),
+        |q AS (SELECT unnest(['table', 'scan', 'merge', 'vector', 'zz_absent']) AS term)
+        |SELECT q.term, coalesce(df, 0) AS df, coalesce(tf, 0) AS tf,
+        |  coalesce(first_doc, -1) AS first_doc, coalesce(last_doc, -1) AS last_doc
+        |FROM q LEFT JOIN c USING (term) ORDER BY term""".stripMargin,
+
+    // Clusters (recursive closure, as dd_dup_clusters); weight = 1/|cluster|
+    // as DOUBLE division, singletons fall out of the left joins.
+    "dd_dedup_weights" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+        |       FROM lab GROUP BY cluster_id)
+        |SELECT d.doc_id,
+        |  coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+        |  coalesce(cs.n, 1) AS n_members,
+        |  round(CAST(1 AS DOUBLE) / coalesce(cs.n, 1), 6) AS weight
+        |FROM documents d
+        |LEFT JOIN lab ON d.doc_id = lab.id
+        |LEFT JOIN cs ON lab.cluster_id = cs.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Distinct per-doc shingles (the shingleCtes stream deduplicated),
     // document frequency as a window count, per-doc rollup.

@@ -1233,4 +1233,62 @@ class OpsSpec extends SparkSpec {
       .sortBy { case (id, k) => (-k, id) }.take(3)
     assert(got.map(r => (r.getLong(0), r.getAs[Double]("key"))) == want)
   }
+
+  test("classifierScore: host-recomputed hash weights, integer-sum gate") {
+    val d = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.classifierScore(d))
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("clf_score"), r.getAs[Boolean]("keep"))).toMap
+    def w(t: String): Long = Dedup.seededHashJvm(31, t) % 2001 - 1000
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = w("alpha") + w("beta")
+    assert(got(1L) == ((2L, r6(s1.toDouble / 2000.0), s1 > 0)))
+    assert(got(2L) == ((1L, r6(w("alpha").toDouble / 1000.0), w("alpha") > 0)))
+  }
+
+  test("perplexityBuckets: bucket order follows avg_nll, one shared cut row") {
+    // three cost tiers: all-common docs, mixed, singleton-rare docs
+    val d = (1 to 9).map { i =>
+      val t = if (i <= 3) "common common common"
+              else if (i <= 6) s"common mid$i"
+              else s"rare$i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val got = rows(TextAnalysis.perplexityBuckets(d))
+    assert(got.length == 9)
+    val byB = got.groupBy(_.getAs[String]("bucket")).view
+      .mapValues(_.map(_.getAs[Double]("avg_nll"))).toMap
+    assert(byB.contains("head") && byB.contains("tail"))
+    // equal scores can never straddle a <=-cut, so buckets are ordered
+    for { h <- byB.get("head"); m <- byB.get("middle") } assert(h.max < m.min)
+    for { m <- byB.get("middle"); t <- byB.get("tail") } assert(m.max < t.min)
+    val cuts = got.map(r =>
+      (r.getAs[Double]("cut_head"), r.getAs[Double]("cut_middle"))).distinct
+    assert(cuts.length == 1 && cuts.head._1 <= cuts.head._2)
+  }
+
+  test("termLookup: posting stats for present terms, zero row for absent") {
+    val d = Seq((1L, "foo bar foo"), (2L, "bar baz")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.termLookup(d, Seq("foo", "bar", "nope")))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 3)
+    assert(got("foo") == ((1L, 2L, 1L, 1L)))
+    assert(got("bar") == ((2L, 2L, 1L, 2L)))
+    assert(got("nope") == ((0L, 0L, -1L, -1L)))
+  }
+
+  test("dedupWeights: members share 1/n, singletons keep weight 1") {
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L))
+      .toDF("doc_id", "cluster_id", "n_members")
+    val got = rows(Dedup.dedupWeights(clusters, ids))
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("weight"))).toMap
+    assert(got(1L) == ((1L, 2L, 0.5)))
+    assert(got(2L) == ((1L, 2L, 0.5)))
+    assert(got(3L) == ((3L, 1L, 1.0)))
+    assert(got(4L) == ((4L, 1L, 1.0)))
+  }
 }

@@ -668,4 +668,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "the k-cut must be TakeOrdered (per-partition heads), not Sort+Limit")
   }
+
+  test("classifier score: map-side partial agg, no join, codegen'd hash") {
+    val p = plan("tx_classifier_score")
+    assert(!p.contains("Join"), "the weight table is hash-derived in-row")
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+    assert(!p.contains("LambdaFunction"),
+      "token hashing fell back to an interpreted HOF")
+  }
+
+  test("ppl buckets: cuts ride one broadcast row, no global window") {
+    val p = plan("tx_ppl_buckets")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "tercile cut row lost its broadcast")
+    assert(!p.contains("Window"),
+      "bucketing must compare against cuts, not rank the corpus")
+  }
+
+  test("term lookup: IN-list filter cuts the stream; census broadcasts") {
+    val p = plan("ix1_term_lookup")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |terms|-row census lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the literal IN-list must filter the exploded token stream before
+    // the aggregation exchange (map-side), not after
+    assert(p.contains("Filter"), p.take(600))
+  }
+
+  test("winsorize: per-group caps broadcast; no window") {
+    val p = plan("st6_winsorize")
+    assert(p.contains("BroadcastHashJoin"), "cap rows lost their broadcast")
+    assert(!p.contains("Window"))
+  }
+
+  test("dedup weights: one doc-keyed left join, no window, no cartesian") {
+    val p = plan("dd_dedup_weights")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
 }
