@@ -428,4 +428,34 @@ object Similarity {
       .select(col("vec_id"), col("c_id"), col("__d").isNull.as("keep"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-dimension z-score standardization — the feature-scaling transform
+    * an embedding pipeline applies before isotropic-distance ops (k-means,
+    * IVF residuals) when dimensions arrive at different scales. Population
+    * mean/σ per dimension via decimal-exact sum/sum-of-squares partials
+    * (the emb_covariance discipline: the exchange carries d × partitions
+    * partial rows, never vectors), then a broadcast d-row join and a pure
+    * map over the value stream. Constant dimensions (σ = 0) standardize to
+    * 0 rather than dividing by zero. */
+  def standardize(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "xf")))
+      .select(col("vec_id"), col("d0").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val stats = x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(30, 10))).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 10))).cast("double")
+          .as("sxx"))
+      .select(col("dim"), (col("sx") / col("n")).as("mu"),
+        sqrt(greatest(col("sxx") / col("n") -
+          (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0)))
+          .as("sigma"))
+    x.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("sigma") === 0.0, lit(0.0))
+          .otherwise(round((col("x") - col("mu")) / col("sigma"), 6)).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
 }

@@ -722,6 +722,33 @@ object TextAnalysis {
     * the tiny census. A standing search service would stage the full
     * inverted index once (term-bucketed parquet) and equi-join it; this
     * operator is the ad-hoc scan-time form. */
+  /** Keyword-in-context — the snippet half of corpus search ([[termLookup]]
+    * is the stats half): every occurrence of a query term with its ±window
+    * surrounding tokens, the evidence view an attribution or contamination
+    * review actually reads.
+    *
+    * Shape at scale: same posture as termLookup — the IN-list filter runs
+    * against the exploded token stream map-side, the context slice reads
+    * the token array already in the row (no join back to the text), and
+    * nothing aggregates: output rows = total occurrences of the query
+    * terms, the quantity the caller asked to see. Pagination is the
+    * caller's cut (ORDER BY term, doc, pos is the stable page key). */
+  def kwic(docs: DataFrame, terms: Seq[String], window: Int = 2): DataFrame = {
+    val start = greatest(col("pos0") + 1 - window, lit(1))
+    val stop = least(col("pos0") + 1 + window, size(col("toks")))
+    docs
+      .select(col("doc_id"),
+        split(F.normalizeText(lower(col("text"))), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"),
+        (col("pos0") + 1).cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"), start, stop - start + 1))
+          .as("context"))
+      .orderBy(col("term"), col("doc_id"), col("pos"))
+  }
+
   def termLookup(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -915,7 +915,19 @@ object TextOps extends QueryPack {
     // Soft dedup over the shared staged clustering: weight 1/|cluster|
     // per member, singletons keep 1 — removal-free duplicate handling.
     "dd_dedup_weights" -> ((s, dir) =>
-      Dedup.dedupWeights(stagedClusters(s, dir), table(s, dir, "documents")))
+      Dedup.dedupWeights(stagedClusters(s, dir), table(s, dir, "documents"))),
+
+    // Iterative graph scoring beyond connected components: 3 PageRank
+    // rounds over the near-dup pair graph rank the hub documents of
+    // boilerplate neighborhoods (natural cluster representatives).
+    "gr1_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(
+        Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5))),
+    // Corpus search, snippet half: every occurrence of a query term with
+    // its ±2-token context — the evidence view next to ix1's stats.
+    "ix2_kwic" -> ((s, dir) =>
+      TextAnalysis.kwic(table(s, dir, "documents"),
+        Seq("vector", "merge", "zz_absent")))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -1643,6 +1655,49 @@ object TextOps extends QueryPack {
         |SELECT q.term, coalesce(df, 0) AS df, coalesce(tf, 0) AS tf,
         |  coalesce(first_doc, -1) AS first_doc, coalesce(last_doc, -1) AS last_doc
         |FROM q LEFT JOIN c USING (term) ORDER BY term""".stripMargin,
+
+    // Three unrolled PageRank iterations over clusterCtes' edge set; every
+    // per-node sum goes through DECIMAL(30,10) contributions and a 10-dp
+    // re-quantization (the dsum discipline) so both engines land on
+    // identical bits. Damping arithmetic stays in DOUBLE on both sides
+    // ((1 - 0.85) is NOT 0.15 in IEEE; the subtraction must be computed,
+    // not folded to a decimal literal).
+    "gr1_pagerank" -> {
+      def iter(prev: String): String =
+        s"""SELECT d.src AS id, d.outdeg,
+           |    round((1 - CAST(0.85 AS DOUBLE)) / nn.n_nodes +
+           |      CAST(0.85 AS DOUBLE) *
+           |      CAST(sum(CAST(p.pr / p.outdeg AS DECIMAL(30,10))) AS DOUBLE), 10) AS pr
+           |  FROM edges e JOIN $prev p ON e.src = p.id
+           |  JOIN deg d ON e.dst = d.src CROSS JOIN nn
+           |  GROUP BY d.src, d.outdeg, nn.n_nodes""".stripMargin
+      s"""WITH RECURSIVE $clusterCtes,
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |        FROM edges GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |p0 AS (SELECT src AS id, outdeg,
+        |         round(CAST(1 AS DOUBLE) / n_nodes, 10) AS pr
+        |       FROM deg CROSS JOIN nn),
+        |p1 AS (${iter("p0")}),
+        |p2 AS (${iter("p1")}),
+        |p3 AS (${iter("p2")})
+        |SELECT id AS doc_id, outdeg AS degree, pr AS pagerank
+        |FROM p3 ORDER BY pagerank DESC, doc_id""".stripMargin
+    },
+
+    // Position-indexed token stream, sliced in-row for the context window
+    // (1-based inclusive slicing on both engines).
+    "ix2_kwic" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+        |SELECT toks[i] AS term, doc_id, CAST(i AS BIGINT) AS pos,
+        |  array_to_string(toks[greatest(i - 2, 1):least(i + 2, len(toks))], ' ') AS context
+        |FROM u
+        |WHERE toks[i] IN ('vector', 'merge', 'zz_absent')
+        |ORDER BY term, doc_id, pos""".stripMargin,
 
     // Clusters (recursive closure, as dd_dup_clusters); weight = 1/|cluster|
     // as DOUBLE division, singletons fall out of the left joins.

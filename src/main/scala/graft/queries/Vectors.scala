@@ -127,6 +127,11 @@ object Vectors extends QueryPack {
         .orderBy(col("dim"))
     }),
 
+    // Per-dimension z-score standardization: decimal-exact sum/sumsq
+    // partials -> broadcast d-row stats -> pure map over the value stream.
+    "emb_standardize" -> ((s, dir) =>
+      Similarity.standardize(table(s, dir, "embeddings"))),
+
     // Norm-distribution profile per label — the sanity gate before any
     // cosine machinery (a label whose norms collapse to ~0 or spread
     // wildly poisons similarity scores): decimal-exact mean norm,
@@ -386,6 +391,30 @@ object Vectors extends QueryPack {
         |SELECT vec_id, max_abs,
         |  unnest(range(len(q))) AS dim, unnest(q) AS q
         |FROM qv ORDER BY vec_id, dim""".stripMargin,
+
+    // Decimal-exact sum/sumsq per dimension, population sigma, z rounded
+    // at 6 dp; constant dimensions pin to 0 on both engines.
+    "emb_standardize" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |        CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM u),
+        |st AS (
+        |  SELECT dim, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+        |  FROM v GROUP BY dim),
+        |sg AS (
+        |  SELECT dim, sx / n AS mu,
+        |    sqrt(greatest(sxx / n - (sx / n) * (sx / n), CAST(0 AS DOUBLE))) AS sigma
+        |  FROM st)
+        |SELECT v.vec_id, v.dim,
+        |  CASE WHEN sigma = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE round((x - mu) / sigma, 6) END AS z
+        |FROM v JOIN sg USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     // sim_knn_graph's CTEs + the recursive min-label closure (the
     // dd_dup_clusters pattern): the iterative Spark contraction and the

@@ -1279,6 +1279,46 @@ class OpsSpec extends SparkSpec {
     assert(got("nope") == ((0L, 0L, -1L, -1L)))
   }
 
+  test("pageRank: host-recomputed fixed-point on a path graph, bit-exact") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = rows(graft.ops.Graph.pageRank(pairs))
+      .map(r => r.getLong(0) -> (r.getAs[Long]("degree"),
+        r.getAs[Double]("pagerank"))).toMap
+    // replicate the exact quantization: decimal(10) contributions, 10-dp
+    // re-round per iteration, double damping arithmetic
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    var pr = Map(1L -> r10(1.0 / 3), 2L -> r10(1.0 / 3), 3L -> r10(1.0 / 3))
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    for (_ <- 1 to 3) {
+      pr = pr.keys.map { v =>
+        val s = nbrs(v).map(u => r10(pr(u) / deg(u))).sum
+        v -> r10((1 - 0.85) / 3 + 0.85 * s)
+      }.toMap
+    }
+    assert(got(1L) == ((1L, pr(1L))))
+    assert(got(2L) == ((2L, pr(2L))))
+    assert(got(3L) == ((1L, pr(3L))))
+    assert(got(2L)._2 > got(1L)._2, "the hub must outrank the leaves")
+  }
+
+  test("kwic: context windows clamp at document edges") {
+    val d = Seq((1L, "a b target c d"), (2L, "target x")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.kwic(d, Seq("target")))
+      .map(r => (r.getLong(1), r.getAs[Long]("pos"), r.getAs[String]("context")))
+    assert(got == Seq((1L, 3L, "a b target c d"), (2L, 1L, "target x")))
+  }
+
+  test("standardize: z-scores per dimension; constant dimension pins to 0") {
+    val e = Seq((1L, Seq(0.0f, 2.0f)), (2L, Seq(2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.standardize(e))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("z")).toMap
+    assert(got((1L, 0L)) == -1.0 && got((2L, 0L)) == 1.0)
+    assert(got((1L, 1L)) == 0.0 && got((2L, 1L)) == 0.0)
+  }
+
   test("dedupWeights: members share 1/n, singletons keep weight 1") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L))

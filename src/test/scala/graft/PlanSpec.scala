@@ -705,4 +705,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("dd_dedup_weights")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
+
+  test("pagerank: iterations are id-keyed equi-joins, never cartesian") {
+    val p = plan("gr1_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      "an iteration join lost its node-id key")
+    assert(!p.contains("SortAggregate"),
+      "decimal contribution partials fell back to SortAggregate")
+  }
+
+  test("kwic: pure per-row fan-out + filter — no join, no aggregation") {
+    val p = plan("ix2_kwic")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "context slicing must read the token array already in the row")
+  }
+
+  test("standardize: d-row stats broadcast; decimal partials stay hashed") {
+    val p = plan("emb_standardize")
+    assert(p.contains("BroadcastHashJoin"), "per-dim stats lost their broadcast")
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+    assert(!p.contains("SortAggregate"))
+    assert(!p.contains("Window"))
+  }
 }
