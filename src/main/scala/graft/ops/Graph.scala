@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph computation over edge DataFrames — the capability class
   * beyond the connected-components contraction in [[Dedup.duplicateClusters]]:
@@ -10,52 +9,63 @@ import org.apache.spark.sql.types.DecimalType
   * join + partial-aggregate rounds, never a driver-side loop over collected
   * data.
   *
-  * Cross-engine determinism: per-node scores are re-quantized to 10 dp
-  * after every iteration (double → DECIMAL(30,10) before the sum — the
-  * dsum discipline — and a 10-dp round after), so partial-aggregation
-  * order can never change a value and a SQL engine replaying the same
-  * unrolled iterations lands on identical bits.
+  * Cross-engine determinism: scores are carried as INTEGER micro-mass
+  * (units of 1e-12 of total rank mass) and every per-iteration operation is
+  * integer arithmetic — floor division for the per-edge share, an exact
+  * integer sum, integer damping (×85 ÷ 100). There is no floating-point
+  * rounding anywhere, so there is no `round(double)` half-boundary for two
+  * engines to disagree on (double rounding at 10 dp over quantized inputs
+  * DOES land on .5 boundaries in practice — 13 of 3 600 nodes at sf0.1
+  * before this formulation). All operands stay positive, where Spark's
+  * `DIV` and DuckDB's `//` agree exactly; total mass 1e12 bounds every
+  * intermediate far below 2^63.
   */
 object Graph {
 
-  /** PageRank after a FIXED number of iterations over an undirected edge
-    * list `(src, dst)` (each undirected pair listed once; symmetrization
-    * happens here). On a duplicate-pair graph this ranks the hub documents
-    * of boilerplate neighborhoods — the natural cluster representatives.
+  /** Micro-mass scale: 1.0 of rank mass = 1e12 units. */
+  val MassScale = 1000000000000L
+
+  /** Fixed-point PageRank after a FIXED number of iterations over an
+    * undirected edge list `(src, dst)` (each undirected pair listed once;
+    * symmetrization happens here). On a duplicate-pair graph this ranks
+    * the hub documents of boilerplate neighborhoods — the natural cluster
+    * representatives. `pagerank` is the micro-mass rendered in [0, 1]
+    * (an exact double: micro < 2^53).
     *
     * Scale shape: each iteration is one edge ⋈ score equi-join plus one
     * partial-aggregated rollup to |nodes| rows — cost 2·|E| join rows per
     * iteration, no global structure, no driver loop state beyond the plan
-    * itself. Degrees and the node count ride a one-row broadcast. A
+    * itself. The node count rides a one-row broadcast. A
     * convergence-driven variant would wrap the same round in the
     * duplicateClusters checkpoint discipline; fixed iterations keep the
     * result oracle-expressible (unrolled CTEs).
     */
   def pageRank(pairs: DataFrame, srcCol: String = "doc_a",
                dstCol: String = "doc_b", iters: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+               dampingPct: Int = 85): DataFrame = {
     val fwd = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val n = deg.agg(count(lit(1)).as("n_nodes"))
-    // base (teleport) mass, shared by every node each iteration
-    val base = lit(1.0 - damping) / col("n_nodes")
+    // teleport micro-mass per node per iteration (floor; leaked remainder
+    // is a deterministic part of the algorithm's definition)
+    val base = expr(s"($MassScale * ${100 - dampingPct} DIV 100) DIV n_nodes")
     val init = deg.crossJoin(broadcast(n))
       .select(col("src").as("id"), col("outdeg"), col("n_nodes"),
-        round(lit(1.0) / col("n_nodes"), 10).as("pr"))
+        expr(s"$MassScale DIV n_nodes").as("m"))
     val after = (1 to iters).foldLeft(init) { (cur, _) =>
       val contrib = edges.join(cur, edges("src") === cur("id"))
-        .select(col("dst"),
-          (col("pr") / col("outdeg")).cast(DecimalType(30, 10)).as("c"))
+        .select(col("dst"), expr("m DIV outdeg").as("c"))
       val summed = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       // every node has degree >= 1 here (it came from an edge), so the
       // inner join back to the degree frame loses nobody
       cur.join(summed, cur("id") === summed("dst"))
         .select(col("id"), col("outdeg"), col("n_nodes"),
-          round(base + lit(damping) * col("s").cast("double"), 10).as("pr"))
+          (base + expr(s"(s * $dampingPct) DIV 100")).as("m"))
     }
     after.select(col("id").as("doc_id"), col("outdeg").as("degree"),
-        col("pr").as("pagerank"))
-      .orderBy(col("pagerank").desc, col("doc_id"))
+        col("m").as("pr_micro"),
+        (col("m").cast("double") / MassScale.toDouble).as("pagerank"))
+      .orderBy(col("pr_micro").desc, col("doc_id"))
   }
 }

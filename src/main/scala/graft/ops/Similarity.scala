@@ -458,4 +458,50 @@ object Similarity {
           .otherwise(round((col("x") - col("mu")) / col("sigma"), 6)).as("z"))
       .orderBy(col("vec_id"), col("dim"))
   }
+
+  /** Embedding outlier gate: per-label centroid, each vector's euclidean
+    * distance to its own label's centroid, flagged past mean + kσ of that
+    * label's distance distribution — the quality screen that catches
+    * mislabeled or degenerate vectors before they poison a similarity
+    * index. Every vector is returned with its flag (not just the tail), so
+    * the result is stable under distributional drift.
+    *
+    * Shape at scale: centroids are the decimal-exact per-(label, dim) mean
+    * (exchange bounded by |labels|·d × partitions — the emb_covariance
+    * posture); the distance pass is one broadcast join + a per-vector
+    * map-side-combined rollup, materialized once (localCheckpoint /
+    * checkpoint) so the threshold scan and the flag scan share it; the
+    * per-label threshold is a |labels|-row broadcast. */
+  def labelOutliers(emb: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val x = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d0", "xf")))
+      .select(col("vec_id"), col("label"), col("d0").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val cent = x.groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast(DecimalType(30, 10))).cast("double") /
+        count(lit(1))).as("mu"))
+    val dist = Dedup.materialize(
+      x.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(((col("x") - col("mu")) * (col("x") - col("mu")))
+          .cast(DecimalType(30, 10))).cast("double").as("d2"))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(col("d2")), 6).as("dist")))
+    val th = dist.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("dist").cast(DecimalType(30, 10))).cast("double") /
+          count(lit(1))).as("m"),
+        (sum((col("dist") * col("dist")).cast(DecimalType(30, 10)))
+          .cast("double") / count(lit(1))).as("m2"))
+      .select(col("label"),
+        round(col("m") + lit(sigmas) *
+          sqrt(greatest(col("m2") - col("m") * col("m"), lit(0.0))), 6)
+          .as("thresh"))
+    dist.join(broadcast(th), "label")
+      .select(col("vec_id"), col("label"), col("dist"), col("thresh"),
+        (col("dist") > col("thresh")).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -650,31 +650,34 @@ object TextAnalysis {
     * hashes to a feature bucket, the document score is the mean bucket
     * weight, and documents with positive score pass the gate.
     *
-    * The judged weight table is DETERMINISTIC — w(t) = (h(t) mod 2001) −
-    * 1000 ∈ [−1000, 1000], h the shared md5 seededHash family — so the
-    * cross-engine hash/score/threshold kernel is pinned exactly; a real
-    * deployment swaps the hash-derived weight for a broadcast join against
-    * learned weights (same plan shape: the score table is vocabulary-sized,
-    * the per-doc rollup unchanged).
+    * The judged weight table is DETERMINISTIC — w(t) = h(t) mod 2001 ∈
+    * [0, 2000] with 1000 the neutral midpoint, h the shared md5 seededHash
+    * family — so the cross-engine hash/score/threshold kernel is pinned
+    * exactly; a real deployment swaps the hash-derived weight for a
+    * broadcast join against learned weights (same plan shape: the score
+    * table is vocabulary-sized, the per-doc rollup unchanged).
     *
     * Shape at scale: integer weights are exact, so the per-doc sum partial-
     * aggregates map-side (token stream collapses to one row per document
     * per partition before the exchange); the hash is the codegen'd
     * md5Hash60 — no interpreted lambda in the hot loop. One bounded
-    * shuffle; the threshold test runs on the integer sum (no float
-    * boundary). */
+    * shuffle. The score is FIXED-POINT end to end — the mean weight in
+    * integer micro-units (floor division on positive operands, where
+    * Spark's DIV and DuckDB's // agree), centered and rendered as an exact
+    * double — and the gate compares integers, so there is no float
+    * rounding boundary anywhere (round(wsum/(1000n), 6) with these small
+    * round denominators DOES land on .5 ties at corpus scale). */
   def classifierScore(docs: DataFrame, seed: Int = 31): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(split(F.normalizeText(lower(col("text"))), " ")).as("term"))
     toks
-      .select(col("doc_id"),
-        (Dedup.seededHash(seed, col("term")) % 2001 - 1000).as("w"))
+      .select(col("doc_id"), (Dedup.seededHash(seed, col("term")) % 2001).as("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("wsum"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("wsum").cast("double") / (col("n_tokens") * 1000.0), 6)
-          .as("clf_score"),
-        (col("wsum") > 0).as("keep"))
+        ((expr("(wsum * 1000000) DIV n_tokens") - 1000000000L).cast("double") /
+          lit(1000000000L)).as("clf_score"),
+        (col("wsum") > col("n_tokens") * 1000L).as("keep"))
       .orderBy(col("doc_id"))
   }
 

@@ -455,7 +455,46 @@ object Etl extends QueryPack {
     // sup |ECDF_early − ECDF_late| over a 256-cell value grid, cumulative
     // window bounded by the grid, never the stream.
     "dq6_ks_drift" -> ((s, dir) =>
-      graft.ops.Quality.ksDrift(table(s, dir, "events")))
+      graft.ops.Quality.ksDrift(table(s, dir, "events"))),
+
+    // Cross-table reconciliation — the consistency audit dq3's existence
+    // check can't see: per order, the lineitem-recomputed invoice total
+    // (Σ price·(1−disc)·(1+tax), decimal-exact, 2-dp) against the stored
+    // o_totalprice; rolled up per status with mismatch counts and total
+    // absolute drift. The synthetic tables are independently priced, so
+    // every order "mismatches" — the judged quantity is the audit
+    // arithmetic itself.
+    //
+    // Shape at scale: lineitem partial-aggregates on l_orderkey (its
+    // natural key), then ONE orderkey-keyed shuffle join against orders —
+    // both sides well-distributed; the status rollup is map-side-combined
+    // to a handful of rows. No window, no broadcast of anything
+    // corpus-sized.
+    "dq7_reconcile" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      // the 2-dp quantization happens DECIMAL->DECIMAL (exact half-up on
+      // the exact sum in both engines), never via round(double, 2) — the
+      // per-order sums land on real half-cent boundaries at corpus scale
+      val li = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).cast(DecimalType(30, 10)))
+          .cast(DecimalType(30, 2)).cast("double").as("recomputed"))
+      table(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("recomputed").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when(abs(col("recomputed") - col("o_totalprice")) > 0.01, 1L)
+            .otherwise(0L)).as("n_mismatch"),
+          // both operands are 2-dp money, so each |diff| is quantized to
+          // DECIMAL(30,2) exactly (safely off the half-cent boundary) and
+          // the sum needs NO final double round — a round(double, 2) over
+          // this sum lands on real .5 ties at corpus scale
+          sum(abs(col("recomputed") - col("o_totalprice"))
+            .cast(DecimalType(30, 2))).cast("double").as("total_abs_diff"))
+        .orderBy(col("o_orderstatus"))
+    })
   )
 
   /** One UNION ALL branch of the dq4 approximate profile per column —
@@ -630,6 +669,25 @@ object Etl extends QueryPack {
         |  round(max(abs(CAST(cce AS DOUBLE) / te - CAST(ccl AS DOUBLE) / tl)), 6) AS ks
         |FROM cum JOIN tot USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same left-assoc IEEE product order; every 2-dp quantization is
+    // decimal-space half-up. DuckDB-side rule: round(DECIMAL, 2) is exact
+    // half-away (= Spark's HALF_UP decimal down-cast), while a plain CAST
+    // to a lower-scale DECIMAL TRUNCATES — and CAST(double AS DECIMAL)
+    // truncates too, so the diff goes through truncate@6 then round@2
+    // (safe: both operands are 2-dp money, the diff double sits within
+    // 1e-9 of a 2-dp value).
+    "dq7_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))), 2) AS DOUBLE) AS recomputed
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+        |  CAST(sum(CASE WHEN abs(recomputed - o_totalprice) > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(sum(round(CAST(abs(recomputed - o_totalprice) AS DECIMAL(30,6)), 2)) AS DOUBLE) AS total_abs_diff
+        |FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "etl_csv_source" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

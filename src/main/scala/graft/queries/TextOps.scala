@@ -927,7 +927,24 @@ object TextOps extends QueryPack {
     // its ±2-token context — the evidence view next to ix1's stats.
     "ix2_kwic" -> ((s, dir) =>
       TextAnalysis.kwic(table(s, dir, "documents"),
-        Seq("vector", "merge", "zz_absent")))
+        Seq("vector", "merge", "zz_absent"))),
+
+    // URL canonicalization dedup over deterministically-derived crawl URLs
+    // (the tx_pii_scrub convention: the harness corpus carries no URLs, so
+    // each doc gets one with case noise, a default port, tracking params,
+    // a fragment, and a trailing slash — every rule in the canonicalizer
+    // fires on every row).
+    "dd_url_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val urls = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/Data/Page/?utm_source=feed&b="),
+          (col("doc_id") % 5).cast("string"),
+          lit("&a="), (col("doc_id") % 4).cast("string"),
+          lit("&utm_campaign=c"), col("doc_id").cast("string"),
+          lit("#top")).as("url"))
+      graft.ops.Url.canonicalDedup(urls)
+    })
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -1596,8 +1613,9 @@ object TextOps extends QueryPack {
         |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
         |FROM k ORDER BY key DESC, doc_id LIMIT 200""".stripMargin,
 
-    // Same md5 weight family inside the lambda; integer weight sum (exact),
-    // double division only at the rounded score.
+    // Same md5 weight family inside the lambda; integer weight sum,
+    // fixed-point floor-divided mean, integer gate — no float rounding
+    // anywhere.
     "tx_classifier_score" ->
       s"""WITH t AS (
         |  SELECT doc_id,
@@ -1606,11 +1624,11 @@ object TextOps extends QueryPack {
         |w AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |    CAST(list_aggregate(list_transform(toks,
-        |      t -> ${mh(31, "t")} % 2001 - 1000), 'sum') AS BIGINT) AS wsum
+        |      t -> ${mh(31, "t")} % 2001), 'sum') AS BIGINT) AS wsum
         |  FROM t)
         |SELECT doc_id, n_tokens,
-        |  round(CAST(wsum AS DOUBLE) / (n_tokens * CAST(1000 AS DOUBLE)), 6) AS clf_score,
-        |  (wsum > 0) AS keep
+        |  CAST(((wsum * 1000000) // n_tokens) - 1000000000 AS DOUBLE) / 1000000000 AS clf_score,
+        |  (wsum > n_tokens * 1000) AS keep
         |FROM w ORDER BY doc_id""".stripMargin,
 
     // tx_unigram_logprob's score CTEs + tercile cuts; fractions as DOUBLE
@@ -1656,18 +1674,16 @@ object TextOps extends QueryPack {
         |  coalesce(first_doc, -1) AS first_doc, coalesce(last_doc, -1) AS last_doc
         |FROM q LEFT JOIN c USING (term) ORDER BY term""".stripMargin,
 
-    // Three unrolled PageRank iterations over clusterCtes' edge set; every
-    // per-node sum goes through DECIMAL(30,10) contributions and a 10-dp
-    // re-quantization (the dsum discipline) so both engines land on
-    // identical bits. Damping arithmetic stays in DOUBLE on both sides
-    // ((1 - 0.85) is NOT 0.15 in IEEE; the subtraction must be computed,
-    // not folded to a decimal literal).
+    // Three unrolled fixed-point PageRank iterations over clusterCtes'
+    // edge set: integer micro-mass, floor division, integer damping — no
+    // float rounding anywhere, so no .5-boundary for the engines to
+    // disagree on. The reported pagerank is an exact double (micro-mass
+    // < 2^53 over a constant denominator).
     "gr1_pagerank" -> {
       def iter(prev: String): String =
         s"""SELECT d.src AS id, d.outdeg,
-           |    round((1 - CAST(0.85 AS DOUBLE)) / nn.n_nodes +
-           |      CAST(0.85 AS DOUBLE) *
-           |      CAST(sum(CAST(p.pr / p.outdeg AS DECIMAL(30,10))) AS DOUBLE), 10) AS pr
+           |    ((1000000000000 * 15 // 100) // nn.n_nodes) +
+           |      (sum(p.m // p.outdeg) * 85) // 100 AS m
            |  FROM edges e JOIN $prev p ON e.src = p.id
            |  JOIN deg d ON e.dst = d.src CROSS JOIN nn
            |  GROUP BY d.src, d.outdeg, nn.n_nodes""".stripMargin
@@ -1675,15 +1691,41 @@ object TextOps extends QueryPack {
         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
         |        FROM edges GROUP BY src),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
-        |p0 AS (SELECT src AS id, outdeg,
-        |         round(CAST(1 AS DOUBLE) / n_nodes, 10) AS pr
+        |p0 AS (SELECT src AS id, outdeg, 1000000000000 // n_nodes AS m
         |       FROM deg CROSS JOIN nn),
         |p1 AS (${iter("p0")}),
         |p2 AS (${iter("p1")}),
         |p3 AS (${iter("p2")})
-        |SELECT id AS doc_id, outdeg AS degree, pr AS pagerank
-        |FROM p3 ORDER BY pagerank DESC, doc_id""".stripMargin
+        |SELECT id AS doc_id, outdeg AS degree, CAST(m AS BIGINT) AS pr_micro,
+        |  CAST(m AS DOUBLE) / 1000000000000 AS pagerank
+        |FROM p3 ORDER BY pr_micro DESC, doc_id""".stripMargin
     },
+
+    // Same synthesized URLs, same rule set: RE2 twins of the Java regexes,
+    // list_filter/list_sort for the parameter fold (ASCII-only strings, so
+    // binary collation agrees across engines).
+    "dd_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM:443/Data/Page/?utm_source=feed&b=' ||
+        |    (doc_id % 5) || '&a=' || (doc_id % 4) || '&utm_campaign=c' || doc_id || '#top' AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS q
+        |  FROM u),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(80|443)$', '') ||
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') ||
+        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+        |  FROM p)
+        |SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+        |FROM c GROUP BY canon_url ORDER BY keep_id""".stripMargin,
 
     // Position-indexed token stream, sliced in-row for the context window
     // (1-based inclusive slicing on both engines).

@@ -132,6 +132,11 @@ object Vectors extends QueryPack {
     "emb_standardize" -> ((s, dir) =>
       Similarity.standardize(table(s, dir, "embeddings"))),
 
+    // Centroid-distance outlier gate: every vector flagged against its own
+    // label's mean + 2-sigma distance threshold.
+    "emb_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(table(s, dir, "embeddings"))),
+
     // Norm-distribution profile per label — the sanity gate before any
     // cosine machinery (a label whose norms collapse to ~0 or spread
     // wildly poisons similarity scores): decimal-exact mean norm,
@@ -391,6 +396,34 @@ object Vectors extends QueryPack {
         |SELECT vec_id, max_abs,
         |  unnest(range(len(q))) AS dim, unnest(q) AS q
         |FROM qv ORDER BY vec_id, dim""".stripMargin,
+
+    // Centroid/distance/threshold all through the decimal-partial
+    // discipline; dist is 6-dp-rounded BEFORE the threshold stats so the
+    // materialized Spark intermediate and the CTE see identical inputs.
+    "emb_outliers" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+        |        CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM u),
+        |c AS (SELECT label, dim,
+        |        CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mu
+        |      FROM v GROUP BY label, dim),
+        |d AS (SELECT vec_id, v.label,
+        |        round(sqrt(CAST(sum(CAST((x - mu) * (x - mu) AS DECIMAL(30,10))) AS DOUBLE)), 6) AS dist
+        |      FROM v JOIN c ON v.label = c.label AND v.dim = c.dim
+        |      GROUP BY vec_id, v.label),
+        |t AS (SELECT label,
+        |        CAST(sum(CAST(dist AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS m,
+        |        CAST(sum(CAST(dist * dist AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS m2
+        |      FROM d GROUP BY label),
+        |tt AS (SELECT label,
+        |         round(m + CAST(2 AS DOUBLE) * sqrt(greatest(m2 - m * m, CAST(0 AS DOUBLE))), 6) AS thresh
+        |       FROM t)
+        |SELECT vec_id, d.label, dist, thresh, (dist > thresh) AS is_outlier
+        |FROM d JOIN tt ON d.label = tt.label
+        |ORDER BY vec_id""".stripMargin,
 
     // Decimal-exact sum/sumsq per dimension, population sigma, z rounded
     // at 6 dp; constant dimensions pin to 0 on both engines.

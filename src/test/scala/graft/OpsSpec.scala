@@ -1234,17 +1234,17 @@ class OpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getAs[Double]("key"))) == want)
   }
 
-  test("classifierScore: host-recomputed hash weights, integer-sum gate") {
+  test("classifierScore: host-recomputed hash weights, fixed-point score") {
     val d = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
     val got = rows(TextAnalysis.classifierScore(d))
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
         r.getAs[Double]("clf_score"), r.getAs[Boolean]("keep"))).toMap
-    def w(t: String): Long = Dedup.seededHashJvm(31, t) % 2001 - 1000
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(t: String): Long = Dedup.seededHashJvm(31, t) % 2001
+    def score(wsum: Long, n: Long): Double =
+      (wsum * 1000000L / n - 1000000000L).toDouble / 1000000000L
     val s1 = w("alpha") + w("beta")
-    assert(got(1L) == ((2L, r6(s1.toDouble / 2000.0), s1 > 0)))
-    assert(got(2L) == ((1L, r6(w("alpha").toDouble / 1000.0), w("alpha") > 0)))
+    assert(got(1L) == ((2L, score(s1, 2), s1 > 2000)))
+    assert(got(2L) == ((1L, score(w("alpha"), 1), w("alpha") > 1000)))
   }
 
   test("perplexityBuckets: bucket order follows avg_nll, one shared cut row") {
@@ -1279,28 +1279,27 @@ class OpsSpec extends SparkSpec {
     assert(got("nope") == ((0L, 0L, -1L, -1L)))
   }
 
-  test("pageRank: host-recomputed fixed-point on a path graph, bit-exact") {
+  test("pageRank: host-recomputed integer fixed point on a path graph") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val got = rows(graft.ops.Graph.pageRank(pairs))
       .map(r => r.getLong(0) -> (r.getAs[Long]("degree"),
-        r.getAs[Double]("pagerank"))).toMap
-    // replicate the exact quantization: decimal(10) contributions, 10-dp
-    // re-round per iteration, double damping arithmetic
-    def r10(x: Double): Double =
-      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+        r.getAs[Long]("pr_micro"), r.getAs[Double]("pagerank"))).toMap
+    // replicate the integer arithmetic exactly: micro-mass, floor
+    // division, integer damping
+    val M = graft.ops.Graph.MassScale
     val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
-    var pr = Map(1L -> r10(1.0 / 3), 2L -> r10(1.0 / 3), 3L -> r10(1.0 / 3))
     val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    val base = (M * 15 / 100) / 3
+    var m = Map(1L -> M / 3, 2L -> M / 3, 3L -> M / 3)
     for (_ <- 1 to 3) {
-      pr = pr.keys.map { v =>
-        val s = nbrs(v).map(u => r10(pr(u) / deg(u))).sum
-        v -> r10((1 - 0.85) / 3 + 0.85 * s)
+      m = m.keys.map { v =>
+        val s = nbrs(v).map(u => m(u) / deg(u)).sum
+        v -> (base + (s * 85) / 100)
       }.toMap
     }
-    assert(got(1L) == ((1L, pr(1L))))
-    assert(got(2L) == ((2L, pr(2L))))
-    assert(got(3L) == ((1L, pr(3L))))
-    assert(got(2L)._2 > got(1L)._2, "the hub must outrank the leaves")
+    for (v <- Seq(1L, 2L, 3L))
+      assert(got(v) == ((deg(v), m(v), m(v).toDouble / M)), s"node $v")
+    assert(got(2L)._3 > got(1L)._3, "the hub must outrank the leaves")
   }
 
   test("kwic: context windows clamp at document edges") {
@@ -1317,6 +1316,47 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("z")).toMap
     assert(got((1L, 0L)) == -1.0 && got((2L, 0L)) == 1.0)
     assert(got((1L, 1L)) == 0.0 && got((2L, 1L)) == 0.0)
+  }
+
+  test("url canonicalize: case, port, fragment, tracking, slash, param order") {
+    val in = Seq(
+      "HTTPS://Example.COM:443/A/b/?z=1&utm_source=x&a=2#frag",
+      "http://example.com:80/A/b?a=2&z=1",
+      "https://example.com/",
+      "https://example.com/p?utm_campaign=only"
+    ).toDF("url")
+    val got = in.select(graft.ops.Url.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "https://example.com/A/b?a=2&z=1",
+      "http://example.com/A/b?a=2&z=1",
+      "https://example.com",
+      "https://example.com/p"))
+  }
+
+  test("url canonicalDedup: variants fold to one group, min id survives") {
+    val d = Seq(
+      (2L, "https://example.com/x?utm_source=a"),
+      (1L, "HTTPS://EXAMPLE.com:443/x"),
+      (3L, "https://example.com/y")
+    ).toDF("doc_id", "url")
+    val got = rows(graft.ops.Url.canonicalDedup(d))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("https://example.com/x") == ((1L, 2L, 2L)))
+    assert(got("https://example.com/y") == ((3L, 1L, 1L)))
+  }
+
+  test("labelOutliers: far vector flagged past mean + 2 sigma; rest kept") {
+    val e = ((1 to 9).map(i => (i.toLong, Seq(0.0f, 0.0f), 0)) :+
+      ((10L, Seq(10.0f, 0.0f), 0))).toDF("vec_id", "embedding", "label")
+    val got = rows(Similarity.labelOutliers(e))
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("dist"), r.getAs[Boolean]("is_outlier"))).toMap
+    assert(got.size == 10)
+    // mean (1,0): near docs at dist 1, far doc at 9; thresh 1.8+2*2.4=6.6
+    assert(got(10L) == ((9.0, true)))
+    assert((1 to 9).forall(i => got(i.toLong) == ((1.0, false))))
   }
 
   test("dedupWeights: members share 1/n, singletons keep weight 1") {

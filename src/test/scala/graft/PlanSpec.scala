@@ -727,4 +727,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"))
     assert(!p.contains("Window"))
   }
+
+  test("url canonical dedup: a map + one hash-agg — no join, no window") {
+    val p = plan("dd_url_canonical")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "canonicalization must stay in-row; dedup is the exact-dedup shape")
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+  }
+
+  test("label outliers: centroids and thresholds broadcast; no window") {
+    val p = plan("emb_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |labels|-bounded sides lost their broadcast")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("reconcile: orderkey-keyed join, both rollups partially aggregated") {
+    val p = plan("dq7_reconcile")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+  }
 }
