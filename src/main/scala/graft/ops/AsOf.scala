@@ -128,4 +128,57 @@ object AsOf {
       .select(lcols.map(col) ++
         rightCols.map(c => col(s"__m.$c").as(prefix + c)): _*)
   }
+
+  /** Nearest-in-time as-of join — either direction, smallest |Δt| wins
+    * (ties, including a right row AT the left row's instant which both
+    * directions see, resolve backward — the "latest known value" bias).
+    * Completes the as-of family: backward / backwardWithin / forward /
+    * nearest, the four merge_asof directions.
+    *
+    * Shape at scale: ONE shuffle — both directional carries are windows
+    * over the SAME keyed union (same partitioning, opposite orderings, so
+    * Spark plans one Exchange and two in-partition sorts), then a map-side
+    * pick. Not a compose-and-join of backward + forward (that would
+    * shuffle three times). Surfaces `<prefix>direction` ('back'/'fwd') and
+    * `<prefix>delta_us` next to the chosen payload. */
+  def nearest(left: DataFrame, right: DataFrame, by: Seq[String],
+              leftTime: String, rightTime: String, rightSeq: String,
+              rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val lcols = left.columns.toSeq
+    val pay = (rightCols :+ rightTime).distinct
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__seqb", lit(Long.MaxValue))
+      .withColumn("__seqf", lit(Long.MinValue))
+    val r = right.select(
+      by.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        coalesce(col(rightSeq).cast("long"), lit(Long.MaxValue)).as("__seqb"),
+        coalesce(col(rightSeq).cast("long"), lit(Long.MinValue)).as("__seqf"),
+        struct(pay.map(col): _*).as("__rpay")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val wb = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__seqb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").desc, col("__side"), col("__seqf").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lt = unix_micros(col(leftTime).cast("timestamp"))
+    val bd = lt - unix_micros(col(s"__mb.$rightTime").cast("timestamp"))
+    val fd = unix_micros(col(s"__mf.$rightTime").cast("timestamp")) - lt
+    val back = col("__mf").isNull || (col("__mb").isNotNull && bd <= fd)
+    val chosen = when(back, col("__mb")).otherwise(col("__mf"))
+    u.withColumn("__mb", last(col("__rpay"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", last(col("__rpay"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__c", chosen)
+      .select(lcols.map(col) ++
+        rightCols.map(c => col(s"__c.$c").as(prefix + c)) ++ Seq(
+          when(col("__c").isNotNull,
+            when(back, lit("back")).otherwise(lit("fwd")))
+            .as(prefix + "direction"),
+          when(back, bd).otherwise(fd).as(prefix + "delta_us")): _*)
+  }
 }

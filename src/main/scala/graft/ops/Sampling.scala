@@ -222,4 +222,28 @@ object Sampling {
           .cast("long").as("rank"))
       .orderBy(col("rank"))
   }
+
+  /** K-fold cross-validation assignment + balance audit: deterministic
+    * hash-bucketed folds (the sp4_split family — reproducible across runs
+    * and engines, any row's fold computable in isolation) and the per-
+    * (fold × stratum) composition a modeler checks before trusting CV
+    * variance. Shares are integer parts-per-million — fold sizes are
+    * small round integers, where round(double) lands on .5 ties.
+    *
+    * Shape at scale: fold assignment is a pure map; the audit is one
+    * partial-aggregated groupBy over |folds|·|strata| keys plus a
+    * broadcast of the |folds|-row totals. */
+  def kfold(df: DataFrame, strataCol: String, idCol: String = "doc_id",
+            k: Int = 5, seed: Int = 53): DataFrame = {
+    val folded = df.select(
+      (bucket(col(idCol), seed) % k).cast("long").as("fold"),
+      col(strataCol).as("stratum"))
+    val cells = folded.groupBy(col("fold"), col("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val totals = folded.groupBy(col("fold")).agg(count(lit(1)).as("fold_n"))
+    cells.join(broadcast(totals), "fold")
+      .select(col("fold"), col("stratum"), col("n"), col("fold_n"),
+        expr("(n * 1000000) DIV fold_n").as("share_ppm"))
+      .orderBy(col("fold"), col("stratum"))
+  }
 }

@@ -76,6 +76,66 @@ object Sketch {
       .orderBy(groupCols :+ col("bucket"): _*)
   }
 
+  /** HLL estimator error audit — the validation harness that JUDGES the
+    * float estimator itself (everywhere else the library keeps estimates
+    * driver-side and judges only integer cell tables): per group, the
+    * exact distinct count next to the distributed HLL estimate and its
+    * relative error — run before trusting a (seed, m) config on a new
+    * key distribution.
+    *
+    * Determinism: the harmonic denominator Σ 2^−rho is summed as the
+    * INTEGER Σ 2^(maxRho − rho) (exact, order-independent; ≤ m·2^maxRho
+    * < 2^62), so the only float ops are one constant product, one
+    * division, and the small-range ln branch — identical single IEEE
+    * operations on identical inputs in both engines. Same α and
+    * linear-counting rule as [[estimate]].
+    *
+    * Shape at scale: cells partial-aggregate to |groups|·m rows; the
+    * exact side is one countDistinct (the expensive half — that is WHY
+    * the sketch exists; the audit runs on samples/small keys, the sketch
+    * runs everywhere). */
+  def hllErrorAudit(df: DataFrame, groupCol: String, c: Column,
+                    m: Int = 64): DataFrame = {
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    val maxRho = 60 - bucketBits + 1
+    val cells = hllSketchBy(df, Seq(col(groupCol)), c, m)
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m)
+    }
+    val agg = cells.groupBy(col(groupCol))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - max_rho)"))
+          .as("sp"),
+        count(lit(1)).as("n_cells"))
+      .select(col(groupCol),
+        (col("sp") + (lit(m.toLong) - col("n_cells")) * lit(1L << maxRho))
+          .as("s_int"),
+        (lit(m.toLong) - col("n_cells")).as("zeros"))
+    val raw = lit(alpha) * lit((m.toLong * m).toDouble) *
+      lit(math.pow(2.0, maxRho)) / col("s_int")
+    val est =
+      when(raw <= lit(2.5 * m) && col("zeros") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+        .otherwise(raw)
+    // the estimate quantized to integer micro-units (a continuous value,
+    // so the .5 tie is measure-zero), rendered back as an exact double;
+    // the relative error is integer ppm — truncation toward zero, which
+    // Spark's DIV and DuckDB's // share on either sign
+    val estMicro = round(est * 1000000d, 0).cast("long")
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(c).as("exact_distinct"))
+    exact.join(broadcast(agg), groupCol)
+      .select(col(groupCol), col("exact_distinct"),
+        estMicro.as("est_micro"))
+      .select(col(groupCol), col("exact_distinct"),
+        (col("est_micro").cast("double") / 1000000d).as("hll_est"),
+        expr("(est_micro - exact_distinct * 1000000) DIV exact_distinct")
+          .as("rel_err_ppm"))
+      .orderBy(col(groupCol))
+  }
+
   /** Merge sketches produced by hllSketch (same m): max per bucket. */
   def merge(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_.unionByName(_))

@@ -725,6 +725,38 @@ object TextAnalysis {
     * the tiny census. A standing search service would stage the full
     * inverted index once (term-bucketed parquet) and equi-join it; this
     * operator is the ad-hoc scan-time form. */
+  /** Lexical diversity — vocabulary-richness signals next to the
+    * repetition detectors: type-token ratio and hapax-legomenon share
+    * (fraction of a doc's vocabulary used exactly once; template/boiler-
+    * plate text has low TTR and low hapax share, word-salad spam has
+    * both ≈ 1). Ratios are reported in integer parts-per-million (floor
+    * division on positive operands) — TTR denominators are small round
+    * integers, exactly the shape that lands round(double) on .5 ties.
+    *
+    * Shape at scale: the repetitionStats kernel — sort the token array
+    * INSIDE the row, read distinct types and run lengths off the sorted
+    * order. Zero shuffles, zero joins; a pure map over the scan. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val g = col("__g")
+    val bounds = org.apache.spark.sql.functions.filter(
+      sequence(lit(1), size(g)),
+      i => i === 1 || element_at(g, i) =!= element_at(g, i - 1))
+    val gaps = zip_with(
+      concat(slice(bounds, lit(2), size(bounds)), array(size(g) + 1)),
+      bounds, (b, a) => b - a)
+    docs
+      .select(col("doc_id"),
+        array_sort(split(F.normalizeText(lower(col("text"))), " ")).as("__g"))
+      .select(col("doc_id"), size(g).cast("long").as("n_tokens"),
+        size(bounds).cast("long").as("n_types"),
+        size(org.apache.spark.sql.functions.filter(gaps, x => x === 1))
+          .cast("long").as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(n_types * 1000000) DIV n_tokens").as("ttr_ppm"),
+        expr("(n_hapax * 1000000) DIV n_types").as("hapax_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keyword-in-context — the snippet half of corpus search ([[termLookup]]
     * is the stats half): every occurrence of a query term with its ±window
     * surrounding tokens, the evidence view an attribution or contamination

@@ -331,6 +331,26 @@ object Analytics extends QueryPack {
         .orderBy($"o_orderstatus")
     }),
 
+    // TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    // aggregate of the big table drives a semi-join back onto orders and
+    // customers, distributed top-k cut. The groupBy partial-aggregates on
+    // l_orderkey; only qualifying orders (~1%) reach the joins.
+    "q18_large_orders" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val big = table(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast(DecimalType(30, 10))).cast("double")
+          .as("sum_qty"))
+        .filter($"sum_qty" > 260.0)
+      table(s, dir, "orders")
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(table(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"o_orderkey", $"o_totalprice", $"sum_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
     // Robust aggregation: 5/95-percentile caps per group, winsorized mean
     // (values clamped to the caps) and trimmed mean (values outside them
     // dropped) — the outlier-insensitive summary a metrics pipeline
@@ -641,6 +661,17 @@ object Analytics extends QueryPack {
         |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) > 260.0)
+        |SELECT c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "st6_winsorize" ->
       """WITH caps AS (

@@ -243,6 +243,31 @@ object Events extends QueryPack {
           col("click_ts"), col("click_event_id"))
         .orderBy(col("event_id"))
     }),
+    // Nearest-in-time either direction (ties resolve backward): the fourth
+    // merge_asof direction — one shuffle, both directional carries as two
+    // windows over the same keyed union.
+    "aj5_asof_nearest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOf.nearest(purchases, clicks, by = Seq("user_id"),
+        leftTime = "ts", rightTime = "ts", rightSeq = "event_id",
+        rightCols = Seq("ts", "event_id"), prefix = "click_")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("click_ts"), col("click_event_id"),
+          col("click_direction"), col("click_delta_us"))
+        .orderBy(col("event_id"))
+    }),
+    // The estimator error audit: exact distinct users per type vs the
+    // distributed HLL estimate — the float estimator itself judged
+    // cross-engine (integer harmonic denominator, one IEEE division).
+    "ev_hll_error" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sketch.hllErrorAudit(table(s, dir, "events"),
+        "event_type", col("user_id"))
+    }),
 
     // Watermarked STREAM-STREAM interval self-join, judged end to end: the
     // views and purchases of the same event stream join on user within the
@@ -715,6 +740,84 @@ object Events extends QueryPack {
         |                ELSE 54 - (length(bin(h >> 6)) - 1) END) AS INTEGER) AS max_rho,
         |  count(*) AS n_items
         |FROM h GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    // ev_hll_by_type's cells + the estimator: integer harmonic denominator
+    // (exact, order-independent), one constant product, one IEEE division,
+    // the linear-counting branch — same alpha/rules as Sketch.estimate.
+    "ev_hll_error" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(7 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, CAST(h & 63 AS INTEGER) AS bucket,
+        |    max(CASE WHEN h >> 6 = 0 THEN 55
+        |             ELSE 54 - (length(bin(h >> 6)) - 1) END) AS max_rho
+        |  FROM h GROUP BY event_type, bucket),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (55 - max_rho)) AS BIGINT)
+        |      + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS s_int,
+        |    64 - count(*) AS zeros
+        |  FROM cells GROUP BY event_type),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |       FROM events GROUP BY event_type),
+        |es AS (
+        |  SELECT event_type,
+        |    CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / s_int AS raw,
+        |    zeros
+        |  FROM agg),
+        |em AS (
+        |  SELECT event_type,
+        |    CAST(round((CASE WHEN raw <= 160.0 AND zeros > 0
+        |                     THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / zeros)
+        |                     ELSE raw END) * 1000000.0, 0)
+        |      AS BIGINT) AS est_micro
+        |  FROM es)
+        |SELECT ex.event_type, exact_distinct,
+        |  CAST(est_micro AS DOUBLE) / 1000000 AS hll_est,
+        |  (est_micro - exact_distinct * 1000000) // exact_distinct AS rel_err_ppm
+        |FROM ex JOIN em ON ex.event_type = em.event_type
+        |ORDER BY ex.event_type""".stripMargin,
+
+    // aj1's backward carry and aj2's forward carry as two windows over ONE
+    // union; smallest |delta| wins, ties backward.
+    "aj5_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, ts AS t, 1 AS side, CAST(NULL AS BIGINT) AS seq,
+        |         event_id, ts, CAST(NULL AS TIMESTAMP) AS r_ts,
+        |         CAST(NULL AS BIGINT) AS r_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL, NULL, ts, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(r_ts IGNORE NULLS) OVER ob AS b_ts,
+        |    last_value(r_id IGNORE NULLS) OVER ob AS b_id,
+        |    last_value(r_ts IGNORE NULLS) OVER ofw AS f_ts,
+        |    last_value(r_id IGNORE NULLS) OVER ofw AS f_id
+        |  FROM u
+        |  WINDOW ob AS (PARTITION BY user_id
+        |    ORDER BY t, side, coalesce(seq, 9223372036854775807)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  ofw AS (PARTITION BY user_id
+        |    ORDER BY t DESC, side, coalesce(seq, -9223372036854775807 - 1) DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT event_id, user_id, ts, b_ts, b_id, f_ts, f_id,
+        |    (f_ts IS NULL OR (b_ts IS NOT NULL AND
+        |      epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts)))
+        |      AS back
+        |  FROM w WHERE side = 1)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN back THEN b_ts ELSE f_ts END AS click_ts,
+        |  CASE WHEN back THEN b_id ELSE f_id END AS click_event_id,
+        |  CASE WHEN (CASE WHEN back THEN b_id ELSE f_id END) IS NULL THEN NULL
+        |       WHEN back THEN 'back' ELSE 'fwd' END AS click_direction,
+        |  CASE WHEN back THEN epoch_us(ts) - epoch_us(b_ts)
+        |       ELSE epoch_us(f_ts) - epoch_us(ts) END AS click_delta_us
+        |FROM p ORDER BY event_id""".stripMargin,
 
     // Same md5-derived 60-bit seeded hash family as the Spark side
     // (seeds 100..103), cells additive.

@@ -929,6 +929,16 @@ object TextOps extends QueryPack {
       TextAnalysis.kwic(table(s, dir, "documents"),
         Seq("vector", "merge", "zz_absent"))),
 
+    // Vocabulary richness: TTR + hapax share in integer ppm, the in-row
+    // sorted-run kernel (zero shuffles).
+    "tx_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(table(s, dir, "documents"))),
+
+    // K-fold CV assignment + per-(fold x lang) composition audit in ppm.
+    "sp11_kfold" -> ((s, dir) =>
+      graft.ops.Sampling.kfold(table(s, dir, "documents"),
+        strataCol = "lang")),
+
     // URL canonicalization dedup over deterministically-derived crawl URLs
     // (the tx_pii_scrub convention: the harness corpus carries no URLs, so
     // each doc gets one with case noise, a default port, tracking params,
@@ -1700,6 +1710,34 @@ object TextOps extends QueryPack {
         |  CAST(m AS DOUBLE) / 1000000000000 AS pagerank
         |FROM p3 ORDER BY pr_micro DESC, doc_id""".stripMargin
     },
+
+    // Per-term counts via unnest+group (the oracle need not be in-row);
+    // ratios as integer ppm floor divisions.
+    "tx_lexical_diversity" ->
+      """WITH tm AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT doc_id, term, count(*) AS c FROM tm GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  (count(*) * 1000000) // CAST(sum(c) AS BIGINT) AS ttr_ppm,
+        |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS hapax_ppm
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same seeded bucket family as sp4_split; shares as ppm floor
+    // divisions against the broadcast fold totals.
+    "sp11_kfold" ->
+      s"""WITH f AS (
+        |  SELECT ${mh(53, "CAST(doc_id AS VARCHAR)")} % 10000 % 5 AS fold,
+        |    lang AS stratum
+        |  FROM documents),
+        |cells AS (SELECT fold, stratum, count(*) AS n FROM f GROUP BY fold, stratum),
+        |tot AS (SELECT fold, count(*) AS fold_n FROM f GROUP BY fold)
+        |SELECT cells.fold, stratum, n, fold_n, (n * 1000000) // fold_n AS share_ppm
+        |FROM cells JOIN tot ON cells.fold = tot.fold
+        |ORDER BY cells.fold, stratum""".stripMargin,
 
     // Same synthesized URLs, same rule set: RE2 twins of the Java regexes,
     // list_filter/list_sort for the parameter fold (ASCII-only strings, so

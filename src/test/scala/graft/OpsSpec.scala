@@ -1318,6 +1318,63 @@ class OpsSpec extends SparkSpec {
     assert(got((1L, 1L)) == 0.0 && got((2L, 1L)) == 0.0)
   }
 
+  test("lexicalDiversity: types/hapax off the sorted run lengths, ppm floors") {
+    val d = Seq((1L, "a a b c"), (2L, "x x x")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.lexicalDiversity(d))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Long]("ttr_ppm"), r.getAs[Long]("hapax_ppm"))).toMap
+    assert(got(1L) == ((4L, 3L, 2L, 750000L, 666666L)))
+    assert(got(2L) == ((3L, 1L, 0L, 333333L, 0L)))
+  }
+
+  test("kfold: every row lands in one fold; shares sum to ~1e6 per fold") {
+    val d = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val got = rows(graft.ops.Sampling.kfold(d, strataCol = "lang"))
+    val byFold = got.groupBy(_.getLong(0))
+    assert(byFold.keySet.subsetOf((0L until 5L).toSet))
+    assert(got.map(_.getAs[Long]("n")).sum == 200L)
+    for ((_, rs) <- byFold) {
+      val foldN = rs.map(_.getAs[Long]("fold_n")).distinct
+      assert(foldN.length == 1 && rs.map(_.getAs[Long]("n")).sum == foldN.head)
+      // ppm floors: within |strata| ppm of exactly 1e6
+      val s = rs.map(_.getAs[Long]("share_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length)
+    }
+  }
+
+  test("asof nearest: picks the closer side, ties and one-sided fall back") {
+    import java.sql.Timestamp
+    def ts(s: Long) = Timestamp.valueOf(java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    val left = Seq((1L, 10L, ts(100)), (2L, 10L, ts(500)), (3L, 20L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((101L, 10L, ts(90)), (102L, 10L, ts(490)), (103L, 10L, ts(505)),
+      (104L, 20L, ts(60)))
+      .toDF("event_id", "user_id", "ts")
+    val got = rows(graft.ops.AsOf.nearest(left, right, by = Seq("user_id"),
+      leftTime = "ts", rightTime = "ts", rightSeq = "event_id",
+      rightCols = Seq("event_id"), prefix = "m_"))
+      .map(r => r.getLong(0) -> (r.getAs[Long]("m_event_id"),
+        r.getAs[String]("m_direction"), r.getAs[Long]("m_delta_us"))).toMap
+    assert(got(1L) == ((101L, "back", 10000000L)))   // only back exists... closer back
+    assert(got(2L) == ((103L, "fwd", 5000000L)))     // fwd at 5s beats back at 10s
+    assert(got(3L) == ((104L, "fwd", 10000000L)))    // nothing behind -> fwd
+  }
+
+  test("hllErrorAudit: estimate matches the driver-side estimator") {
+    val d = (1 to 300).map(i => ("t", i.toLong)).toDF("k", "v")
+    val got = rows(graft.ops.Sketch.hllErrorAudit(d, "k", col("v")))
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("exact_distinct") == 300L)
+    val driverEst = graft.ops.Sketch.estimate(
+      graft.ops.Sketch.hllSketch(d, col("v")))
+    assert(math.abs(r.getAs[Double]("hll_est") - driverEst) < 1e-5,
+      s"${r.getAs[Double]("hll_est")} vs $driverEst")
+    val ppm = r.getAs[Long]("rel_err_ppm")
+    assert(math.abs(ppm) < 400000L, s"rel err $ppm ppm out of HLL range")
+  }
+
   test("url canonicalize: case, port, fragment, tracking, slash, param order") {
     val in = Seq(
       "HTTPS://Example.COM:443/A/b/?z=1&utm_source=x&a=2#frag",

@@ -747,4 +747,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
     assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
   }
+
+  test("lexical diversity: in-row kernel — no join, no aggregation") {
+    val p = plan("tx_lexical_diversity")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "types/hapax must come off the in-row sorted runs")
+  }
+
+  test("kfold: map-side fold assignment; fold totals broadcast") {
+    val p = plan("sp11_kfold")
+    assert(p.contains("BroadcastHashJoin"), "fold totals lost their broadcast")
+    assert(!p.contains("Window"))
+  }
+
+  test("asof nearest: ONE exchange feeds both directional windows") {
+    val p = plan("aj5_asof_nearest")
+    assert(!p.contains("Join"), "nearest must not compose-and-join back/fwd")
+    // two Window operators, exactly one hash-partitioned shuffle between
+    // the union and the windows
+    assert(p.split(" Window").length - 1 >= 2, p.take(800))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 keyed exchange, saw $exchanges\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("hll error audit: sketch side broadcast onto the exact side") {
+    val p = plan("ev_hll_error")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("q18: HAVING aggregate drives the joins; top-k is TakeOrdered") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the 100-row cut must be TakeOrdered, not Sort+Limit")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+  }
 }
