@@ -173,6 +173,36 @@ object Sketch {
       .orderBy(col("row"), col("bucket"))
   }
 
+  /** CMS estimator error audit — [[hllErrorAudit]]'s frequency sibling,
+    * entirely in integers: per key, the exact count next to the CMS point
+    * estimate (min over the key's depth cells) and its overcount.
+    * CMS never undercounts, so `overcount >= 0` is also a structural
+    * self-check on the sketch. Error in integer ppm (truncating division,
+    * identical in both engines).
+    *
+    * Shape at scale: the sketch table is depth×width rows (broadcast);
+    * probes are |keys|·depth rows joined against it map-side. The exact
+    * side is the expensive half — the audit runs on a bounded key set,
+    * the sketch runs everywhere. */
+  def cmsErrorAudit(df: DataFrame, c: Column, depth: Int = 4,
+                    width: Int = 64): DataFrame = {
+    val cells = cmsSketch(df, c, depth, width)
+    val exact = df.select(c.as("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .select(col("key"), col("exact_cnt"),
+        explode(cmsCells(col("key"), depth, width)).as("cell"))
+      .select(col("key"), col("exact_cnt"), col("cell.row").as("row"),
+        col("cell.bucket").as("bucket"))
+      .join(broadcast(cells), Seq("row", "bucket"))
+      .groupBy(col("key"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("key"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"),
+        expr("((cms_est - exact_cnt) * 1000000) DIV exact_cnt").as("err_ppm"))
+      .orderBy(col("key"))
+  }
+
   /** Merge CMS sketches (same depth/width): cells add. */
   def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
     sketches.reduce(_.unionByName(_))

@@ -331,6 +331,31 @@ object Analytics extends QueryPack {
         .orderBy($"o_orderstatus")
     }),
 
+    // Distribution-position windows completing w1–w6: percent_rank /
+    // cume_dist / decile per status — in integer ppm off rank/row_number/
+    // count (ratios of small integers are exactly where round(double)
+    // lands on .5 ties; the builtins return doubles, so the integer
+    // forms are computed directly). Deterministic total order via the
+    // orderkey tiebreak; ntile follows the SQL-standard larger-groups-
+    // first rule in both engines.
+    "w7_percent_rank" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val wAll = Window.partitionBy($"o_orderstatus")
+      table(s, dir, "orders")
+        .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+          rank().over(w).as("rnk"), row_number().over(w).as("rn"),
+          count(lit(1)).over(wAll).as("n"), ntile(10).over(w).as("decile"))
+        .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+          expr("((CAST(rnk AS BIGINT) - 1) * 1000000) DIV (n - 1)")
+            .as("pr_ppm"),
+          expr("(CAST(rn AS BIGINT) * 1000000) DIV n").as("cume_ppm"),
+          $"decile".cast("long").as("decile"))
+        .orderBy($"o_orderstatus", $"o_orderkey")
+    }),
+
     // TPC-H Q18 shape (large-volume customers): a HAVING-filtered
     // aggregate of the big table drives a semi-join back onto orders and
     // customers, distributed top-k cut. The groupBy partial-aggregates on
@@ -661,6 +686,21 @@ object Analytics extends QueryPack {
         |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "w7_percent_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ((rnk - 1) * 1000000) // (n - 1) AS pr_ppm,
+        |  (rn * 1000000) // n AS cume_ppm,
+        |  CAST(decile AS BIGINT) AS decile
+        |FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk, row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n,
+        |    ntile(10) OVER w AS decile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey)) t
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

@@ -268,6 +268,13 @@ object Events extends QueryPack {
       graft.ops.Sketch.hllErrorAudit(table(s, dir, "events"),
         "event_type", col("user_id"))
     }),
+    // CMS frequency-estimate audit: exact per-type counts vs the min-cell
+    // estimate — all integers, overcount >= 0 is a structural self-check.
+    "ev_cms_error" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Sketch.cmsErrorAudit(table(s, dir, "events"),
+        col("event_type"))
+    }),
 
     // Watermarked STREAM-STREAM interval self-join, judged end to end: the
     // views and purchases of the same event stream join on user within the
@@ -822,6 +829,30 @@ object Events extends QueryPack {
     // Same md5-derived 60-bit seeded hash family as the Spark side
     // (seeds 100..103), cells additive.
     "ev_cms_sketch" -> cmsOracle,
+
+    // cmsOracle's cells + per-key min-cell probes; everything integer,
+    // truncating // matches Spark's DIV.
+    "ev_cms_error" -> {
+      val rows = (0 until 4).map { i =>
+        s"SELECT $i AS row, CAST(CAST(('0x' || substr(md5(${100 + i} || ':' || event_type), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket FROM events"
+      }.mkString("\n  UNION ALL\n  ")
+      val probes = (0 until 4).map { i =>
+        s"SELECT key, exact_cnt, $i AS row, CAST(CAST(('0x' || substr(md5(${100 + i} || ':' || key), 1, 15)) AS BIGINT) % 64 AS INTEGER) AS bucket FROM ex"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH raw AS (
+        |  $rows),
+        |cells AS (SELECT row, bucket, count(*) AS cnt
+        |          FROM raw GROUP BY row, bucket),
+        |ex AS (SELECT event_type AS key, count(*) AS exact_cnt
+        |       FROM events GROUP BY event_type),
+        |pr AS (
+        |  $probes)
+        |SELECT key, exact_cnt, min(cnt) AS cms_est,
+        |  min(cnt) - exact_cnt AS overcount,
+        |  ((min(cnt) - exact_cnt) * 1000000) // exact_cnt AS err_ppm
+        |FROM pr JOIN cells ON pr.row = cells.row AND pr.bucket = cells.bucket
+        |GROUP BY key, exact_cnt ORDER BY key""".stripMargin
+    },
 
     // Deliberately the DIRECT one-shard sketch: Spark's sum of the two
     // parity-shard cell tables must land on identical cells.

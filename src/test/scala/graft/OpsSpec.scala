@@ -1375,6 +1375,18 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(ppm) < 400000L, s"rel err $ppm ppm out of HLL range")
   }
 
+  test("cmsErrorAudit: overcount non-negative, exact side is the truth") {
+    val d = (1 to 140).map(i => "k" + (i % 7)).toDF("k")
+    val got = rows(graft.ops.Sketch.cmsErrorAudit(d, col("k")))
+    assert(got.length == 7)
+    got.foreach { r =>
+      assert(r.getAs[Long]("exact_cnt") == 20L)
+      assert(r.getAs[Long]("overcount") >= 0L)
+      assert(r.getAs[Long]("cms_est") ==
+        r.getAs[Long]("exact_cnt") + r.getAs[Long]("overcount"))
+    }
+  }
+
   test("url canonicalize: case, port, fragment, tracking, slash, param order") {
     val in = Seq(
       "HTTPS://Example.COM:443/A/b/?z=1&utm_source=x&a=2#frag",

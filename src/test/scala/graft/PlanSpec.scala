@@ -778,6 +778,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("cms error audit: depth-x-width sketch broadcast onto the probes") {
+    val p = plan("ev_cms_error")
+    assert(p.contains("BroadcastHashJoin"), "the 4x64 sketch lost its broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("percent rank: all four window functions share one keyed exchange") {
+    val p = plan("w7_percent_rank")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 keyed exchange, saw $exchanges")
+  }
+
   test("q18: HAVING aggregate drives the joins; top-k is TakeOrdered") {
     val p = plan("q18_large_orders")
     assert(p.contains("TakeOrderedAndProject"),
