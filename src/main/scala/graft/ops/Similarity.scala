@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.queries.rz
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`). Built-in higher-order functions only
@@ -43,7 +44,7 @@ object Similarity {
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
       .join(q, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
+        rz(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
           .as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -73,7 +74,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
+        rz(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
           .as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -154,7 +155,7 @@ object Similarity {
     assigned.join(nbrs, Seq("c_id"))
       .filter(col("vec_id") =!= col("n_id"))
       .select(col("vec_id"), col("n_id"),
-        round(dotf(col("embedding"), col("n_emb")) / col("nrm") / col("n_nrm"), 6)
+        rz(dotf(col("embedding"), col("n_emb")) / col("nrm") / col("n_nrm"), 6)
           .as("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -209,7 +210,7 @@ object Similarity {
     queryProbes.join(corpusAssigned, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
+        rz(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
           .as("sim"))
       // no distinct needed: each corpus vector lives in exactly one cell,
       // so a (q_id, vec_id) candidate arises from at most one probe
@@ -237,7 +238,7 @@ object Similarity {
     val p = embeddings.select(col("vec_id"), col("embedding"), col("label"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
     val a = p.as("a"); val b = p.as("b")
-    val sim = round(dotf(col("a.embedding"), col("b.embedding"))
+    val sim = rz(dotf(col("a.embedding"), col("b.embedding"))
       / col("a.nrm") / col("b.nrm"), 6)
     a.join(broadcast(b), col("a.label") === col("b.label") &&
               col("a.vec_id") < col("b.vec_id") && sim >= threshold)
@@ -296,7 +297,7 @@ object Similarity {
       broadcast(
         assigned.select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy(col("c_id"), col("dim"))
-          .agg(round(sum(col("v").cast(DecimalType(30, 10))).cast(DoubleType)
+          .agg(rz(sum(col("v").cast(DecimalType(30, 10))).cast(DoubleType)
             / count(lit(1)), 6).as("cv"))
           .groupBy(col("c_id"))
           .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("p"))
@@ -350,7 +351,7 @@ object Similarity {
         sum(col("yd").cast(dec)).as("sy"),
         sum((col("xd") * col("yd")).cast(dec)).as("sxy"))
       .select(col("dim_i"), col("dim_j"), col("n"),
-        round(col("sxy").cast("double") / col("n") -
+        rz(col("sxy").cast("double") / col("n") -
           col("sx").cast("double") / col("n") *
             (col("sy").cast("double") / col("n")), 6).as("cov"))
       .orderBy(col("dim_i"), col("dim_j"))
@@ -388,7 +389,7 @@ object Similarity {
     }
     corpus
       .select(col("vec_id") +: outs.zipWithIndex.map { case (o, j) =>
-        round(o / sqrt(lit(outDims.toDouble)), 6).as(s"__o$j")
+        rz(o / sqrt(lit(outDims.toDouble)), 6).as(s"__o$j")
       }: _*)
       .select(col("vec_id"),
         posexplode(array((0 until outDims).map(j => col(s"__o$j")): _*))
@@ -419,7 +420,7 @@ object Similarity {
       kmeansAuto(corpus, k, iters)
         .join(corpus.select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .select(col("vec_id"), col("c_id"), col("embedding")))
-    val simR = round(cosine(col("a.embedding"), col("b.embedding")), 6)
+    val simR = rz(cosine(col("a.embedding"), col("b.embedding")), 6)
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.vec_id") < col("b.vec_id") &&
           simR >= threshold)
@@ -455,7 +456,7 @@ object Similarity {
     x.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
         when(col("sigma") === 0.0, lit(0.0))
-          .otherwise(round((col("x") - col("mu")) / col("sigma"), 6)).as("z"))
+          .otherwise(rz((col("x") - col("mu")) / col("sigma"), 6)).as("z"))
       .orderBy(col("vec_id"), col("dim"))
   }
 

@@ -711,20 +711,6 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Inverted-index term lookup — the corpus-search primitive behind
-    * membership/attribution audits ("how many documents contain X, and
-    * where"; cf. WIMBD, Elazar et al. 2024): per query term, document
-    * frequency, collection frequency, and the first/last containing
-    * document. Terms absent from the corpus report zeros (−1 doc ids) —
-    * a search must distinguish "not found" from "not indexed".
-    *
-    * Shape at scale: the literal IN-list filter runs map-side against the
-    * token stream BEFORE any exchange, so the shuffle carries only
-    * matching (term, doc) rows — cost follows the query terms' posting
-    * sizes, not the corpus; the final frame is |terms| rows joined against
-    * the tiny census. A standing search service would stage the full
-    * inverted index once (term-bucketed parquet) and equi-join it; this
-    * operator is the ad-hoc scan-time form. */
   /** Lexical diversity — vocabulary-richness signals next to the
     * repetition detectors: type-token ratio and hapax-legomenon share
     * (fraction of a doc's vocabulary used exactly once; template/boiler-
@@ -784,6 +770,20 @@ object TextAnalysis {
       .orderBy(col("term"), col("doc_id"), col("pos"))
   }
 
+  /** Inverted-index term lookup — the corpus-search primitive behind
+    * membership/attribution audits ("how many documents contain X, and
+    * where"; cf. WIMBD, Elazar et al. 2024): per query term, document
+    * frequency, collection frequency, and the first/last containing
+    * document. Terms absent from the corpus report zeros (−1 doc ids) —
+    * a search must distinguish "not found" from "not indexed".
+    *
+    * Shape at scale: the literal IN-list filter runs map-side against the
+    * token stream BEFORE any exchange, so the shuffle carries only
+    * matching (term, doc) rows — cost follows the query terms' posting
+    * sizes, not the corpus; the final frame is |terms| rows joined against
+    * the tiny census. A standing search service would stage the full
+    * inverted index once (term-bucketed parquet) and equi-join it; this
+    * operator is the ad-hoc scan-time form. */
   def termLookup(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

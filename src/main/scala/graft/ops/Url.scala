@@ -29,11 +29,16 @@ object Url {
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
   private val TrackRe = "^(utm_[^=]*|fbclid|gclid)="
 
-  /** Canonical form of a URL column (see object doc for the rule set). */
+  /** Canonical form of a URL column (see object doc for the rule set).
+    * Default-port stripping is scheme-matched: only http:80 and https:443
+    * are defaults — http://host:443/x is a DISTINCT resource and must not
+    * fold into http://host/x. */
   def canonicalize(u: Column): Column = {
     val scheme = lower(regexp_extract(u, SchemeRe, 1))
-    val host = regexp_replace(
-      lower(regexp_extract(u, HostRe, 1)), ":(80|443)$", "")
+    val rawHost = lower(regexp_extract(u, HostRe, 1))
+    val host = when(scheme === "http", regexp_replace(rawHost, ":80$", ""))
+      .when(scheme === "https", regexp_replace(rawHost, ":443$", ""))
+      .otherwise(rawHost)
     val path = regexp_replace(regexp_extract(u, PathRe, 1), "/$", "")
     val kept = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
       x => !(x === "") && !x.rlike(TrackRe))

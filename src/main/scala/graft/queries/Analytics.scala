@@ -211,7 +211,7 @@ object Analytics extends QueryPack {
         .filter($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx" > 0 &&
                 $"n".cast(DoubleType) * $"syy" - $"sy" * $"sy" > 0)
         .select($"l_returnflag", $"n",
-          round(($"n".cast(DoubleType) * $"sxy" - $"sx" * $"sy") /
+          rz(($"n".cast(DoubleType) * $"sxy" - $"sx" * $"sy") /
             (sqrt($"n".cast(DoubleType) * $"sxx" - $"sx" * $"sx") *
              sqrt($"n".cast(DoubleType) * $"syy" - $"sy" * $"sy")), 6)
             .as("corr_qty_price"))
@@ -244,9 +244,9 @@ object Analytics extends QueryPack {
         // varx, r² by varx·vary — Spark NULLs on 0, DuckDB ±inf/nan
         .filter(varx > 0 && vary > 0)
         .select($"l_returnflag", $"n",
-          round(slope, 6).as("slope"),
-          round(($"sy" - slope * $"sx") / nd, 6).as("intercept"),
-          round(cov * cov / (varx * vary), 6).as("r2"))
+          rz(slope, 6).as("slope"),
+          rz(($"sy" - slope * $"sx") / nd, 6).as("intercept"),
+          rz(cov * cov / (varx * vary), 6).as("r2"))
         .orderBy($"l_returnflag")
     }),
 
@@ -349,7 +349,9 @@ object Analytics extends QueryPack {
           rank().over(w).as("rnk"), row_number().over(w).as("rn"),
           count(lit(1)).over(wAll).as("n"), ntile(10).over(w).as("decile"))
         .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
-          expr("((CAST(rnk AS BIGINT) - 1) * 1000000) DIV (n - 1)")
+          // single-row partition guard: percent_rank's defined value is 0
+          // when n = 1 (the DIV would otherwise be x/0 -> NULL)
+          expr("CASE WHEN n > 1 THEN ((CAST(rnk AS BIGINT) - 1) * 1000000) DIV (n - 1) ELSE 0 END")
             .as("pr_ppm"),
           expr("(CAST(rn AS BIGINT) * 1000000) DIV n").as("cume_ppm"),
           $"decile".cast("long").as("decile"))
@@ -609,7 +611,7 @@ object Analytics extends QueryPack {
         |SELECT l_returnflag, n,
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
         |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
-        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0 AS corr_qty_price
         |FROM s
         |WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
         |  AND CAST(n AS DOUBLE) * syy - sy * sy > 0
@@ -628,12 +630,12 @@ object Analytics extends QueryPack {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
-        |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx), 6) + 0 AS slope,
         |  round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
-        |        (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE), 6)
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE), 6) + 0
         |    AS intercept,
         |  round((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy) /
-        |        ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |        ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0
         |    AS r2
         |FROM s
         |WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
@@ -689,7 +691,7 @@ object Analytics extends QueryPack {
 
     "w7_percent_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
-        |  ((rnk - 1) * 1000000) // (n - 1) AS pr_ppm,
+        |  CASE WHEN n > 1 THEN ((rnk - 1) * 1000000) // (n - 1) ELSE 0 END AS pr_ppm,
         |  (rn * 1000000) // n AS cume_ppm,
         |  CAST(decile AS BIGINT) AS decile
         |FROM (

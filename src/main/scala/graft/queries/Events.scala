@@ -465,7 +465,7 @@ object Events extends QueryPack {
         .select(col("event_type"), col("n_a"), col("n_b"),
           round(col("mean_a"), 6).as("mean_a"),
           round(col("mean_b"), 6).as("mean_b"),
-          round((col("mean_a") - col("mean_b")) /
+          rz((col("mean_a") - col("mean_b")) /
             sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
             .as("t_stat"))
         .orderBy(col("event_type"))
@@ -572,7 +572,7 @@ object Events extends QueryPack {
         .crossJoin(broadcast(users))
         .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
           col("n_b"),
-          round(log(col("n_both").cast("double") * col("n_users_total") /
+          rz(log(col("n_both").cast("double") * col("n_users_total") /
             (col("n_a").cast("double") * col("n_b"))), 6).as("pmi"))
         .orderBy(col("type_a"), col("type_b"))
     }),
@@ -1014,7 +1014,7 @@ object Events extends QueryPack {
         |      FROM w WHERE arm = 1)
         |SELECT a.event_type, n_a, n_b,
         |  round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
+        |  round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) + 0 AS t_stat
         |FROM a JOIN b USING (event_type)
         |WHERE var_a / n_a + var_b / n_b > 0
         |ORDER BY event_type""".stripMargin,
@@ -1089,7 +1089,7 @@ object Events extends QueryPack {
         |  GROUP BY 1, 2)
         |SELECT type_a, type_b, n_both, a.n_t AS n_a, b.n_t AS n_b,
         |  round(ln(CAST(n_both AS DOUBLE) * n_users_total /
-        |    (CAST(a.n_t AS DOUBLE) * b.n_t)), 6) AS pmi
+        |    (CAST(a.n_t AS DOUBLE) * b.n_t)), 6) + 0 AS pmi
         |FROM p JOIN tot a ON p.type_a = a.event_type
         |       JOIN tot b ON p.type_b = b.event_type
         |       CROSS JOIN u

@@ -197,8 +197,9 @@ object Vectors extends QueryPack {
     s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)), (acc,v) -> acc+v)"
   private def norm2(a: String): String =
     s"list_reduce(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), (acc,v) -> acc+v)"
+  // `+ 0` normalizes -0.0 -> +0.0 (the queries.rz twin; see package.scala).
   private def cos(a: String, b: String): String =
-    s"round(${dot(a, b)} / sqrt(${norm2(a)}) / sqrt(${norm2(b)}), 6)"
+    s"(round(${dot(a, b)} / sqrt(${norm2(a)}) / sqrt(${norm2(b)}), 6) + 0)"
 
   /** DuckDB twin of ops.Similarity.signBucket (8 bits). */
   private val bucket8: String =
@@ -226,7 +227,7 @@ object Vectors extends QueryPack {
       |  FROM a1),
       |cm AS (
       |  SELECT c_id, dim,
-      |    round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS cv
+      |    round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) + 0 AS cv
       |  FROM m GROUP BY 1, 2),
       |c1 AS (
       |  SELECT c_id, list(CAST(cv AS REAL) ORDER BY dim) AS c_emb
@@ -247,7 +248,7 @@ object Vectors extends QueryPack {
         val s = if (Similarity.projSign(41, i, j) > 0) "1.0" else "-1.0"
         s"CAST(embedding[${i + 1}] AS DOUBLE) * $s"
       }.mkString(" + ")
-      s"round(($chain) / sqrt(16.0), 6)"
+      s"round(($chain) / sqrt(16.0), 6) + 0"
     }
     s"""SELECT vec_id, CAST(unnest(range(16)) AS BIGINT) AS out_dim,
       |  unnest([${exprs.mkString(",\n")}]) AS value
@@ -269,7 +270,7 @@ object Vectors extends QueryPack {
         |SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(sum(CAST(xd*yd AS DECIMAL(30,10))) AS DOUBLE) / count(*)
         |    - CAST(sum(CAST(xd AS DECIMAL(30,10))) AS DOUBLE) / count(*)
-        |      * (CAST(sum(CAST(yd AS DECIMAL(30,10))) AS DOUBLE) / count(*)), 6) AS cov
+        |      * (CAST(sum(CAST(yd AS DECIMAL(30,10))) AS DOUBLE) / count(*)), 6) + 0 AS cov
         |FROM p GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j""".stripMargin,
 
     "emb_rand_proj" -> randProjOracle,
@@ -445,7 +446,7 @@ object Vectors extends QueryPack {
         |  FROM st)
         |SELECT v.vec_id, v.dim,
         |  CASE WHEN sigma = 0 THEN CAST(0 AS DOUBLE)
-        |       ELSE round((x - mu) / sigma, 6) END AS z
+        |       ELSE round((x - mu) / sigma, 6) + 0 END AS z
         |FROM v JOIN sg USING (dim)
         |ORDER BY vec_id, dim""".stripMargin,
 

@@ -137,4 +137,14 @@ package object queries {
     * / count(*), s)`. */
   def davg(c: Column, scale: Int = 6): Column =
     round(sum(c.cast(DecimalType(30, 10))).cast(DoubleType) / count(lit(1)), scale)
+
+  /** Signed-double round with the sign of zero normalized: IEEE
+    * `-0.0 + 0.0 == +0.0`, a no-op on every other value. Spark's `Round`
+    * goes through BigDecimal and emits +0.0 on a negative epsilon where
+    * DuckDB's `round` preserves -0.0 — equal by value, different bytes, so
+    * the driver's hash compare diverges (the round-8 `emb_covariance` red
+    * row). Every rounded double that CAN be a negative epsilon and reaches
+    * a hashed artifact must pass through this on BOTH engines.
+    * DuckDB twin: `round(x, s) + 0`. */
+  def rz(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
 }

@@ -347,6 +347,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rz normalizes the sign of zero after round (the -0.0 hash hazard)") {
+    // Spark's Round(BigDecimal) emits +0.0 on a negative epsilon where
+    // DuckDB's round preserves -0.0 — equal by value, different bytes, so
+    // any hashed artifact must route signed rounds through queries.rz
+    // (Spark) / `round(x, s) + 0` (oracle). Pin the contract: rz of a
+    // negative epsilon is bit-identical to +0.0, and rz is a no-op
+    // (bit-level) on every other value either engine can produce.
+    import java.lang.Double.doubleToRawLongBits
+    val df = Seq(-1e-9, 1e-9, -0.0, 0.0, -0.5000004, 1.25, -3.75)
+      .toDF("x")
+      .select($"x", graft.queries.rz($"x", 6).as("z"))
+    for (r <- rows(df)) {
+      val (x, z) = (r.getDouble(0), r.getDouble(1))
+      assert(doubleToRawLongBits(z) != doubleToRawLongBits(-0.0),
+        s"rz($x) must never emit -0.0")
+      // value identical to a plain 6-dp round
+      assert(z == BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, s"rz($x) changed the rounded value")
+    }
+  }
+
   test("dsum decimal aggregation is partition-order independent") {
     val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
     val one = vals.toDF("v").repartition(1)

@@ -35,7 +35,12 @@ def compare(name, got, want):
         if gk == "f":
             gv, wv = g.to_numpy(), w.to_numpy()
             both_nan = np.isnan(gv) & np.isnan(wv)
-            neq = ~both_nan & (gv != wv)
+            # BIT-level compare on top of value compare: the driver hashes
+            # bytes, so -0.0 (DuckDB round) vs +0.0 (Spark round) is a real
+            # failure even though the values compare equal.
+            bitneq = (gv.astype(np.float64).view(np.int64)
+                      != wv.astype(np.float64).view(np.int64)) & ~both_nan
+            neq = (~both_nan & (gv != wv)) | bitneq
             if neq.any():
                 i = int(np.argmax(neq))
                 problems.append(f"value[{c}] row {i}: spark={gv[i]!r} oracle={wv[i]!r} "
