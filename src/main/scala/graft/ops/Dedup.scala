@@ -28,6 +28,11 @@ object Dedup {
     * (queries.wipeStages), so a judged run always recomputes at least once. */
   val ClusterStageTag = "ddclusters_v1"
   val MinHashStageTag = "mhsig_v1"
+  /** Fingerprints the ngramJaccard(threshold=0.5) pair output the cluster/
+    * graph family shares (dd_ngram_jaccard, stagedClusters' builder,
+    * gr1_pagerank) — bump with any change to ngramJaccard or its token
+    * normalization. */
+  val PairStageTag = "ddpairs05_v1"
   /** Fingerprints gramHashes (seed, normalization, explode shape) at the
     * n=4 the decontamination queries use. */
   val GramStageTag = "ddgrams4_v1"

@@ -318,6 +318,96 @@ object Similarity {
     kmeansAssign(corpus,
       math.max(1L, math.ceil(corpus.count().toDouble / k).toLong).toInt, iters)
 
+  /** Product-quantization ADC top-k (Jégou et al. 2011): split each d-dim
+    * vector into `subspaces` contiguous sub-vectors, quantize every
+    * sub-vector to its nearest codebook centroid (deterministic IVF-style
+    * seeding: every ⌈n/codebookK⌉-th vector's sub-slices ARE the
+    * codebook), pack the codes into one long per vector, and answer
+    * queries by asymmetric distance computation — per query, one
+    * (subspaces × S)-entry lookup table of exact sub-dot-products, so each
+    * corpus candidate costs `subspaces` array lookups instead of a d-dim
+    * dot. Approximate cosine = ADC dot / (‖q‖ · reconstructed ‖v‖).
+    *
+    * WHY at 100 TB: the exhaustive scan touches 8 BYTES of code per
+    * vector instead of d·4 bytes of floats — PQ's point is making the
+    * candidate scan memory-bound-cheap (a 32× read reduction at d=64),
+    * and the codes table is small enough to cache where the raw
+    * embeddings are not. Composes with the IVF cell route (probe cells,
+    * then ADC within) when even the code scan must be sublinear;
+    * recall is audited by sim_pq_recall against the exact ranking.
+    *
+    * Determinism contract: encoding argmin packs
+    * (round((cn² − 2·dot)·10⁶) + 10¹²)·256 + code into one long (the
+    * vector's own ‖·‖² is constant within the argmin and dropped; the
+    * 10¹² bias keeps the key positive so `% 256` extracts the code
+    * identically in both engines); ADC folds the `subspaces` LUT terms in
+    * ascending-m order (plain sequential double adds, the dotf posture);
+    * the final cosine is 6-dp rounded through rz. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             subspaces: Int = 8, codebookK: Int = 16): DataFrame = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
+    val subDim = d / subspaces
+    val every = math.max(1L, math.ceil(corpus.count().toDouble / codebookK).toLong)
+    val wSeed = Window.orderBy(col("c_vid"))
+    val seeds = corpus.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("c_vid"), col("embedding").as("c_emb"))
+      .withColumn("code", row_number().over(wSeed).cast("long") - 1)
+    val s = seeds.count() // bounded: ≈ codebookK rows
+    require(s > 0 && s <= 255, s"codebook size $s exceeds the 8-bit packing")
+    // Codebook: (m, code, c_sub, cn2) — subspaces × S rows, broadcast.
+    val cb = broadcast(seeds
+      .select(col("code"), col("c_emb"),
+        explode(sequence(lit(0L), lit(subspaces - 1L))).as("m"))
+      .select(col("m"), col("code"),
+        expr(s"slice(c_emb, CAST(m * $subDim + 1 AS INT), $subDim)").as("c_sub"))
+      .withColumn("cn2", dotf(col("c_sub"), col("c_sub"))))
+    // Encode: per (vector, subspace) argmin over the broadcast codebook —
+    // the packed-min groupBy partial-aggregates map-side, so the exchange
+    // carries subspaces rows per vector.
+    val bias = 1000000000000L
+    val vSub = expr(s"slice(embedding, CAST(m * $subDim + 1 AS INT), $subDim)")
+    val pk = (round((col("cn2") - lit(2.0) * dotf(vSub, col("c_sub"))) * 1e6, 0)
+      .cast("long") + bias) * 256L + col("code")
+    val packed = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(cb)
+      .groupBy(col("vec_id"), col("m")).agg(min(pk).as("pk"))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("(pk % 256) * shiftleft(1L, CAST(8 * m AS INT))")).as("cp"))
+    // Per-query LUT of exact sub-dot-products, index m·S + code (the
+    // kmeans-update array_sort(collect_list(struct)) determinism).
+    val lut = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm"))
+      .crossJoin(cb)
+      .select(col("q_id"), col("q_nrm"), (col("m") * s + col("code")).as("idx"),
+        dotf(expr(s"slice(q_emb, CAST(m * $subDim + 1 AS INT), $subDim)"),
+          col("c_sub")).as("dv"))
+      .groupBy(col("q_id"), col("q_nrm"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("dv")))).as("p"))
+      .select(col("q_id"), col("q_nrm"),
+        transform(col("p"), x => x.getField("dv")).as("lut")))
+    // Reconstructed sub-norm² table, shared by every query — one row.
+    val rn2 = broadcast(cb
+      .select((col("m") * s + col("code")).as("idx"), col("cn2"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("cn2")))).as("p"))
+      .select(transform(col("p"), x => x.getField("cn2")).as("rn2")))
+    def fold(arr: String) =
+      expr(s"""aggregate(
+        transform(sequence(0, ${subspaces - 1}),
+          m -> element_at($arr, CAST(m * $s + (shiftright(cp, CAST(8 * m AS INT)) % 256) + 1 AS INT))),
+        CAST(0 AS DOUBLE), (a, x) -> a + x)""")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    packed.crossJoin(rn2).crossJoin(lut)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        rz(fold("lut") / col("q_nrm") / sqrt(fold("rn2")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Per-dimension-pair covariance of the embedding corpus — the XᵀX
     * pass every PCA / whitening / decorrelation step starts from, shaped
     * the way distributed linear algebra must be: each row fans out to its

@@ -566,6 +566,74 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  /** N-round BPE merge loop (Sennrich et al. 2016 §3) — the actual
+    * tokenizer-training iteration, not just the first-merge census: each
+    * round counts adjacent symbol pairs over the evolving vocabulary
+    * (weighted by word frequency), picks the most frequent pair
+    * (count desc, then lexicographic — deterministic), and merges it
+    * left-to-right non-overlapping in every word. Output: one row per
+    * round with the merged pair and its count.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the word census; every
+    * round after that transforms the distinct-word vocabulary
+    * (Heaps-sublinear) — a bounded pair rollup plus a map-only string
+    * rewrite, re-materialized per round so plans stay flat. The per-round
+    * argmax is a 1-row TakeOrdered collect (the IVF probe class). The
+    * vocabulary is pre-tokenized to alphanumeric words (standard BPE
+    * practice), which also guarantees the \u0001 symbol separator can
+    * never collide with text.
+    *
+    * The merge rewrite is the double-separator trick, shared verbatim
+    * with the DuckDB oracle so both engines run the identical algorithm:
+    * symbols joined by SEP, separators doubled, the pattern
+    * `SEP l SEP SEP r SEP` replaced (plain left-to-right non-overlapping
+    * replace — exactly BPE's merge order), doubles collapsed, ends
+    * trimmed. "aaa" under merge (a,a) → "aa·a", not "a·aa". */
+  def bpeMergeRounds(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = "\u0001"
+    val vocab0 = Dedup.materialize(docs
+      .select(explode(split(F.normalizeText(lower(col("text"))), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        concat_ws(sep, transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("rep")))
+    val out = collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var cur = vocab0
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val counts = cur
+        .select(col("wc"), split(col("rep"), java.util.regex.Pattern.quote(sep)).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+            struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("n"))
+      val best = counts.orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (l, rr, n) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"),
+          best(0).getAs[Long]("n"))
+        out += ((r.toLong, l, rr, l + rr, n))
+        cur = Dedup.materialize(cur.select(col("wc"),
+          trim(
+            replace(
+              replace(
+                concat(lit(sep), replace(col("rep"), lit(sep), lit(sep + sep)), lit(sep)),
+                lit(sep + l + sep + sep + rr + sep), lit(sep + l + rr + sep)),
+              lit(sep + sep), lit(sep)),
+            sep).as("rep")))
+      }
+      r += 1
+    }
+    out.toSeq.toDF("round", "sym_l", "sym_r", "merged", "n").orderBy("round")
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's distinct
     * word shingles that occur in NO other document — the complement of the
     * boilerplate/duplication signal, used to rank documents by how much

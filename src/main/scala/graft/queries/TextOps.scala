@@ -23,8 +23,23 @@ object TextOps extends QueryPack {
                              dir: String): org.apache.spark.sql.DataFrame = {
     val staged = tmpStage(dir, graft.ops.Dedup.ClusterStageTag)
     ensureStaged(staged, "_SUCCESS") {
-      Dedup.duplicateClusters(
-        Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5))
+      Dedup.duplicateClusters(stagedPairs(s, dir))
+        .write.mode("overwrite").parquet(staged)
+    }
+    s.read.parquet(staged)
+  }
+
+  /** Near-dup pair stage — the verified ngramJaccard(0.5) pair table
+    * (doc_a, doc_b, jaccard) that three consumers previously each
+    * recomputed from raw documents: the dd_ngram_jaccard query itself, the
+    * stagedClusters CC builder, and gr1_pagerank (whose 5 s was ~4 s of
+    * pair rebuild). Same convention as stagedClusters; the stage tag lives
+    * next to the pair code (Dedup.PairStageTag). */
+  private def stagedPairs(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val staged = tmpStage(dir, graft.ops.Dedup.PairStageTag)
+    ensureStaged(staged, "_SUCCESS") {
+      Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)
         .write.mode("overwrite").parquet(staged)
     }
     s.read.parquet(staged)
@@ -461,7 +476,9 @@ object TextOps extends QueryPack {
         .orderBy(col("keep_id"))
     }),
     "dd_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)),
+      // rides the shared pair stage; re-sorted because parquet round-trip
+      // drops the range-partitioned order
+      stagedPairs(s, dir).orderBy("doc_a", "doc_b")),
     "dd_minhash_lsh"   -> ((s, dir) =>
       Dedup.minHashPairsFromSignatures(stagedMinHashSigs(s, dir))),
     "dd_minhash_verified" -> ((s, dir) =>
@@ -862,6 +879,11 @@ object TextOps extends QueryPack {
     // tokenizer-induction step.
     "tx_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMergeCensus(table(s, dir, "documents"))),
+    // The full BPE training loop, 5 merge rounds (Sennrich et al. 2016
+    // §3): per round, most-frequent adjacent symbol pair over the
+    // evolving vocabulary, merged left-to-right non-overlapping.
+    "tx_bpe_merges_n" -> ((s, dir) =>
+      TextAnalysis.bpeMergeRounds(table(s, dir, "documents"), rounds = 5)),
     // Vocabulary typo/variant detection: blocked Jaro-Winkler self-join on
     // the distinct word vocabulary (native codegen'd JW expression,
     // DuckDB-exact semantics incl. the 0.7 boost threshold and integer
@@ -921,8 +943,7 @@ object TextOps extends QueryPack {
     // rounds over the near-dup pair graph rank the hub documents of
     // boilerplate neighborhoods (natural cluster representatives).
     "gr1_pagerank" -> ((s, dir) =>
-      graft.ops.Graph.pageRank(
-        Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5))),
+      graft.ops.Graph.pageRank(stagedPairs(s, dir))),
     // Corpus search, snippet half: every occurrence of a query term with
     // its ±2-token context — the evidence view next to ix1's stats.
     "ix2_kwic" -> ((s, dir) =>
@@ -987,6 +1008,45 @@ object TextOps extends QueryPack {
       |    round(CAST(sum(lam * c) AS DOUBLE), 6) AS dsir_weight
       |  FROM gr JOIN lam USING (b)
       |  GROUP BY doc_id)""".stripMargin
+
+
+  /** Unrolled-CTE DuckDB twin of TextAnalysis.bpeMergeRounds: one
+    * (pairs -> best -> merged-vocab) CTE triple per round, with the SAME
+    * double-separator merge rewrite (chr(1) separator, plain left-to-right
+    * replace), so both engines run the identical algorithm. */
+  private lazy val bpeRoundsOracle: String = {
+    val rounds = 5
+    val census = """v0 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS wc,
+      |    array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), chr(1)) AS rep
+      |  FROM (
+      |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      |    FROM documents) t
+      |  WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
+      |  GROUP BY w)""".stripMargin
+    val per = (1 to rounds).map { r =>
+      s"""p$r AS (
+        |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
+        |  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i
+        |        FROM (SELECT wc, string_split(rep, chr(1)) AS syms FROM v${r - 1}) z) u
+        |  GROUP BY 1, 2),
+        |b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+        |v$r AS (
+        |  SELECT wc, trim(replace(replace(
+        |      chr(1) || replace(rep, chr(1), chr(1) || chr(1)) || chr(1),
+        |      chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
+        |      chr(1) || b.l || b.r || chr(1)),
+        |    chr(1) || chr(1), chr(1)), chr(1)) AS rep
+        |  FROM v${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }
+    val rows = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, l AS sym_l, r AS sym_r, l || r AS merged, n FROM b$r"
+    }
+    s"""WITH $census,
+      |${per.mkString(",\n")}
+      |SELECT * FROM (${rows.mkString(" UNION ALL ")})
+      |ORDER BY round""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "dd_minhash_lsh" -> minhashOracle,
@@ -1844,6 +1904,8 @@ object TextOps extends QueryPack {
 
     // Same census tokenization, same >=2-char cut, same (n desc, pair)
     // total order.
+    "tx_bpe_merges_n" -> bpeRoundsOracle,
+
     "tx_bpe_merges" ->
       """WITH tm AS (
         |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w

@@ -36,6 +36,34 @@ object Vectors extends QueryPack {
         nprobe = 2)
     }),
 
+    // Product-quantization ADC top-k (Jegou et al. 2011): codes are 8
+    // bytes per vector instead of 256 bytes of floats — the memory-bound
+    // exhaustive-scan path; deterministic codebook, exact per-query LUT.
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
+    }),
+
+    // Recall@5 of the PQ-ADC ranking against the exact brute-force
+    // ranking — the sim_lsh_recall audit harness pointed at PQ.
+    "sim_pq_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.pqTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // Lloyd k-means (k = 16, 2 assignment rounds) over the corpus — the
     // clustering step semantic-dedup / diversity-balancing pipelines run
     // first. Deterministic end-to-end: IVF seeding, 6-dp-rounded cosine
@@ -255,6 +283,57 @@ object Vectors extends QueryPack {
       |FROM embeddings ORDER BY vec_id, out_dim""".stripMargin
   }
 
+
+  /** DuckDB twin of ops.Similarity.pqTopK — the full PQ chain (derived
+    * codebook, packed-min encoding with the 10^12 bias, per-query LUT,
+    * ascending-m ADC folds) as a reusable CTE block ending in `pq`
+    * (q_id, vec_id, sim, rank <= 5). */
+  private lazy val pqCtes: String = {
+    def sl(v: String, m: String) =
+      s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
+    s"""pqce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM embeddings),
+      |pqsd AS (SELECT embedding AS c_emb,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+      |  FROM embeddings WHERE vec_id % (SELECT every FROM pqce) = 0),
+      |pqs AS (SELECT CAST(count(*) AS BIGINT) AS s FROM pqsd),
+      |pqcb AS (SELECT mm.m, code, ${sl("c_emb", "mm.m")} AS c_sub
+      |  FROM pqsd CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+      |pqcb2 AS (SELECT m, code, c_sub, ${norm2("c_sub")} AS cn2 FROM pqcb),
+      |pqenc AS (
+      |  SELECT v.vec_id, c.m,
+      |    min((CAST(round((c.cn2 - 2 * ${dot(sl("v.embedding", "c.m"), "c.c_sub")}) * 1000000) AS BIGINT)
+      |         + 1000000000000) * 256 + c.code) AS pk
+      |  FROM embeddings v CROSS JOIN pqcb2 c
+      |  GROUP BY 1, 2),
+      |pqpacked AS (SELECT vec_id,
+      |    CAST(sum((pk % 256) * (CAST(1 AS BIGINT) << CAST(8 * m AS INT))) AS BIGINT) AS cp
+      |  FROM pqenc GROUP BY 1),
+      |pqq AS (SELECT vec_id AS q_id, embedding AS q_emb, sqrt(${norm2("embedding")}) AS q_nrm
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |pqlut AS (
+      |  SELECT q_id, q_nrm, list(dv ORDER BY idx) AS lut FROM (
+      |    SELECT q.q_id, q.q_nrm, c.m * sc.s + c.code AS idx,
+      |      ${dot(sl("q.q_emb", "c.m"), "c.c_sub")} AS dv
+      |    FROM pqq q CROSS JOIN pqcb2 c CROSS JOIN pqs sc) t
+      |  GROUP BY q_id, q_nrm),
+      |pqrn AS (SELECT list(cn2 ORDER BY m * s + code) AS rn2 FROM pqcb2 CROSS JOIN pqs),
+      |pqscored AS (
+      |  SELECT l.q_id, p.vec_id,
+      |    round(
+      |      list_reduce(list_transform(range(0, 8),
+      |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)
+      |      / l.q_nrm
+      |      / sqrt(list_reduce(list_transform(range(0, 8),
+      |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
+      |  FROM pqpacked p CROSS JOIN pqlut l CROSS JOIN pqrn r CROSS JOIN pqs sc
+      |  WHERE p.vec_id <> l.q_id),
+      |pq AS (
+      |  SELECT q_id, vec_id, sim, rank FROM (
+      |    SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+      |    FROM pqscored) t
+      |  WHERE rank <= 5)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // Same decimal(30,10) accumulation and the same fixed expression tree
     // (sxy/n - sx/n * (sy/n)) as the Spark side — exact sums, one IEEE
@@ -348,6 +427,26 @@ object Vectors extends QueryPack {
 
     // Both rankings rebuilt with the same CTE machinery as their own
     // oracles, intersected per query; left join keeps 0-hit queries.
+    "sim_pq_topk" ->
+      s"""WITH $pqCtes
+        |SELECT q_id, vec_id, sim, rank FROM pq ORDER BY q_id, rank""".stripMargin,
+
+    "sim_pq_recall" ->
+      s"""WITH $pqCtes,
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |bscored AS (
+        |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
+        |b AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) t WHERE rank <= 5),
+        |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN pq USING (q_id, vec_id) GROUP BY 1),
+        |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+        |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
+        |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
+
     "sim_lsh_recall" ->
       s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
         |bscored AS (

@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   *    unchanged.
   *
   * Replica 0 is the source data verbatim. The output directory matches the
-  * driver layout (`<out>/<table>.parquet`), with events.ts written as raw
-  * int64 epoch-nanoseconds — the shape `queries.table` expects.
+  * driver layout (`<out>/<table>.parquet`), with events.ts written as
+  * TIMESTAMP(MICROS) timestamp_ntz — the driver's own layout, readable by
+  * both `queries.table` and the DuckDB oracle.
   *
   * Usage: runMain graft.tools.ScaleData <srcSfDir> <outDir> [factor=10]
   */
@@ -93,8 +94,11 @@ object ScaleData {
     replicate("events", t("events"), (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * evOff))
         .withColumn("user_id", col("user_id") + lit(i * userOff))
-        // back to the raw int64 ns-epoch layout queries.table reads
-        .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L)))
+        // TIMESTAMP(MICROS), no tz — matches the driver's own layout, so
+        // queries.table's timestamp branch AND the DuckDB oracle both read
+        // it directly (the int64-ns layout locked events out of the sf1
+        // oracle artifact)
+        .withColumn("ts", col("ts").cast("timestamp_ntz")))
     replicate("documents", t("documents"), (d, i) =>
       d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
         .withColumn("text",

@@ -1428,6 +1428,45 @@ class OpsSpec extends SparkSpec {
     assert((1 to 9).forall(i => got(i.toLong) == ((1.0, false))))
   }
 
+  test("bpeMergeRounds: known merge sequence on a tiny vocab, early stop") {
+    val d = Seq((1L, "abab abab abab abc abc", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = rows(TextAnalysis.bpeMergeRounds(d, rounds = 5))
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("sym_l"),
+        r.getAs[String]("sym_r"), r.getAs[String]("merged"),
+        r.getAs[Long]("n")))
+    // vocab: abab wc=3, abc wc=2.
+    // round 1: (a,b) = 2·3 + 1·2 = 8 beats (b,a)=3, (b,c)=2
+    // round 2: abab -> ab|ab gives (ab,ab)=3; abc -> ab|c gives (ab,c)=2
+    // round 3: only ab|c remains -> (ab,c)=2
+    // round 4: every word is one symbol -> dry, loop stops at 3 rows
+    assert(got == Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "ab", "c", "abc", 2L)))
+  }
+
+  test("pqTopK: exact when every vector seeds the codebook (n <= k)") {
+    // 12 vectors -> every = ceil(12/16) = 1, so the codebook contains every
+    // sub-vector and PQ reconstruction is lossless: the ADC ranking must
+    // equal brute force (sims agree to fold-order ulps, well under 6 dp).
+    val e = (0L until 12L).map(i =>
+        (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 4 === 0)
+    val pq = rows(Similarity.pqTopK(e, q, k = 3))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val brute = rows(Similarity.bruteForceTopK(e, q, k = 3))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    assert(pq.keySet == brute.keySet && pq.keySet.size == 9)
+    for ((k0, (v, s)) <- pq) {
+      assert(brute(k0)._1 == v, s"rank mismatch at $k0")
+      assert(math.abs(brute(k0)._2 - s) <= 1e-6, s"sim drift at $k0")
+    }
+  }
+
   test("dedupWeights: members share 1/n, singletons keep weight 1") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L))

@@ -118,6 +118,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("pq encoding rides broadcast products; no cartesian, no raw-vector shuffle") {
+    val p = plan("sim_pq_topk")
+    // codebook/LUT/rn2 are broadcast against the corpus; the argmin and
+    // code-packing aggregates partial map-side
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      "PQ encode argmin lost its map-side partial aggregation")
+  }
+
   test("ivf corpus assignment partial-aggregates; no window over scored rows") {
     val p = plan("sim_ivf_topk")
     // The |corpus|·m argmax must collapse map-side (a packed-BIGINT max()
