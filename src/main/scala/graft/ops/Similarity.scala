@@ -348,6 +348,70 @@ object Similarity {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
     val subDim = d / subspaces
+    val (cb, s) = pqCodebook(corpus, subspaces, subDim, codebookK)
+    val packed = pqEncode(corpus, cb, subDim)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    packed.crossJoin(pqRn2(cb, s)).crossJoin(pqLut(queries, cb, s, subDim))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        rz(pqFold("lut", s, subspaces) / col("q_nrm")
+          / sqrt(pqFold("rn2", s, subspaces)), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF-PQ (Jégou et al. 2011 §IV): the IVF cell route with PQ codes as
+    * the per-cell payload — the answer to the memory bound of carrying
+    * full-precision embeddings through the IVF index at 100 TB. The index
+    * table is (vec_id, c_id, cp): 16 bytes of key + 8 bytes of code per
+    * vector, no embedding ride-along; queries probe their nprobe closest
+    * cells and score candidates by the same LUT fold as pqTopK. Probe
+    * cost: |cell| × (subspaces lookups), reading codes only. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nprobe: Int = 2, subspaces: Int = 8,
+                codebookK: Int = 16): DataFrame = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
+    val subDim = d / subspaces
+    val centroidEvery = autoCentroidEvery(corpus.count())
+    val (cb, s) = pqCodebook(corpus, subspaces, subDim, codebookK)
+    // The 100 TB point: the standing index carries cell id + packed code,
+    // never the embedding (ivfAssign's embedding column is dropped before
+    // the join, so only (vec_id, c_id) meets the 2-long codes table).
+    val index = ivfAssign(corpus, centroidEvery)
+      .select(col("vec_id"), col("c_id"))
+      .join(pqEncode(corpus, cb, subDim), Seq("vec_id"))
+    val cent = centroids(corpus, centroidEvery)
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    val queryProbes = scoredAgainst(cent)(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")),
+      "q_emb", "q_nrm")
+      .withColumn("c_rank", row_number().over(wp))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("c_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    queryProbes.join(index, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(pqRn2(cb, s))
+      .join(pqLut(queries, cb, s, subDim), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        rz(pqFold("lut", s, subspaces) / col("q_nrm")
+          / sqrt(pqFold("rn2", s, subspaces)), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Derived PQ codebook (m, code, c_sub, cn2) — subspaces × S broadcast
+    * rows; seeds are every ⌈n/codebookK⌉-th vector (the IVF seeding
+    * convention), codes densely indexed in vec_id order. */
+  private def pqCodebook(corpus: DataFrame, subspaces: Int, subDim: Int,
+                         codebookK: Int): (DataFrame, Long) = {
     val every = math.max(1L, math.ceil(corpus.count().toDouble / codebookK).toLong)
     val wSeed = Window.orderBy(col("c_vid"))
     val seeds = corpus.filter(col("vec_id") % every === 0)
@@ -355,28 +419,38 @@ object Similarity {
       .withColumn("code", row_number().over(wSeed).cast("long") - 1)
     val s = seeds.count() // bounded: ≈ codebookK rows
     require(s > 0 && s <= 255, s"codebook size $s exceeds the 8-bit packing")
-    // Codebook: (m, code, c_sub, cn2) — subspaces × S rows, broadcast.
     val cb = broadcast(seeds
       .select(col("code"), col("c_emb"),
         explode(sequence(lit(0L), lit(subspaces - 1L))).as("m"))
       .select(col("m"), col("code"),
         expr(s"slice(c_emb, CAST(m * $subDim + 1 AS INT), $subDim)").as("c_sub"))
       .withColumn("cn2", dotf(col("c_sub"), col("c_sub"))))
-    // Encode: per (vector, subspace) argmin over the broadcast codebook —
-    // the packed-min groupBy partial-aggregates map-side, so the exchange
-    // carries subspaces rows per vector.
+    (cb, s)
+  }
+
+  /** PQ encoding: per (vector, subspace) argmin over the broadcast
+    * codebook, packed min (see pqTopK's determinism contract), codes
+    * packed 8 bits per subspace into ONE long per vector. The groupBys
+    * partial-aggregate map-side, so the exchange carries subspaces rows
+    * then one row per vector. */
+  private def pqEncode(corpus: DataFrame, cb: DataFrame,
+                       subDim: Int): DataFrame = {
     val bias = 1000000000000L
     val vSub = expr(s"slice(embedding, CAST(m * $subDim + 1 AS INT), $subDim)")
     val pk = (round((col("cn2") - lit(2.0) * dotf(vSub, col("c_sub"))) * 1e6, 0)
       .cast("long") + bias) * 256L + col("code")
-    val packed = corpus.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .crossJoin(cb)
       .groupBy(col("vec_id"), col("m")).agg(min(pk).as("pk"))
       .groupBy(col("vec_id"))
       .agg(sum(expr("(pk % 256) * shiftleft(1L, CAST(8 * m AS INT))")).as("cp"))
-    // Per-query LUT of exact sub-dot-products, index m·S + code (the
-    // kmeans-update array_sort(collect_list(struct)) determinism).
-    val lut = broadcast(queries
+  }
+
+  /** Per-query LUT of exact sub-dot-products, index m·S + code (the
+    * kmeans-update array_sort(collect_list(struct)) determinism). */
+  private def pqLut(queries: DataFrame, cb: DataFrame, s: Long,
+                    subDim: Int): DataFrame =
+    broadcast(queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm"))
       .crossJoin(cb)
@@ -387,26 +461,22 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("idx"), col("dv")))).as("p"))
       .select(col("q_id"), col("q_nrm"),
         transform(col("p"), x => x.getField("dv")).as("lut")))
-    // Reconstructed sub-norm² table, shared by every query — one row.
-    val rn2 = broadcast(cb
+
+  /** Reconstructed sub-norm² table, shared by every query — one row. */
+  private def pqRn2(cb: DataFrame, s: Long): DataFrame =
+    broadcast(cb
       .select((col("m") * s + col("code")).as("idx"), col("cn2"))
       .agg(array_sort(collect_list(struct(col("idx"), col("cn2")))).as("p"))
       .select(transform(col("p"), x => x.getField("cn2")).as("rn2")))
-    def fold(arr: String) =
-      expr(s"""aggregate(
-        transform(sequence(0, ${subspaces - 1}),
-          m -> element_at($arr, CAST(m * $s + (shiftright(cp, CAST(8 * m AS INT)) % 256) + 1 AS INT))),
-        CAST(0 AS DOUBLE), (a, x) -> a + x)""")
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    packed.crossJoin(rn2).crossJoin(lut)
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        rz(fold("lut") / col("q_nrm") / sqrt(fold("rn2")), 6).as("sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("q_id"), col("rank"))
-  }
+
+  /** ADC fold: sum the subspaces LUT terms in ascending-m order (plain
+    * sequential double adds — the dotf posture; DuckDB twin is the same
+    * list_transform(range)/list_reduce chain). */
+  private def pqFold(arr: String, s: Long, subspaces: Int) =
+    expr(s"""aggregate(
+      transform(sequence(0, ${subspaces - 1}),
+        m -> element_at($arr, CAST(m * $s + (shiftright(cp, CAST(8 * m AS INT)) % 256) + 1 AS INT))),
+      CAST(0 AS DOUBLE), (a, x) -> a + x)""")
 
   /** Per-dimension-pair covariance of the embedding corpus — the XᵀX
     * pass every PCA / whitening / decorrelation step starts from, shaped

@@ -44,6 +44,15 @@ object Vectors extends QueryPack {
       Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
     }),
 
+    // IVF-PQ: nprobe cells per query, candidates scored from 8-byte
+    // packed codes — the index carries (vec_id, c_id, code), never the
+    // embedding (the 100 TB memory-bound answer).
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+        nprobe = 2)
+    }),
+
     // Recall@5 of the PQ-ADC ranking against the exact brute-force
     // ranking — the sim_lsh_recall audit harness pointed at PQ.
     "sim_pq_recall" -> ((s, dir) => {
@@ -430,6 +439,44 @@ object Vectors extends QueryPack {
     "sim_pq_topk" ->
       s"""WITH $pqCtes
         |SELECT q_id, vec_id, sim, rank FROM pq ORDER BY q_id, rank""".stripMargin,
+
+    "sim_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+        |ice AS (
+        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+        |icent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ice) = 0),
+        |ica AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN icent c) t WHERE rn = 1),
+        |iqp AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT v.vec_id AS q_id, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % 100 = 0) t WHERE rn <= 2),
+        |iscored AS (
+        |  SELECT l.q_id, p.vec_id,
+        |    round(
+        |      list_reduce(list_transform(range(0, 8),
+        |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)
+        |      / l.q_nrm
+        |      / sqrt(list_reduce(list_transform(range(0, 8),
+        |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
+        |  FROM iqp
+        |    JOIN ica USING (c_id)
+        |    JOIN pqpacked p ON ica.vec_id = p.vec_id
+        |    JOIN pqlut l ON iqp.q_id = l.q_id
+        |    CROSS JOIN pqrn r CROSS JOIN pqs sc
+        |  WHERE p.vec_id <> l.q_id)
+        |SELECT q_id, vec_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM iscored) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "sim_pq_recall" ->
       s"""WITH $pqCtes,

@@ -1467,6 +1467,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: lossless codes reduce to plain IVF ranking (n <= k)") {
+    val e = (0L until 12L).map(i =>
+        (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 4 === 0)
+    val every = Similarity.autoCentroidEvery(12L)
+    val ivf = rows(Similarity.ivfTopK(e, q, k = 3, every, nprobe = 2))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val ivfpq = rows(Similarity.ivfPqTopK(e, q, k = 3, nprobe = 2))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    // every vector seeds the codebook -> ADC reconstruction is lossless,
+    // so the probed candidates AND their ranking match plain IVF
+    assert(ivfpq.keySet == ivf.keySet)
+    for ((k0, (v, s)) <- ivfpq) {
+      assert(ivf(k0)._1 == v, s"rank mismatch at $k0")
+      assert(math.abs(ivf(k0)._2 - s) <= 1e-6, s"sim drift at $k0")
+    }
+  }
+
   test("dedupWeights: members share 1/n, singletons keep weight 1") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L))

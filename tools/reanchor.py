@@ -35,18 +35,29 @@ def main():
         rnd = argv[i + 1]
         del argv[i:i + 2]
     driver = json.load(open(argv[0]))["queries"]
-    run1 = json.load(open(argv[1]))["queries"]
-    run2 = json.load(open(argv[2]))["queries"]
+    r1full = json.load(open(argv[1]))
+    r2full = json.load(open(argv[2]))
+    run1, run2 = r1full["queries"], r2full["queries"]
+    stage1 = r1full.get("stage", {})
+    stage2 = r2full.get("stage", {})
     old = json.load(open("BASELINE_BENCH.json"))
 
     names = sorted(set(run1) | set(run2))
-    queries = {}
+    queries, stage = {}, {}
     for q in names:
         local = min(run1.get(q, 1e9), run2.get(q, 1e9))
         if q in changed or q not in driver:
             queries[q] = round(local, 6)
         else:
             queries[q] = round(max(driver[q], local), 6)
+        # stage protocol tag of the anchored value, so the gate can compare
+        # cold-vs-cold / warm-vs-warm (a stage-cold anchor must not gate a
+        # stage-warm judged run and vice versa). Runs are protocol-
+        # consistent (stages wiped at start), so the tags should agree;
+        # record 'cold' if either run paid the build inside this query.
+        tags = {t for t in (stage1.get(q), stage2.get(q)) if t}
+        if tags:
+            stage[q] = "cold" if "cold" in tags else "warm"
 
     out = {
         "round": rnd,
@@ -58,6 +69,7 @@ def main():
                  "the driver run use the local min-of-2 alone. "
                  f"Changed this round: {sorted(changed)}"),
         "queries": queries,
+        "stage": stage,
     }
     json.dump(out, open("BASELINE_BENCH.json", "w"), indent=1, sort_keys=True)
     drops = [(q, old["queries"][q], queries[q]) for q in queries
