@@ -592,12 +592,51 @@ object TextAnalysis {
   def bpeMergeRounds(docs: DataFrame, rounds: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sep = "\u0001"
+    bpeTrain(docs, rounds)._1
+      .toDF("round", "sym_l", "sym_r", "merged", "n").orderBy("round")
+  }
+
+  /** Apply the trained merges back to the corpus: every qualifying word
+    * carries the segmentation its vocabulary row ended the merge loop
+    * with, so encoding is one join of the (Heaps-sublinear) vocabulary
+    * against the exploded word stream plus a per-doc rollup — the
+    * tokenizer-APPLY side of bpeMergeRounds, reporting per-document BPE
+    * token counts and the chars-per-token compression the tokenizer
+    * actually achieves on its own training corpus. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocab = bpeTrain(docs, rounds)._2
+      .select(col("w"),
+        size(split(col("rep"), java.util.regex.Pattern.quote(BpeSep)))
+          .cast("long").as("n_syms"))
+    docs
+      .select(col("doc_id"),
+        explode(split(F.normalizeText(lower(col("text"))), " ")).as("w"))
+      .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        expr("n_bpe_tokens * 1000000 DIV n_words").as("tokens_per_word_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The \u0001 symbol separator of the BPE loop — guaranteed collision-
+    * free because the vocabulary is pre-tokenized to [a-z0-9]+ words. */
+  private val BpeSep = "\u0001"
+
+  /** The shared train loop: returns (merge rows, final vocabulary
+    * (w, wc, rep)). Stops early when no pair remains (fully merged). */
+  private def bpeTrain(docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    val sep = BpeSep
     val vocab0 = Dedup.materialize(docs
       .select(explode(split(F.normalizeText(lower(col("text"))), " ")).as("w"))
       .filter(length(col("w")) >= 2 && col("w").rlike("^[a-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(col("wc"),
+      .select(col("w"), col("wc"),
         concat_ws(sep, transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1)))).as("rep")))
     val out = collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
@@ -620,7 +659,7 @@ object TextAnalysis {
         val (l, rr, n) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"),
           best(0).getAs[Long]("n"))
         out += ((r.toLong, l, rr, l + rr, n))
-        cur = Dedup.materialize(cur.select(col("wc"),
+        cur = Dedup.materialize(cur.select(col("w"), col("wc"),
           trim(
             replace(
               replace(
@@ -631,7 +670,7 @@ object TextAnalysis {
       }
       r += 1
     }
-    out.toSeq.toDF("round", "sym_l", "sym_r", "merged", "n").orderBy("round")
+    (out.toSeq, cur)
   }
 
   /** Per-document n-gram novelty: the fraction of a document's distinct

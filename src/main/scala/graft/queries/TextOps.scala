@@ -884,6 +884,10 @@ object TextOps extends QueryPack {
     // evolving vocabulary, merged left-to-right non-overlapping.
     "tx_bpe_merges_n" -> ((s, dir) =>
       TextAnalysis.bpeMergeRounds(table(s, dir, "documents"), rounds = 5)),
+    // The tokenizer-APPLY side: per-doc BPE token counts + compression
+    // under the 5 trained merges (one vocab join + per-doc rollup).
+    "tx_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(table(s, dir, "documents"), rounds = 5)),
     // Vocabulary typo/variant detection: blocked Jaro-Winkler self-join on
     // the distinct word vocabulary (native codegen'd JW expression,
     // DuckDB-exact semantics incl. the 0.7 boost threshold and integer
@@ -1017,7 +1021,7 @@ object TextOps extends QueryPack {
   private lazy val bpeRoundsOracle: String = {
     val rounds = 5
     val census = """v0 AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS wc,
+      |  SELECT w, CAST(count(*) AS BIGINT) AS wc,
       |    array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), chr(1)) AS rep
       |  FROM (
       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
@@ -1032,7 +1036,7 @@ object TextOps extends QueryPack {
         |  GROUP BY 1, 2),
         |b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
         |v$r AS (
-        |  SELECT wc, trim(replace(replace(
+        |  SELECT w, wc, trim(replace(replace(
         |      chr(1) || replace(rep, chr(1), chr(1) || chr(1)) || chr(1),
         |      chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
         |      chr(1) || b.l || b.r || chr(1)),
@@ -1046,6 +1050,32 @@ object TextOps extends QueryPack {
       |${per.mkString(",\n")}
       |SELECT * FROM (${rows.mkString(" UNION ALL ")})
       |ORDER BY round""".stripMargin
+  }
+
+  /** Encode twin: the same unrolled chain (w carried through), final
+    * vocabulary v5 joined back to the exploded word stream. */
+  private lazy val bpeEncodeOracle: String = {
+    val rounds = 5
+    val prefix = bpeRoundsOracle
+    // reuse the chain by regenerating it: take everything up to the final
+    // SELECT (the WITH block), then attach the encode rollup.
+    val withBlock = prefix.substring(0, prefix.lastIndexOf("SELECT * FROM"))
+    s"""${withBlock.trim.stripSuffix(",")}
+      |, enc AS (
+      |  SELECT w, CAST(len(string_split(rep, chr(1))) AS BIGINT) AS n_syms
+      |  FROM v$rounds),
+      |dw AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      |    FROM documents) t
+      |  WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$$'))
+      |SELECT doc_id, count(*) AS n_words,
+      |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+      |  (CAST(sum(n_syms) AS BIGINT) * 1000000) // count(*) AS tokens_per_word_ppm
+      |FROM dw JOIN enc USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -1905,6 +1935,7 @@ object TextOps extends QueryPack {
     // Same census tokenization, same >=2-char cut, same (n desc, pair)
     // total order.
     "tx_bpe_merges_n" -> bpeRoundsOracle,
+    "tx_bpe_encode" -> bpeEncodeOracle,
 
     "tx_bpe_merges" ->
       """WITH tm AS (

@@ -1446,6 +1446,17 @@ class OpsSpec extends SparkSpec {
       (3L, "ab", "c", "abc", 2L)))
   }
 
+  test("bpeEncode: per-doc token counts under the trained merges") {
+    val d = Seq((1L, "abab abab abab abc abc", "en"))
+      .toDF("doc_id", "text", "lang")
+    // rounds=2 merges (a,b) then (ab,ab): abab -> 1 symbol, abc -> ab|c (2)
+    val got = rows(TextAnalysis.bpeEncode(d, rounds = 2))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("tokens_per_word_ppm")))
+    assert(got == Seq((1L, 5L, 3L * 1 + 2L * 2, 3L * 4 + 2L * 3, 1400000L)))
+  }
+
   test("pqTopK: exact when every vector seeds the codebook (n <= k)") {
     // 12 vectors -> every = ceil(12/16) = 1, so the codebook contains every
     // sub-vector and PQ reconstruction is lossless: the ADC ranking must
