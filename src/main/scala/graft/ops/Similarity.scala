@@ -517,6 +517,53 @@ object Similarity {
       .orderBy(col("dim_i"), col("dim_j"))
   }
 
+  /** Top principal component by power iteration over the covariance
+    * matrix — the first step of PCA whitening / decorrelation (the
+    * spectral view of the corpus the covariance pass exists to feed).
+    * Fixed `iters` rounds of v ← normalize(C·v) from the uniform 1/√d
+    * start vector, every intermediate 6-dp rounded (through rz) so the
+    * iteration is bit-reproducible cross-engine and SQL-expressible as
+    * unrolled CTEs. Output per dimension: the loading, the eigenvalue
+    * estimate λ = ‖C·v‖ at the last round, and λ/trace(C) — the
+    * explained-variance share.
+    *
+    * Shape at scale: the ONLY corpus-sized work is covarianceMatrix's
+    * map-side Gram partials; everything after operates on the d(d+1)/2
+    * cell table and a d-row vector — 8 joins over ≤64-row frames,
+    * re-materialized per round so the plan stays flat. 100 TB costs the
+    * covariance scan; the eigen-solve is free. */
+  def pcaPower(emb: DataFrame, iters: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(iters >= 1, "pcaPower needs at least one iteration")
+    val dec = DecimalType(30, 10)
+    val cov = Dedup.materialize(covarianceMatrix(emb)
+      .select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov")))
+    val sym = cov.unionByName(cov.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    val d = cov.agg(max(col("j"))).head().getLong(0) + 1
+    var v = Dedup.materialize(cov.select(col("i").as("dim")).distinct()
+      .select(col("dim"), rz(lit(1.0) / sqrt(lit(d.toDouble)), 6).as("value")))
+    var lastNrm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = Dedup.materialize(sym.join(v, col("j") === col("dim"))
+        .groupBy(col("i"))
+        .agg(rz(sum((col("cov") * col("value")).cast(dec)).cast(DoubleType), 6)
+          .as("w"))
+        .select(col("i").as("dim"), col("w")))
+      lastNrm = broadcast(w.agg(
+        sqrt(sum((col("w") * col("w")).cast(dec)).cast(DoubleType)).as("nrm")))
+      v = Dedup.materialize(w.crossJoin(lastNrm)
+        .select(col("dim"), rz(col("w") / col("nrm"), 6).as("value")))
+    }
+    val trace = broadcast(cov.filter(col("i") === col("j"))
+      .agg(sum(col("cov").cast(dec)).cast(DoubleType).as("tr")))
+    v.crossJoin(lastNrm).crossJoin(trace)
+      .select(col("dim"), col("value").as("loading"),
+        rz(col("nrm"), 6).as("lambda"),
+        rz(col("nrm") / col("tr"), 6).as("evr"))
+      .orderBy(col("dim"))
+  }
+
   /** Deterministic ±1 sign for randomProject's projection matrix — the
     * parity bit of the shared seeded-md5 family, so the matrix is a pure
     * function of (seed, i, j) that any engine can re-derive. */

@@ -1020,7 +1020,7 @@ object TextOps extends QueryPack {
     * replace), so both engines run the identical algorithm. */
   private lazy val bpeRoundsOracle: String = {
     val rounds = 5
-    val census = """v0 AS (
+    val census = """v0 AS MATERIALIZED (
       |  SELECT w, CAST(count(*) AS BIGINT) AS wc,
       |    array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), chr(1)) AS rep
       |  FROM (
@@ -1029,13 +1029,13 @@ object TextOps extends QueryPack {
       |  WHERE len(w) >= 2 AND regexp_matches(w, '^[a-z0-9]+$')
       |  GROUP BY w)""".stripMargin
     val per = (1 to rounds).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS n
         |  FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i
         |        FROM (SELECT wc, string_split(rep, chr(1)) AS syms FROM v${r - 1}) z) u
         |  GROUP BY 1, 2),
-        |b$r AS (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
-        |v$r AS (
+        |b$r AS MATERIALIZED (SELECT l, r, n FROM p$r ORDER BY n DESC, l, r LIMIT 1),
+        |v$r AS MATERIALIZED (
         |  SELECT w, wc, trim(replace(replace(
         |      chr(1) || replace(rep, chr(1), chr(1) || chr(1)) || chr(1),
         |      chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),

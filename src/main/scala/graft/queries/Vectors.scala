@@ -198,6 +198,12 @@ object Vectors extends QueryPack {
     "emb_covariance" -> ((s, dir) =>
       Similarity.covarianceMatrix(table(s, dir, "embeddings"))),
 
+    // Top principal component by 8-round power iteration over the
+    // covariance cells — loading per dim, eigenvalue estimate, explained-
+    // variance share; everything after the Gram pass is d-bounded.
+    "emb_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(table(s, dir, "embeddings"), iters = 8)),
+
     // Johnson–Lindenstrauss ±1 random projection to 16 dims (seeded sign
     // matrix, data-independent, map-only — zero shuffles). Judged
     // flattened to (vec_id, out_dim, value) scalar rows.
@@ -343,6 +349,47 @@ object Vectors extends QueryPack {
       |  WHERE rank <= 5)""".stripMargin
   }
 
+
+  /** Unrolled-CTE twin of Similarity.pcaPower: the emb_covariance chain,
+    * symmetrized, then 8 (multiply, norm, normalize) CTE triples — every
+    * intermediate 6-dp rounded with the -0.0 normalization. */
+  private lazy val pcaPowerOracle: String = {
+    val iters = 8
+    val base = """pe AS (
+      |  SELECT vec_id, CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |pp AS (
+      |  SELECT a.i AS i, b.i AS j, a.x AS xd, b.x AS yd
+      |  FROM pe a JOIN pe b ON a.vec_id = b.vec_id AND a.i <= b.i),
+      |pcov AS MATERIALIZED (
+      |  SELECT i, j,
+      |    round(CAST(sum(CAST(xd*yd AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+      |      - CAST(sum(CAST(xd AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+      |        * (CAST(sum(CAST(yd AS DECIMAL(30,10))) AS DOUBLE) / count(*)), 6) + 0 AS cov
+      |  FROM pp GROUP BY i, j),
+      |psym AS MATERIALIZED (SELECT i, j, cov FROM pcov
+      |         UNION ALL SELECT j AS i, i AS j, cov FROM pcov WHERE i <> j),
+      |pd AS (SELECT max(j) + 1 AS d FROM pcov),
+      |pv0 AS (SELECT DISTINCT i AS dim,
+      |          round(1 / sqrt((SELECT d FROM pd)), 6) + 0 AS value FROM pcov)""".stripMargin
+    val per = (1 to iters).map { r =>
+      s"""pw$r AS MATERIALIZED (
+        |  SELECT s.i AS dim,
+        |    round(CAST(sum(CAST(s.cov * v.value AS DECIMAL(30,10))) AS DOUBLE), 6) + 0 AS w
+        |  FROM psym s JOIN pv${r - 1} v ON s.j = v.dim GROUP BY s.i),
+        |pn$r AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,10))) AS DOUBLE)) AS nrm FROM pw$r),
+        |pv$r AS MATERIALIZED (SELECT dim, round(w / (SELECT nrm FROM pn$r), 6) + 0 AS value FROM pw$r)""".stripMargin
+    }
+    s"""WITH $base,
+      |${per.mkString(",\n")},
+      |ptr AS (SELECT CAST(sum(CAST(cov AS DECIMAL(30,10))) AS DOUBLE) AS tr FROM pcov WHERE i = j)
+      |SELECT dim, value AS loading,
+      |  round((SELECT nrm FROM pn$iters), 6) + 0 AS lambda,
+      |  round((SELECT nrm FROM pn$iters) / (SELECT tr FROM ptr), 6) + 0 AS evr
+      |FROM pv$iters ORDER BY dim""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     // Same decimal(30,10) accumulation and the same fixed expression tree
     // (sxy/n - sx/n * (sy/n)) as the Spark side — exact sums, one IEEE
@@ -362,6 +409,7 @@ object Vectors extends QueryPack {
         |FROM p GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j""".stripMargin,
 
     "emb_rand_proj" -> randProjOracle,
+    "emb_pca_power" -> pcaPowerOracle,
 
     "sim_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),

@@ -1478,6 +1478,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pcaPower: recovers the dominant axis of an anisotropic cloud") {
+    // 64-dim vectors: dim 0 carries variance ~100x any other dim, so the
+    // top component must align with axis 0 and evr must dominate.
+    val e = (0L until 40L).map { i =>
+      (i, Array.tabulate(64) { j =>
+        if (j == 0) (if (i % 2 == 0) 10.0f else -10.0f)
+        else math.sin(i * 64.0 + j).toFloat * 0.1f
+      })
+    }.toDF("vec_id", "embedding")
+    val got = rows(Similarity.pcaPower(e, iters = 8))
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Double]("loading"), r.getAs[Double]("lambda"),
+          r.getAs[Double]("evr"))).toMap
+    assert(got.size == 64)
+    val (l0, lambda, evr) = got(0L)
+    assert(math.abs(math.abs(l0) - 1.0) < 0.01, s"axis-0 loading $l0")
+    assert((1L until 64L).forall(d => math.abs(got(d)._1) < 0.05),
+      "off-axis loading leaked")
+    assert(lambda > 90.0 && evr > 0.95, s"lambda=$lambda evr=$evr")
+  }
+
   test("ivfPqTopK: lossless codes reduce to plain IVF ranking (n <= k)") {
     val e = (0L until 12L).map(i =>
         (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))
