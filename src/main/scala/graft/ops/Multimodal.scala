@@ -209,4 +209,63 @@ object Multimodal {
         floor(col("height") * scale).cast("long").as("out_h"))
       .orderBy(col("doc_id"))
   }
+
+  /** Perceptual-hash near-dup pairs over the decoded plane — image dedup
+    * the way crawl pipelines run it (aHash/PDQ-style): the plane is cut
+    * into 64 blocks, bit k set iff block k's mean exceeds the global mean
+    * (compared with exact integer cross-multiplication, no floats), the 64
+    * bits packed into eight 8-bit bands, candidates drawn only from pairs
+    * sharing ≥1 band (the SimHash pigeonhole: fewer than 8 bit flips MUST
+    * leave some band untouched, so recall is exact for hamming ≤ 7 and
+    * probabilistic above — the standard banded-LSH trade, identical in
+    * both engines), verified by exact Hamming distance via
+    * bit_count(xor).
+    *
+    * The decode step is the documented deterministic stand-in (this
+    * container has no image codecs): the "plane" is the document's
+    * character-code stream — every Spark-side shape (per-block partial
+    * aggregation, banded candidate join, popcount verify) is the real one
+    * and carries over unchanged when a codec supplies true pixels.
+    *
+    * Scale shape: one explode whose (doc, block) rollup partial-aggregates
+    * map-side to 64 rows per asset before the exchange; bands are 4 rows
+    * per asset; the candidate join is an equi-join on (band idx, band
+    * value); the verify join touches only candidate pairs. */
+  def phashDedup(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val cs = docs
+      .select(col("doc_id"), length(col("text")).as("L"),
+        posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
+      .select(col("doc_id"), col("L"),
+        expr("(p0 * 64) DIV L").as("k"), ascii(col("ch")).as("c"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+    val tot = cs.groupBy(col("doc_id"))
+      .agg(sum(col("s")).as("total"), sum(col("n")).as("lt"))
+    val bands = cs.join(tot, "doc_id")
+      .select(col("doc_id"), expr("k DIV 8").as("j"),
+        when(col("s") * col("lt") > col("total") * col("n"), 1L)
+          .otherwise(0L).as("bit"),
+        col("k"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("bit * shiftleft(1L, CAST(k % 8 AS INT))")).as("band"))
+    val bandCols = (0 until 8).map(j =>
+      max(when(col("j") === j, col("band"))).as(s"b$j"))
+    val ph = Dedup.materialize(bands.groupBy(col("doc_id"))
+      .agg(bandCols.head, bandCols.tail: _*))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hamming = (0 until 8).map(j =>
+      expr(s"bit_count(a.b$j ^ bb$j)")).reduce(_ + _).cast("long")
+    cand
+      .join(ph.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(ph.select(col("doc_id").as("bid") +:
+        (0 until 8).map(j => col(s"b$j").as(s"bb$j")): _*),
+        col("doc_b") === col("bid"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

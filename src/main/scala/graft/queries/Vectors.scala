@@ -232,7 +232,12 @@ object Vectors extends QueryPack {
     // Resize planning over decoded metadata (aspect-preserving bound).
     "mm_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(
-        Multimodal.decodeMetaFromDocs(table(s, dir, "documents")), maxSide = 256))
+        Multimodal.decodeMetaFromDocs(table(s, dir, "documents")), maxSide = 256)),
+
+    // Perceptual-hash near-dup pairs (aHash/PDQ shape): 64 block-mean
+    // bits in 4 bands, banded candidate join, bit_count(xor) verify.
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashDedup(table(s, dir, "documents"), maxHamming = 12))
   )
 
   /** DuckDB twin of ops.Similarity.cosine — sequential double fold. */
@@ -740,6 +745,39 @@ object Vectors extends QueryPack {
     // decodeMeta's container arithmetic (n_bytes = text bytes + 33-byte
     // PNG / 39-byte JFIF header) + per-format running totals; floor
     // division via the exact (x - mod) / width pattern on both sides.
+    "mm_phash_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, len(text) AS L, text,
+        |    unnest(range(1, len(text) + 1)) AS i
+        |  FROM documents),
+        |cs AS MATERIALIZED (
+        |  SELECT doc_id, ((i - 1) * 64) // L AS k,
+        |    CAST(sum(ord(text[i])) AS BIGINT) AS s, count(*) AS n
+        |  FROM u GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+        |    CAST(sum(n) AS BIGINT) AS lt
+        |  FROM cs GROUP BY 1),
+        |bands AS MATERIALIZED (
+        |  SELECT cs.doc_id, CAST(k // 8 AS BIGINT) AS j,
+        |    CAST(sum((CASE WHEN s * lt > total * n THEN 1 ELSE 0 END)
+        |             * (CAST(1 AS BIGINT) << CAST(k % 8 AS INT))) AS BIGINT) AS band
+        |  FROM cs JOIN tot USING (doc_id) GROUP BY 1, 2),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, list(band ORDER BY j) AS bl
+        |  FROM bands GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 9),
+        |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) AS BIGINT) AS hamming
+        |FROM cand JOIN ph x ON cand.doc_a = x.doc_id
+        |          JOIN ph y ON cand.doc_b = y.doc_id
+        |WHERE list_sum(list_transform(range(1, 9),
+        |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "mm_shard_manifest" ->
       """WITH m AS (
         |  SELECT doc_id,
