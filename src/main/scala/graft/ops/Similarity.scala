@@ -532,11 +532,17 @@ object Similarity {
     * cell table and a d-row vector — 8 joins over ≤64-row frames,
     * re-materialized per round so the plan stays flat. 100 TB costs the
     * covariance scan; the eigen-solve is free. */
-  def pcaPower(emb: DataFrame, iters: Int = 8): DataFrame = {
+  def pcaPower(emb: DataFrame, iters: Int = 8): DataFrame =
+    pcaPowerFromCov(covarianceMatrix(emb), iters)
+
+  /** pcaPower over an already-computed (dim_i, dim_j, cov) upper-triangle
+    * table — the staged-covariance path, so the Gram pass is shared with
+    * the covariance query instead of recomputed. */
+  def pcaPowerFromCov(covTable: DataFrame, iters: Int = 8): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(iters >= 1, "pcaPower needs at least one iteration")
     val dec = DecimalType(30, 10)
-    val cov = Dedup.materialize(covarianceMatrix(emb)
+    val cov = Dedup.materialize(covTable
       .select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov")))
     val sym = cov.unionByName(cov.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("cov")))

