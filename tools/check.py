@@ -59,10 +59,20 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    # skip list: --skip q1,q2 for known-long oracles run separately
+    skip = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     report = {}
     con = duckdb.connect()
+    # politeness knob for big-SF runs: bound DuckDB's thread pool so a
+    # heavy oracle doesn't monopolize the machine (default: all cores)
+    if os.environ.get("CHECK_THREADS"):
+        con.execute(f"SET threads = {int(os.environ['CHECK_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # ScaleData writes directory-style parquet
@@ -74,7 +84,7 @@ def main():
     names = sorted(glob.glob(f"{out_dir}/*/"))
     for d in names:
         name = os.path.basename(d.rstrip("/"))
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         files = glob.glob(f"{d}/*.parquet")
         if not files:
@@ -103,7 +113,7 @@ def main():
             print(f"ok   {name} ({len(got)} rows)")
     if rows_only:
         print("rows-only (no oracle):", ", ".join(rows_only))
-    missing = (set(oracle) if not only else set(oracle) & only) \
+    missing = (set(oracle) if not only else set(oracle) & only) - skip \
         - {os.path.basename(d.rstrip('/')) for d in names}
     if missing:
         print("oracle without output:", sorted(missing))
