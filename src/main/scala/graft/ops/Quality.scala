@@ -150,7 +150,7 @@ object Quality {
         ((pe - pl) * log(pe / pl)).cast(DecimalType(30, 10)).as("term"))
       .groupBy(col("event_type"))
       .agg(max(col("te")).as("n_early"), max(col("tl")).as("n_late"),
-        round(sum(col("term")).cast(DoubleType), 6).as("psi"))
+        round(sum(col("term")), 6).cast(DoubleType).as("psi"))
       .orderBy(col("event_type"))
   }
 

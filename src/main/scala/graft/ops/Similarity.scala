@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.queries.rz
+import graft.queries.{rz, rd}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (`array<float>`). Built-in higher-order functions only
@@ -548,25 +548,25 @@ object Similarity {
       .select(col("j").as("i"), col("i").as("j"), col("cov")))
     val d = cov.agg(max(col("j"))).head().getLong(0) + 1
     var v = Dedup.materialize(cov.select(col("i").as("dim")).distinct()
-      .select(col("dim"), rz(lit(1.0) / sqrt(lit(d.toDouble)), 6).as("value")))
+      .select(col("dim"), rd(lit(1.0) / sqrt(lit(d.toDouble)), 6).as("value")))
     var lastNrm: DataFrame = null
     for (_ <- 1 to iters) {
       val w = Dedup.materialize(sym.join(v, col("j") === col("dim"))
         .groupBy(col("i"))
-        .agg(rz(sum((col("cov") * col("value")).cast(dec)).cast(DoubleType), 6)
-          .as("w"))
+        .agg(round(sum((col("cov") * col("value")).cast(dec)), 6)
+          .cast(DoubleType).as("w"))
         .select(col("i").as("dim"), col("w")))
       lastNrm = broadcast(w.agg(
         sqrt(sum((col("w") * col("w")).cast(dec)).cast(DoubleType)).as("nrm")))
       v = Dedup.materialize(w.crossJoin(lastNrm)
-        .select(col("dim"), rz(col("w") / col("nrm"), 6).as("value")))
+        .select(col("dim"), rd(col("w") / col("nrm"), 6).as("value")))
     }
     val trace = broadcast(cov.filter(col("i") === col("j"))
       .agg(sum(col("cov").cast(dec)).cast(DoubleType).as("tr")))
     v.crossJoin(lastNrm).crossJoin(trace)
       .select(col("dim"), col("value").as("loading"),
-        rz(col("nrm"), 6).as("lambda"),
-        rz(col("nrm") / col("tr"), 6).as("evr"))
+        rd(col("nrm"), 6).as("lambda"),
+        rd(col("nrm") / col("tr"), 6).as("evr"))
       .orderBy(col("dim"))
   }
 

@@ -22,8 +22,8 @@ object Analytics extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       table(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey", $"o_orderdate",
-          round(sum($"o_totalprice".cast(DecimalType(30, 10))).over(w)
-            .cast(DoubleType), 2).as("running_total"))
+          round(sum($"o_totalprice".cast(DecimalType(30, 10))).over(w), 2)
+            .cast(DoubleType).as("running_total"))
         .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
     }),
 
@@ -182,8 +182,8 @@ object Analytics extends QueryPack {
         .rangeBetween(-29, 0)
       table(s, dir, "orders")
         .select($"o_custkey", $"o_orderkey", $"o_orderdate",
-          round(sum($"o_totalprice".cast(DecimalType(30, 10))).over(w)
-            .cast(DoubleType), 2).as("rolling_30d"),
+          round(sum($"o_totalprice".cast(DecimalType(30, 10))).over(w), 2)
+            .cast(DoubleType).as("rolling_30d"),
           count(lit(1)).over(w).as("n_30d"))
         .orderBy($"o_custkey", $"o_orderkey")
     }),
@@ -419,7 +419,7 @@ object Analytics extends QueryPack {
       table(s, dir, "orders").createOrReplaceTempView(view)
       s.sql(s"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-          round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
         FROM $view
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
@@ -470,7 +470,7 @@ object Analytics extends QueryPack {
           sum($"l_quantity".cast(DecimalType(30, 10))).as("ps"),
           count(lit(1)).as("pc")),
         merge = Seq(
-          round(sum($"ps").cast(DoubleType), 2).as("sum_qty"),
+          round(sum($"ps"), 2).cast(DoubleType).as("sum_qty"),
           sum($"pc").as("n")))
         .orderBy($"l_returnflag")
     }),
@@ -505,9 +505,9 @@ object Analytics extends QueryPack {
   val oracle: Map[String, String] = Map(
     "w1_running_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total
+        |    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "w2_rank" ->
@@ -527,7 +527,7 @@ object Analytics extends QueryPack {
 
     "q5_region_revenue" ->
       """SELECT n_name,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -541,7 +541,7 @@ object Analytics extends QueryPack {
     "q7_trade_flow" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -576,7 +576,7 @@ object Analytics extends QueryPack {
     // deterministic in both engines.
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -588,7 +588,7 @@ object Analytics extends QueryPack {
 
     "w5_rolling_30d" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w AS DOUBLE), 2) AS rolling_30d,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER w, 2) AS DOUBLE) AS rolling_30d,
         |  count(*) OVER w AS n_30d
         |FROM (SELECT *,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days
@@ -644,7 +644,7 @@ object Analytics extends QueryPack {
 
     "r1_rollup" ->
       """SELECT r_name, n_name,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -656,15 +656,15 @@ object Analytics extends QueryPack {
 
     "cb1_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "pt1_promo_share" ->
       """SELECT p_brand,
-        |  round(CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,10))) AS DOUBLE), 2) AS promo_rev,
-        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_rev,
+        |  CAST(round(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,10))), 2) AS DOUBLE) AS promo_rev,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_rev,
         |  count(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -732,17 +732,17 @@ object Analytics extends QueryPack {
 
     "gs1_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "pv1_pivot" ->
       """SELECT n_name,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 1) AS DOUBLE), 2) AS q1,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 2) AS DOUBLE), 2) AS q2,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 3) AS DOUBLE), 2) AS q3,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 4) AS DOUBLE), 2) AS q4
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 1), 2) AS DOUBLE) AS q1,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 2), 2) AS DOUBLE) AS q2,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 3), 2) AS DOUBLE) AS q3,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))) FILTER (quarter(o_orderdate) = 4), 2) AS DOUBLE) AS q4
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -763,13 +763,13 @@ object Analytics extends QueryPack {
     "sk2_salted_join" ->
       """SELECT s_name,
         |  count(*) AS n,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "sk1_skew_agg" ->
       """SELECT l_returnflag,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -391,7 +391,7 @@ object Etl extends QueryPack {
       s.read.parquet(path)
         .unionByName(partials(li.filter(col("l_orderkey") % 7 === 0)))
         .groupBy(col("l_returnflag"))
-        .agg(round(sum(col("s")).cast(DoubleType), 2).as("sum_qty"),
+        .agg(round(sum(col("s")), 2).cast(DoubleType).as("sum_qty"),
           sum(col("n")).as("n"))
         .orderBy(col("l_returnflag"))
     }),
@@ -576,7 +576,7 @@ object Etl extends QueryPack {
     // The incremental merge must equal the full recompute exactly.
     "etl_incremental_agg" ->
       """SELECT l_returnflag,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -636,7 +636,7 @@ object Etl extends QueryPack {
         |               CAST(sum(cl) AS BIGINT) AS tl
         |        FROM f GROUP BY 1)
         |SELECT event_type, max(te) AS n_early, max(tl) AS n_late,
-        |  round(CAST(sum(CAST((pe - pl) * ln(pe / pl) AS DECIMAL(30,10))) AS DOUBLE), 6) AS psi
+        |  CAST(round(sum(CAST((pe - pl) * ln(pe / pl) AS DECIMAL(30,10))), 6) AS DOUBLE) AS psi
         |FROM (SELECT f.event_type, te, tl,
         |        (ce + 1) / CAST(te + 10 AS DOUBLE) AS pe,
         |        (cl + 1) / CAST(tl + 10 AS DOUBLE) AS pl
@@ -730,7 +730,7 @@ object Etl extends QueryPack {
 
     "etl_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE), 2) AS sum_qty
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
@@ -773,7 +773,7 @@ object Etl extends QueryPack {
 
     "etl_staging_sorted" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
         |FROM lineitem WHERE l_quantity >= 30
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

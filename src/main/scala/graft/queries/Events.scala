@@ -689,7 +689,7 @@ object Events extends QueryPack {
     "ev_tumbling_window" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS win_start,
         |  event_type, count(*) AS n,
-        |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |  CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same windows as ev_tumbling_window — the streaming drain must land on
@@ -697,7 +697,7 @@ object Events extends QueryPack {
     "ev_stream_tumbling" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS win_start,
         |  event_type, count(*) AS n,
-        |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |  CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Sliding size=30m slide=15m: each event belongs to 2 windows — the two
@@ -709,7 +709,7 @@ object Events extends QueryPack {
         |    event_type, "value"
         |  FROM events CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k)
         |SELECT win_start, event_type, count(*) AS n,
-        |  round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total
+        |  CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
         |FROM exploded GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // 60-bit md5 hash split into 6 bucket bits + 54 rank bits; rho via
@@ -1038,7 +1038,7 @@ object Events extends QueryPack {
         |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |    count(*) AS n_events,
-        |    round(CAST(sum(CAST("value" AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_value,
+        |    CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_value,
         |    max(ts) AS last_ts
         |  FROM events GROUP BY user_id),
         |m AS (SELECT max(ts) AS corpus_max FROM events)

@@ -391,21 +391,21 @@ object Vectors extends QueryPack {
       |         UNION ALL SELECT j AS i, i AS j, cov FROM pcov WHERE i <> j),
       |pd AS (SELECT max(j) + 1 AS d FROM pcov),
       |pv0 AS (SELECT DISTINCT i AS dim,
-      |          round(1 / sqrt((SELECT d FROM pd)), 6) + 0 AS value FROM pcov)""".stripMargin
+      |          CAST(round(CAST(1 / sqrt((SELECT d FROM pd)) AS DECIMAL(30,10)), 6) AS DOUBLE) AS value FROM pcov)""".stripMargin
     val per = (1 to iters).map { r =>
       s"""pw$r AS MATERIALIZED (
         |  SELECT s.i AS dim,
-        |    round(CAST(sum(CAST(s.cov * v.value AS DECIMAL(30,10))) AS DOUBLE), 6) + 0 AS w
+        |    CAST(round(sum(CAST(s.cov * v.value AS DECIMAL(30,10))), 6) AS DOUBLE) + 0 AS w
         |  FROM psym s JOIN pv${r - 1} v ON s.j = v.dim GROUP BY s.i),
         |pn$r AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(30,10))) AS DOUBLE)) AS nrm FROM pw$r),
-        |pv$r AS MATERIALIZED (SELECT dim, round(w / (SELECT nrm FROM pn$r), 6) + 0 AS value FROM pw$r)""".stripMargin
+        |pv$r AS MATERIALIZED (SELECT dim, CAST(round(CAST(w / (SELECT nrm FROM pn$r) AS DECIMAL(30,10)), 6) AS DOUBLE) AS value FROM pw$r)""".stripMargin
     }
     s"""WITH $base,
       |${per.mkString(",\n")},
       |ptr AS (SELECT CAST(sum(CAST(cov AS DECIMAL(30,10))) AS DOUBLE) AS tr FROM pcov WHERE i = j)
       |SELECT dim, value AS loading,
-      |  round((SELECT nrm FROM pn$iters), 6) + 0 AS lambda,
-      |  round((SELECT nrm FROM pn$iters) / (SELECT tr FROM ptr), 6) + 0 AS evr
+      |  CAST(round(CAST((SELECT nrm FROM pn$iters) AS DECIMAL(30,10)), 6) AS DOUBLE) AS lambda,
+      |  CAST(round(CAST((SELECT nrm FROM pn$iters) / (SELECT tr FROM ptr) AS DECIMAL(30,10)), 6) AS DOUBLE) AS evr
       |FROM pv$iters ORDER BY dim""".stripMargin
   }
 

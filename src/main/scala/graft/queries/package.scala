@@ -125,12 +125,18 @@ package object queries {
   /** Oracle-deterministic SUM over a double column: cast to decimal so the
     * aggregation is exact (order-independent — partial aggregates across
     * partitions must equal DuckDB's sequential sum bit-for-bit), then round
-    * and return double. DuckDB twin:
-    * `round(CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE), s)`.
+    * IN DECIMAL SPACE and only then return double. DuckDB twin:
+    * `CAST(round(sum(CAST(x AS DECIMAL(30,10))), s) AS DOUBLE)`.
     * Double->decimal(…,10) rounding cannot tie (10^-11 is not binary-
-    * representable), so both engines produce identical decimals per row. */
+    * representable), so both engines produce identical decimals per row.
+    * The final round must happen on the DECIMAL, not after a double cast:
+    * Spark's round(double) rounds the shortest-decimal representation
+    * (BigDecimal.valueOf) where DuckDB rounds the binary value, and a sum
+    * landing on an exact .5 at the target scale flips a cent between the
+    * engines (the round-9 sf1 q5/q7/pt1 failures). Decimal half-up is
+    * identical in both. */
   def dsum(c: Column, scale: Int = 2): Column =
-    round(sum(c.cast(DecimalType(30, 10))).cast(DoubleType), scale)
+    round(sum(c.cast(DecimalType(30, 10))), scale).cast(DoubleType)
 
   /** Oracle-deterministic AVG: exact decimal sum, double divide, round.
     * DuckDB twin: `round(CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
@@ -147,4 +153,14 @@ package object queries {
     * a hashed artifact must pass through this on BOTH engines.
     * DuckDB twin: `round(x, s) + 0`. */
   def rz(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
+  /** Decimal-space round of a DOUBLE expression: cast to DECIMAL(30,10)
+    * (identical in both engines — the dsum tie-free note), round half-up
+    * in decimal, cast back. Subsumes rz (decimal zero casts to +0.0) AND
+    * dodges the shortest-repr-vs-binary round(double) divergence, so use
+    * it for any double that feeds an ITERATED computation where one
+    * boundary flip amplifies (the PCA power chain). DuckDB twin:
+    * `CAST(round(CAST(x AS DECIMAL(30,10)), s) AS DOUBLE)`. */
+  def rd(c: Column, scale: Int): Column =
+    round(c.cast(DecimalType(30, 10)), scale).cast(DoubleType)
 }
