@@ -368,6 +368,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rd rounds in decimal space: binary-vs-shortest-repr boundaries agree") {
+    // 2305185995.365 is not exactly representable: its double sits just
+    // BELOW the .365 boundary (…36499999…), so a binary-value round gives
+    // .36 while Spark's round(double) — which rounds the shortest decimal
+    // repr "….365" — gives .37 (the round-9 sf1 q5/q7/pt1 cent flips).
+    // rd() routes through DECIMAL(30,10) first: the 10-dp decimalization
+    // is identical in both engines (no tie possible at 1e-11), and the
+    // decimal round is exact half-up in both. Pin rd's value on the
+    // documented boundary case and on exact values.
+    import org.apache.spark.sql.types.Decimal
+    val df = Seq(2305185995.365, 1.25, -1.2345675, 0.0049999999).toDF("x")
+      .select($"x", graft.queries.rd($"x", 2).as("r2"),
+        graft.queries.rd($"x", 6).as("r6"))
+    val got = rows(df).map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // expected = decimal(30,10) of the double, then HALF_UP at the scale —
+    // recomputed host-side through the same BigDecimal path
+    for ((x, r2, r6) <- got) {
+      def exp(s: Int) = Decimal(x).toBigDecimal
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r2 == exp(2), s"rd($x, 2) = $r2, want ${exp(2)}")
+      assert(r6 == exp(6), s"rd($x, 6) = $r6, want ${exp(6)}")
+    }
+  }
+
   test("dsum decimal aggregation is partition-order independent") {
     val vals = samples(Gen.chooseNum(-1e6, 1e6), 2000)
     val one = vals.toDF("v").repartition(1)
