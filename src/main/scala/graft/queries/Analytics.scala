@@ -499,6 +499,133 @@ object Analytics extends QueryPack {
         .agg(davg($"v").as("mean_v"), count(lit(1)).as("n"))
         .filter($"dim" < 8)
         .orderBy($"label", $"dim")
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): orders with any late
+    // shipment, counted per priority. The EXISTS is evaluated as
+    // max(l_shipdate) per order — lineitem collapses to order cardinality
+    // with map-side partials BEFORE the join, instead of a row-level
+    // big-big semi join (max(ship) > cutoff ⟺ EXISTS a late line). At
+    // 100 TB both sides shuffle once on orderkey; nothing else moves.
+    "q4_order_priority" -> ((s, dir) => {
+      import s.implicits._
+      val late = table(s, dir, "lineitem")
+        .groupBy($"l_orderkey").agg(max($"l_shipdate").as("max_ship"))
+      table(s, dir, "orders")
+        .join(late, $"o_orderkey" === $"l_orderkey")
+        .filter($"max_ship" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join keeps
+    // zero-order customers (count(o_orderkey) ignores the null-extended
+    // rows), then a second aggregation over the first's output — the
+    // two-level groupBy whose inner result is customer-bounded, so the
+    // outer exchange is trivial at any scale.
+    "q13_custdist" -> ((s, dir) => {
+      import s.implicits._
+      val ord = table(s, dir, "orders")
+        .filter($"o_orderstatus" =!= "P")
+        .select($"o_custkey", $"o_orderkey")
+      table(s, dir, "customer").select($"c_custkey")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    }),
+
+    // TPC-H Q16 shape (supplier diversity per part profile): distinct
+    // suppliers per (brand, type, size) from the lineitem association,
+    // minus complained-about suppliers (negative balance) — the exclusion
+    // list is supplier-bounded and broadcast, so the ANTI join costs no
+    // exchange; the countDistinct shuffles once on the group key.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      import s.implicits._
+      val bad = table(s, dir, "supplier")
+        .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+      table(s, dir, "lineitem").select($"l_partkey", $"l_suppkey")
+        .join(table(s, dir, "part")
+            .filter($"p_brand" =!= "Brand#5" && $"p_size" <= 25)
+            .select($"p_partkey", $"p_brand", $"p_type", $"p_size"),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(bad), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicate revenue): OR-of-ANDs across
+    // the joined part attributes and line quantity. The brand/size
+    // disjunction pushes into the part scan as a single OR filter; part
+    // broadcasts; the residual mixed-side predicate evaluates inside the
+    // broadcast join's codegen — no second pass, no shuffle at all.
+    "q19_disjunctive" -> ((s, dir) => {
+      import s.implicits._
+      table(s, dir, "lineitem")
+        .join(broadcast(table(s, dir, "part")),
+          $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+            $"l_quantity".between(20, 30)))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q22 shape (dormant capital): customers with above-average
+    // positive balance and no RECENT order (none since 2000) —
+    // scalar-subquery cut (one broadcast row) + ANTI join against the
+    // recent slice of the order log, summarized per segment. The date
+    // filter pushes into the orders scan and o_custkey is projected before
+    // the anti join, so the big side moves one slim pre-filtered column;
+    // the davg cut is decimal-exact (oracle twin).
+    "q22_dormant" -> ((s, dir) => {
+      import s.implicits._
+      val cust = table(s, dir, "customer")
+      val cut = cust.filter($"c_acctbal" > 0.0)
+        .agg(davg($"c_acctbal", 6).as("cut"))
+      cust
+        .join(table(s, dir, "orders")
+            .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+            .select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .crossJoin(broadcast(cut))
+        .filter($"c_acctbal" > $"cut")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("total_bal"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    // Chi-square independence test, status x priority: the contingency
+    // table is category-bounded (|status| x |priority| cells), margins are
+    // rollups of the cells, and every per-cell (obs-e)^2/e term is summed
+    // in decimal space — exact and order-independent, so the one-row
+    // statistic hashes identically cross-engine. Expected counts keep ONE
+    // operand order (rs*cs/n, double) on both sides.
+    "st7_chi2" -> ((s, dir) => {
+      import s.implicits._
+      val cells = table(s, dir, "orders")
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("obs"))
+      val rowM = cells.groupBy($"o_orderstatus").agg(sum($"obs").as("rs"))
+      val colM = cells.groupBy($"o_orderpriority").agg(sum($"obs").as("cs"))
+      val tot = cells.agg(sum($"obs").as("n"))
+      val e = $"rs".cast("double") * $"cs" / $"n"
+      cells
+        .join(broadcast(rowM), Seq("o_orderstatus"))
+        .join(broadcast(colM), Seq("o_orderpriority"))
+        .crossJoin(broadcast(tot))
+        .agg(max($"n").as("n"),
+          ((countDistinct($"o_orderstatus") - 1) *
+            (countDistinct($"o_orderpriority") - 1)).cast("long").as("dof"),
+          round(sum((($"obs" - e) * ($"obs" - e) / e)
+              .cast(DecimalType(30, 10))).cast(DoubleType), 6).as("chi2"))
     })
   )
 
@@ -783,6 +910,74 @@ object Analytics extends QueryPack {
         |SELECT label, dim,
         |  round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS mean_v,
         |  count(*) AS n
-        |FROM e WHERE dim < 8 GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+        |FROM e WHERE dim < 8 GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // Same max-shipdate EXISTS collapse; timestamps compare exactly.
+    "q4_order_priority" ->
+      """WITH ms AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS max_ship
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n_late
+        |FROM orders JOIN ms ON o_orderkey = l_orderkey
+        |WHERE max_ship > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The status filter lives in the ON clause so zero-order customers
+    // survive the LEFT join — identical to filtering orders pre-join.
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |  GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Same decimal-exact davg cut, same strict > comparison.
+    "q22_dormant" ->
+      """WITH cut AS (
+        |  SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS cut
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_bal
+        |FROM customer CROSS JOIN cut
+        |WHERE c_acctbal > cut
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Identical operand order for e = rs*cs/n; the per-cell terms sum in
+    // decimal — order-independent in both engines.
+    "st7_chi2" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT s, sum(obs) AS rs FROM cells GROUP BY 1),
+        |cm AS (SELECT p, sum(obs) AS cs FROM cells GROUP BY 1),
+        |tt AS (SELECT sum(obs) AS n FROM cells)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST((count(DISTINCT s) - 1) * (count(DISTINCT p) - 1) AS BIGINT) AS dof,
+        |  round(CAST(sum(CAST(
+        |    (obs - CAST(rs AS DOUBLE) * cs / n) * (obs - CAST(rs AS DOUBLE) * cs / n)
+        |      / (CAST(rs AS DOUBLE) * cs / n) AS DECIMAL(30,10))) AS DOUBLE), 6) AS chi2
+        |FROM cells JOIN rm USING (s) JOIN cm USING (p) CROSS JOIN tt""".stripMargin
   )
 }

@@ -645,6 +645,45 @@ object Events extends QueryPack {
         cuts = Seq("train" -> 8000, "val" -> 9000, "test" -> 10000))
         .select(col("user_id"), col("n_events"), col("subset"))
         .orderBy(col("user_id"))
+    }),
+
+    // Change-point detection (CUSUM mean-shift) over per-type hourly
+    // traffic: the hour where the cumulative deviation from a flat rate
+    // peaks. Entirely integer — dev_k = cum_k·H − k·total is the CUSUM
+    // statistic scaled by H (counts per 1/H units), exact in both engines,
+    // so the argmax needs no float rounding doctrine. The dense hour grid
+    // (missing hours count 0 — exactly what a traffic drop looks like) is
+    // rebuilt per type from one aggregated row; every window runs over the
+    // GRID (≤ |hours| rows per type), never the event stream.
+    "ev_cpd_cusum" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val c = table(s, dir, "events")
+        .select($"event_type",
+          (unix_micros($"ts".cast("timestamp")) / lit(3600000000L))
+            .cast("long").as("h"))
+        .groupBy($"event_type", $"h").agg(count(lit(1)).as("cnt"))
+      val bounds = c.groupBy($"event_type")
+        .agg(min($"h").as("mn"), max($"h").as("mx"), sum($"cnt").as("total"))
+      val grid = bounds
+        .select($"event_type", $"mn", $"mx", $"total",
+          explode(sequence($"mn", $"mx")).as("h"))
+        .join(c, Seq("event_type", "h"), "left_outer")
+        .withColumn("cnt", coalesce($"cnt", lit(0L)))
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+      grid
+        .withColumn("cum", sum($"cnt").over(w))
+        .select($"event_type", $"h",
+          ($"cum" * ($"mx" - $"mn" + 1L) -
+            ($"h" - $"mn" + 1L) * $"total").as("dev"),
+          ($"mx" - $"mn" + 1L).as("n_hours"), $"total")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"event_type").orderBy(abs($"dev").desc, $"h")))
+        .filter($"rk" === 1)
+        .select($"event_type", $"h".as("cp_hour"),
+          abs($"dev").as("max_abs_dev"), $"n_hours", $"total")
+        .orderBy($"event_type")
     })
   )
 
@@ -1255,6 +1294,41 @@ object Events extends QueryPack {
         |  CASE WHEN CAST(('0x' || substr(md5(53 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
         |       WHEN CAST(('0x' || substr(md5(53 || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
         |       ELSE 'test' END AS subset
-        |FROM u ORDER BY user_id""".stripMargin
+        |FROM u ORDER BY user_id""".stripMargin,
+
+    // Same integer CUSUM scaled by H; ties break on the earliest hour.
+    "ev_cpd_cusum" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, min(h) AS mn, max(h) AS mx,
+        |    CAST(sum(cnt) AS BIGINT) AS total
+        |  FROM c GROUP BY 1),
+        |g AS (
+        |  SELECT event_type, mn, mx, total,
+        |    CAST(unnest(range(mn, mx + 1)) AS BIGINT) AS h
+        |  FROM b),
+        |d AS (
+        |  SELECT g.event_type, g.h, g.mn, g.mx, g.total,
+        |    COALESCE(c.cnt, 0) AS cnt
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h),
+        |w AS (
+        |  SELECT event_type, h, mn, mx, total,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS cum
+        |  FROM d),
+        |v AS (
+        |  SELECT event_type, h,
+        |    cum * (mx - mn + 1) - (h - mn + 1) * total AS dev,
+        |    mx - mn + 1 AS n_hours, total
+        |  FROM w)
+        |SELECT event_type, h AS cp_hour,
+        |  CAST(abs(dev) AS BIGINT) AS max_abs_dev,
+        |  CAST(n_hours AS BIGINT) AS n_hours, total
+        |FROM v
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(dev) DESC, h) = 1
+        |ORDER BY event_type""".stripMargin
   )
 }

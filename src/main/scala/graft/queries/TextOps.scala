@@ -997,6 +997,29 @@ object TextOps extends QueryPack {
           lit("&utm_campaign=c"), col("doc_id").cast("string"),
           lit("#top")).as("url"))
       graft.ops.Url.canonicalDedup(urls)
+    }),
+
+    // Kneser-Ney continuation counts — the LM-smoothing statistic that
+    // scores a word by how many DISTINCT left contexts it follows (not how
+    // often it occurs): P_cont(w) = |{u : c(u,w)>0}| / |bigram types|.
+    // The bigram TYPE table collapses the corpus stream map-side (the
+    // bigramLogProb kernel), the distinct is vocabulary-bounded (Heaps'
+    // law), and everything after it is integer — counts and ppm shares.
+    "tx_kn_continuation" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val types = TextAnalysis.docGramCounts(
+          table(s, dir, "documents"), 2, Nil)
+        .select(substring_index(col("g"), " ", 1).as("w1"),
+          substring_index(col("g"), " ", -1).as("w2"))
+        .distinct()
+      val total = types.agg(count(lit(1)).as("n_bigram_types"))
+      types.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+        .crossJoin(broadcast(total))
+        .select(col("w2").as("token"), col("cont"),
+          col("n_bigram_types"),
+          expr("(cont * 1000000L) DIV n_bigram_types").as("p_cont_ppm"))
+        .orderBy(col("cont").desc, col("token"))
+        .limit(50)
     })
   )
 
@@ -2003,6 +2026,25 @@ object TextOps extends QueryPack {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS BIGINT) AS chunk_idx,
         |  start_tok, CAST(least(64, n - start_tok + 1) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Same lower+collapse tokenization as the bigram LM; DISTINCT bigram
+    // types, integer continuation counts, floor-division ppm.
+    "tx_kn_continuation" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2) z),
+        |bg AS (SELECT DISTINCT w1, w2 FROM p),
+        |b AS (SELECT count(*) AS n_bigram_types FROM bg),
+        |c AS (SELECT w2, count(*) AS cont FROM bg GROUP BY 1)
+        |SELECT w2 AS token, cont, n_bigram_types,
+        |  (cont * 1000000) // n_bigram_types AS p_cont_ppm
+        |FROM c CROSS JOIN b
+        |ORDER BY cont DESC, token LIMIT 50""".stripMargin
   )
 }

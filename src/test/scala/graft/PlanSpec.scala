@@ -811,4 +811,71 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
   }
+
+  test("q4: EXISTS collapses lineitem via partial max BEFORE the join") {
+    val p = plan("q4_order_priority")
+    // two aggregate pairs: the per-order max collapse and the priority
+    // rollup — the lineitem side must aggregate, not semi-join row-level
+    assert(p.split("HashAggregate").length - 1 >= 4, p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q13: zero-order customers survive the left outer join") {
+    val p = plan("q13_custdist")
+    assert(p.contains("LeftOuter"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    // orders' status filter is pushed into its scan, not post-join (a
+    // post-join filter would silently turn the join inner)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_orderstatus"), pushed)
+  }
+
+  test("q16: complaint suppliers leave via a broadcast ANTI join") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q19: disjunctive predicate pushes into the part scan; no shuffle " +
+    "before the single-row agg") {
+    val p = plan("q19_disjunctive")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("Or("), s"OR filter not pushed:\n$pushed")
+    assert(p.contains("BroadcastHashJoin"))
+    val keyed = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(keyed == 0, s"expected no keyed exchange, saw $keyed")
+  }
+
+  test("q22: recent-order date filter pushes into the orders scan") {
+    val p = plan("q22_dormant")
+    assert(p.contains("LeftAnti"), p.take(600))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_orderdate"), pushed)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("st7: contingency margins broadcast; the statistic is one row") {
+    val p = plan("st7_chi2")
+    assert(p.split("BroadcastExchange").length - 1 >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
+
+  test("ev_cpd: every window is keyed by event_type (no global sort)") {
+    val p = plan("ev_cpd_cusum")
+    assert(!p.contains("CartesianProduct"))
+    // both windows (cumsum + argmax rank) partition by event_type
+    assert(!p.contains("partitionSpec=[]"), "global window crept in")
+  }
+
+  test("kn continuation: bigram types aggregate map-side; top-k is " +
+    "TakeOrdered") {
+    val p = plan("tx_kn_continuation")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    // distinct over (w1,w2) must partial-aggregate before its exchange
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+  }
 }
