@@ -1010,6 +1010,73 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunk table (Muthitacharoen et al., LBFS SOSP'01;
+    * the FastCDC family): a boundary falls AFTER token i when the 60-bit
+    * seeded hash of the `window`-token context ending at i is ≡ 0
+    * (mod `modulus`) — chunk edges are decided by LOCAL content, so an
+    * edit early in a document re-frames nothing past the next boundary.
+    * That shift-invariance is exactly what fixed-stride chunking
+    * ([[chunkDedup]]) lacks: there one inserted token re-frames every
+    * following chunk and the dedup signal evaporates. Average chunk ≈
+    * `modulus` tokens; the document end is always a boundary. Returns one
+    * row per chunk: (doc_id, start_tok, n_chunk_toks, ch).
+    *
+    * Shape at scale: chunking is IN-ROW — one pass over the token array
+    * (boundary scan + slice-and-hash fold), zero exchanges; the per-window
+    * hash is the library's SQL-reproducible md5 family, evaluated in the
+    * HOF interpreter (per-row CPU, linear, embarrassingly parallel — the
+    * cost a cluster absorbs by width). */
+  def cdcChunks(docs: DataFrame, window: Int = 4,
+                modulus: Int = 16): DataFrame = {
+    val base = docs
+      .select(col("doc_id"),
+        split(F.normalizeText(lower(col("text"))), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    // interior boundaries: the guard keeps sequence() off the descending
+    // branch for sub-window docs; i < n leaves the final boundary to the
+    // explicit doc-end append
+    val interior = org.apache.spark.sql.functions.filter(
+      when(col("n") >= window, sequence(lit(window), col("n")))
+        .otherwise(array().cast("array<int>")),
+      i => (i < col("n")) &&
+        pmod(seededHash(59,
+            concat_ws(" ", slice(col("toks"), i - (window - 1), lit(window)))),
+          lit(modulus)) === 0)
+    base
+      .withColumn("ends", concat(interior, array(col("n"))))
+      .withColumn("starts",
+        concat(array(lit(1)),
+          transform(slice(col("ends"), lit(1), size(col("ends")) - 1),
+            e => e + 1)))
+      .select(col("doc_id"),
+        explode(zip_with(col("starts"), col("ends"), (a, b) =>
+          struct(a.cast("long").as("start_tok"),
+            (b - a + 1).cast("long").as("n_chunk_toks"),
+            md5(concat_ws(" ", slice(col("toks"), a, b - a + 1)))
+              .as("ch")))).as("ck"))
+      .select(col("doc_id"), col("ck.start_tok"), col("ck.n_chunk_toks"),
+        col("ck.ch"))
+  }
+
+  /** CDC dedup rollup over [[cdcChunks]] — the chunkDedup survivorship
+    * contract (global first occurrence by packed (doc_id, start) key) on
+    * content-defined edges. Same exchange posture as chunkDedup: one
+    * chunk-hash groupBy, one equi-join back, one doc rollup. */
+  def cdcChunkDedup(docs: DataFrame, window: Int = 4,
+                    modulus: Int = 16): DataFrame = {
+    val chunks = cdcChunks(docs, window, modulus)
+    val packed = col("doc_id") * lit(1L << 20) + col("start_tok")
+    val firsts = chunks.groupBy(col("ch")).agg(min(packed).as("first_pk"))
+    chunks.join(firsts, "ch")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(packed === col("first_pk"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chunk_toks")).as("n_toks"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_chunks"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc maximal duplicated-span arrays — the shared kernel of the
     * ExactSubstr audit (duplicatedSpans) and transform (redactSpans).
     *

@@ -494,6 +494,43 @@ object Etl extends QueryPack {
           sum(abs(col("recomputed") - col("o_totalprice"))
             .cast(DecimalType(30, 2))).cast("double").as("total_abs_diff"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Benford first-significant-digit audit on the money column — the
+    // classic fabricated-data screen. Digit extraction is INTEGER end to
+    // end: the tie-free DECIMAL(30,10) cast quantizes to exact cents, and
+    // the leading digit of the integer cents IS the first significant
+    // digit of the price (prices ≥ 0.01) — no log10, no double→string
+    // formatting, nothing engine-dependent. Expected shares are literal
+    // Benford ppm (log10(1+1/d) is NOT evaluated at runtime — libm
+    // rounding is not cross-engine safe), so the whole artifact hashes as
+    // integers. Shape: one map-side digit extraction + a 9-key rollup +
+    // one broadcast total row.
+    "dq8_benford" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L)
+      val exp = s.createDataFrame(benford.map { case (d, p) => (d.toLong, p) })
+        .toDF("digit", "benford_ppm")
+      val cents = table(s, dir, "orders")
+        .filter($"o_totalprice" > 0.0)
+        .select(floor($"o_totalprice".cast(DecimalType(30, 10)) * 100)
+          .cast("long").as("cents"))
+      val digits = cents.select(
+        expr("cents DIV CAST(pow(10, length(CAST(cents AS STRING)) - 1) AS BIGINT)")
+          .as("digit"))
+      val tot = digits.agg(count(lit(1)).as("n_total"))
+      digits.groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+        .join(broadcast(exp), Seq("digit"))
+        .crossJoin(broadcast(tot))
+        .select($"digit", $"n_obs", $"n_total",
+          expr("(n_obs * 1000000L) DIV n_total").as("obs_ppm"),
+          $"benford_ppm",
+          (expr("(n_obs * 1000000L) DIV n_total") - $"benford_ppm")
+            .as("dev_ppm"))
+        .orderBy($"digit")
     })
   )
 
@@ -784,6 +821,28 @@ object Etl extends QueryPack {
         |    ORDER BY c_custkey, c_name, c_mktsegment) AS INT) AS customer_key,
         |  c_custkey, c_name, c_mktsegment
         |FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment FROM customer)
-        |ORDER BY customer_key""".stripMargin
+        |ORDER BY customer_key""".stripMargin,
+
+    // Same exact-cents digit extraction (tie-free decimal cast, floor,
+    // integer leading digit), same literal Benford ppm table.
+    "dq8_benford" ->
+      """WITH cents AS (
+        |  SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(30,10)) * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 0.0),
+        |d AS (
+        |  SELECT cents // CAST(pow(10, length(CAST(cents AS VARCHAR)) - 1) AS BIGINT) AS digit
+        |  FROM cents),
+        |t AS (SELECT count(*) AS n_total FROM d),
+        |exp AS (
+        |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS v(digit, benford_ppm))
+        |SELECT CAST(d.digit AS BIGINT) AS digit,
+        |  count(*) AS n_obs, CAST(max(n_total) AS BIGINT) AS n_total,
+        |  (count(*) * 1000000) // max(n_total) AS obs_ppm,
+        |  CAST(max(benford_ppm) AS BIGINT) AS benford_ppm,
+        |  (count(*) * 1000000) // max(n_total) - max(benford_ppm) AS dev_ppm
+        |FROM d JOIN exp ON d.digit = exp.digit CROSS JOIN t
+        |GROUP BY d.digit ORDER BY digit""".stripMargin
   )
 }

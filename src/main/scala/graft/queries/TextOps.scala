@@ -1020,7 +1020,53 @@ object TextOps extends QueryPack {
           expr("(cont * 1000000L) DIV n_bigram_types").as("p_cont_ppm"))
         .orderBy(col("cont").desc, col("token"))
         .limit(50)
-    })
+    }),
+
+    // Zipf's-law fit over the head of the frequency table: log-log least
+    // squares of count vs rank on the top-100 tokens — the corpus-health
+    // statistic (a natural corpus slopes ≈ −1; template/boilerplate floods
+    // flatten it). The vocabulary rollup partial-aggregates map-side; the
+    // ranking window runs over the 100-row TakeOrdered head, not the
+    // vocabulary; the regression moments use the st2/st4 decimal-sum
+    // discipline (each ln term quantized to DECIMAL(30,10), summed
+    // exactly, one operand order on both engines).
+    "tx_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val toks = table(s, dir, "documents")
+        .select(explode(split(
+          graft.etl.functions.normalizeText(lower(col("text"))), " "))
+          .as("term"))
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(100)
+      val r = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("term"))))
+      val x = log(col("rank").cast("double"))
+      val y = log(col("c").cast("double"))
+      val m = r.agg(count(lit(1)).as("n_top"),
+        sum(x.cast(DecimalType(30, 10))).cast(DoubleType).as("sx"),
+        sum(y.cast(DecimalType(30, 10))).cast(DoubleType).as("sy"),
+        sum((x * y).cast(DecimalType(30, 10))).cast(DoubleType).as("sxy"),
+        sum((x * x).cast(DecimalType(30, 10))).cast(DoubleType).as("sxx"),
+        sum((y * y).cast(DecimalType(30, 10))).cast(DoubleType).as("syy"))
+      val nD = col("n_top").cast("double")
+      val cov = nD * col("sxy") - col("sx") * col("sy")
+      val varx = nD * col("sxx") - col("sx") * col("sx")
+      val vary = nD * col("syy") - col("sy") * col("sy")
+      m.select(col("n_top"),
+        rz(cov / varx, 6).as("slope"),
+        rz((col("sy") - cov / varx * col("sx")) / nD, 6).as("intercept"),
+        rz(cov * cov / (varx * vary), 6).as("r2"))
+    }),
+
+    // Content-defined chunking dedup (LBFS/FastCDC family): boundaries
+    // where the 4-token rolling context hashes ≡ 0 (mod 16), so chunk
+    // edges survive early-document edits — the shift-invariance
+    // fixed-stride chunking (dd_chunk_dedup) lacks. First-occurrence
+    // survivorship per content chunk, per-doc retention stats.
+    "dd_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunkDedup(table(s, dir, "documents")))
   )
 
   private val stop = "'the','a','of','and','to','in','is'"
@@ -2045,6 +2091,72 @@ object TextOps extends QueryPack {
         |SELECT w2 AS token, cont, n_bigram_types,
         |  (cont * 1000000) // n_bigram_types AS p_cont_ppm
         |FROM c CROSS JOIN b
-        |ORDER BY cont DESC, token LIMIT 50""".stripMargin
+        |ORDER BY cont DESC, token LIMIT 50""".stripMargin,
+
+    // Same top-100 head (count desc, token tie-break), same ln terms
+    // quantized to DECIMAL(30,10), same st4 operand order.
+    "tx_zipf_fit" ->
+      """WITH t AS (
+        |  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |w AS (SELECT unnest(toks) AS term FROM t),
+        |f AS (SELECT term, count(*) AS c FROM w GROUP BY 1),
+        |top AS (SELECT term, c FROM f ORDER BY c DESC, term LIMIT 100),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk FROM top),
+        |s AS (SELECT count(*) AS n_top,
+        |  CAST(sum(CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) AS syy
+        |  FROM r)
+        |SELECT n_top,
+        |  round((CAST(n_top AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n_top AS DOUBLE) * sxx - sx * sx), 6) + 0 AS slope,
+        |  round((sy - (CAST(n_top AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n_top AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n_top AS DOUBLE), 6) + 0
+        |    AS intercept,
+        |  round((CAST(n_top AS DOUBLE) * sxy - sx * sy) * (CAST(n_top AS DOUBLE) * sxy - sx * sy) /
+        |        ((CAST(n_top AS DOUBLE) * sxx - sx * sx) * (CAST(n_top AS DOUBLE) * syy - sy * sy)), 6) + 0
+        |    AS r2
+        |FROM s""".stripMargin,
+
+    // Same seed-59 window hash deciding the boundaries, same doc-end
+    // append, same packed first-occurrence survivorship as dd_chunk_dedup.
+    "dd_cdc_chunks" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |z AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    list_concat(
+        |      [i FOR i IN range(4, n + 1)
+        |       IF i < n AND ${mh(59, "array_to_string(toks[i-3:i], ' ')")} % 16 = 0],
+        |      [n]) AS ends
+        |  FROM z),
+        |s AS (
+        |  SELECT doc_id, toks, ends,
+        |    list_concat([1], [e + 1 FOR e IN ends[1:len(ends)-1]]) AS starts
+        |  FROM e),
+        |u AS (SELECT doc_id, toks, starts, ends,
+        |        unnest(range(1, len(ends) + 1)) AS j FROM s),
+        |ck AS (
+        |  SELECT doc_id, CAST(starts[j] AS BIGINT) AS start_tok,
+        |    CAST(ends[j] - starts[j] + 1 AS BIGINT) AS n_chunk_toks,
+        |    md5(array_to_string(toks[starts[j]:ends[j]], ' ')) AS ch
+        |  FROM u),
+        |f AS (SELECT ch, min(doc_id * 1048576 + start_tok) AS first_pk
+        |      FROM ck GROUP BY ch)
+        |SELECT ck.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN ck.doc_id * 1048576 + ck.start_tok = f.first_pk
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chunk_toks) AS BIGINT) AS n_toks,
+        |  round(CAST(sum(CASE WHEN ck.doc_id * 1048576 + ck.start_tok = f.first_pk
+        |                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS kept_ratio
+        |FROM ck JOIN f ON ck.ch = f.ch
+        |GROUP BY ck.doc_id ORDER BY ck.doc_id""".stripMargin
   )
 }

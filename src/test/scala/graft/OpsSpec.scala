@@ -67,6 +67,29 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == (1L, 0L)) // B already seen in doc 1
   }
 
+  test("cdc chunks: boundaries are content-defined — a prefix edit " +
+    "re-frames nothing past the first boundary") {
+    // The CDC property under test: prepend tokens to a document and the
+    // chunk set differs ONLY in the region up to the first content
+    // boundary after the edit; every later chunk hash is identical.
+    // Fixed-stride chunking (chunkDedup) loses ALL alignment on the same
+    // edit — asserted as the contrast.
+    val body = (1 to 120).map(i => s"tok${i * 7 % 101}").mkString(" ")
+    val orig = Seq((1L, body)).toDF("doc_id", "text")
+    val edited = Seq((1L, s"inserted words here $body")).toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      rows(Dedup.cdcChunks(df)).map(_.getAs[String]("ch"))
+    val (h0, h1) = (hashes(orig), hashes(edited))
+    val shared = h0.toSet.intersect(h1.toSet).size
+    // all but the head chunk(s) re-align after the insertion
+    assert(shared >= h0.size - 2,
+      s"CDC lost alignment: ${h0.size} orig chunks, only $shared survive the edit")
+    // the doc end is always a boundary and chunks tile the token stream
+    val toks = rows(Dedup.cdcChunks(orig)
+      .agg(org.apache.spark.sql.functions.sum("n_chunk_toks"))).head.getLong(0)
+    assert(toks == 120L, s"chunks must tile all 120 tokens, got $toks")
+  }
+
   test("exact-substr spans: shared runs merge to maximal spans; unique text silent") {
     // minLen=10. Doc 1 and 2 share a 30-char run mid-text at different
     // offsets; doc 3 repeats a 12-char run within itself; doc 4 is unique.

@@ -878,4 +878,27 @@ class PlanSpec extends SparkSpec {
     // distinct over (w1,w2) must partial-aggregate before its exchange
     assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
   }
+
+  test("benford: digit extraction map-side; 9-key rollup + broadcast total") {
+    val p = plan("dq8_benford")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    // the Benford table and the one-row total both broadcast
+    assert(p.split("BroadcastExchange").length - 1 >= 2, p.take(800))
+  }
+
+  test("zipf fit: ranking window runs over the TakeOrdered head, " +
+    "not the vocabulary") {
+    val p = plan("tx_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must cut BEFORE the ranking window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cdc chunks: in-row chunking — exchanges only at the hash groupBy " +
+    "and the doc rollup") {
+    val p = plan("dd_cdc_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    val keyed = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(keyed <= 3, s"CDC should shuffle on ch/doc_id only, saw $keyed")
+  }
 }
