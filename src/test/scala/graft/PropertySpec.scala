@@ -401,4 +401,26 @@ class PropertySpec extends SparkSpec {
       .agg(graft.queries.dsum($"v").as("s"))
     assert(rows(one).head.getDouble(0) == rows(many).head.getDouble(0))
   }
+
+  test("benford cents extraction: floor after the tie-free decimal cast " +
+    "(no rounding branch for either engine to disagree on)") {
+    // The dq8 digit pipeline: DECIMAL(30,10) cast (tie-free), *100, floor.
+    // 999.995 exercises the half-cent case: floor keeps 99999 (leading 9)
+    // in BOTH engines — a round() here would carry to 100000 in Spark's
+    // HALF_UP while DuckDB's CAST truncates, flipping the leading digit.
+    import org.apache.spark.sql.types.DecimalType
+    val df = Seq(999.995, 0.01, 1.0, 99999.99, 123.456).toDF("x")
+      .select($"x", floor($"x".cast(DecimalType(30, 10)) * 100)
+        .cast("long").as("cents"))
+      .select($"x", $"cents",
+        expr("cents DIV CAST(pow(10, length(CAST(cents AS STRING)) - 1) AS BIGINT)")
+          .as("digit"))
+    val got = rows(df).map(r => r.getDouble(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(got(999.995) == (99999L, 9L))
+    assert(got(0.01) == (1L, 1L))
+    assert(got(1.0) == (100L, 1L))
+    assert(got(99999.99) == (9999999L, 9L))
+    assert(got(123.456) == (12345L, 1L))
+  }
 }
