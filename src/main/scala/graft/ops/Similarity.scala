@@ -53,6 +53,39 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Maximum-inner-product top-k (MIPS) — retrieval where score = q·x,
+    * not cosine (the recommendation / last-layer-logit shape: vector
+    * magnitude IS signal). The MIPS→NN reduction (Shrivastava & Li,
+    * NIPS'14; Neyshabur & Srebro '15) appends sqrt(M²−‖x‖²) to each
+    * corpus vector and 0 to each query, making augmented-cosine order
+    * IDENTICAL to inner-product order (augmented corpus norms are the
+    * constant M) — and since the appended coordinate is sign-constant, the
+    * axis-sign LSH buckets of the augmented space are exactly the
+    * unaugmented ones. So the bucketed candidate walk reuses signBucket
+    * verbatim and scoring ranks by the raw dot product — rounded 6 dp
+    * (rz) with vec_id tie-break, the library's deterministic-rank rule.
+    *
+    * Shape at scale: queries broadcast; candidates are bucket-equi-join
+    * bounded; per-pair work is one dot product. Same posture as
+    * [[signLshTopK]]. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               signBits: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), signBits).as("bucket"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      signBucket(col("embedding"), signBits).as("bucket")))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        rz(dotf(col("q_emb"), col("embedding")), 6).as("ip"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Axis-sign LSH bucket id: bit i set iff embedding[i] > 0. */
   def signBucket(emb: Column, signBits: Int = 8): Column =
     (0 until signBits).map { i =>

@@ -655,37 +655,87 @@ object Events extends QueryPack {
     // (missing hours count 0 — exactly what a traffic drop looks like) is
     // rebuilt per type from one aggregated row; every window runs over the
     // GRID (≤ |hours| rows per type), never the event stream.
-    "ev_cpd_cusum" -> ((s, dir) => {
-      import s.implicits._
+    "ev_cpd_cusum" -> ((s, dir) =>
+      cusumArgmax(hourlyCounts(table(s, dir, "events")))),
+
+    // The SAME change-point statistic with the hourly table produced by
+    // the live streaming path: the per-type hour counts drain from a
+    // complete-mode streaming aggregation over the staged micro-batches
+    // (the ev_stream_tumbling scaffolding), and the grid-bounded CUSUM
+    // windows run over the drained result — converging to the identical
+    // batch answer, so both share one oracle. The split mirrors a real
+    // deployment: counts maintained online, detection on the store.
+    "ev_stream_cpd" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val c = table(s, dir, "events")
-        .select($"event_type",
-          (unix_micros($"ts".cast("timestamp")) / lit(3600000000L))
-            .cast("long").as("h"))
-        .groupBy($"event_type", $"h").agg(count(lit(1)).as("cnt"))
-      val bounds = c.groupBy($"event_type")
-        .agg(min($"h").as("mn"), max($"h").as("mx"), sum($"cnt").as("total"))
-      val grid = bounds
-        .select($"event_type", $"mn", $"mx", $"total",
-          explode(sequence($"mn", $"mx")).as("h"))
-        .join(c, Seq("event_type", "h"), "left_outer")
-        .withColumn("cnt", coalesce($"cnt", lit(0L)))
-      val w = Window.partitionBy($"event_type").orderBy($"h")
-      grid
-        .withColumn("cum", sum($"cnt").over(w))
-        .select($"event_type", $"h",
-          ($"cum" * ($"mx" - $"mn" + 1L) -
-            ($"h" - $"mn" + 1L) * $"total").as("dev"),
-          ($"mx" - $"mn" + 1L).as("n_hours"), $"total")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"event_type").orderBy(abs($"dev").desc, $"h")))
-        .filter($"rk" === 1)
-        .select($"event_type", $"h".as("cp_hour"),
-          abs($"dev").as("max_abs_dev"), $"n_hours", $"total")
-        .orderBy($"event_type")
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = tmpStage(dir, "evstream4")
+      ensureStaged(staged, "_SUCCESS") {
+        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+          .coalesce(4).write.mode("overwrite").parquet(staged)
+      }
+      val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
+      val hourly = stream
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val drained = StreamOps.drainToTable(hourly,
+        s"ev_stream_cpd$sf".replace(".", "_"), mode = "complete",
+        shufflePartitions = Some(8))
+      cusumArgmax(drained)
     })
   )
+
+  /** Per-type epoch-hour counts — the CUSUM kernel's input contract. */
+  private def hourlyCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .select(col("event_type"),
+        (unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+          .cast("long").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CUSUM mean-shift argmax over an hourly count table (ev_cpd_cusum's
+    * kernel, shared with the streaming drain): dense per-type hour grid
+    * (missing hours count 0), integer deviation dev_k = cum_k·H − k·total
+    * (the CUSUM statistic scaled by H — exact in both engines, no float
+    * rounding doctrine needed), earliest-hour tie-break. Every window runs
+    * over the GRID (≤ |hours| rows per type), never the event stream. */
+  private def cusumArgmax(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // hour→count rides a per-type map through the grid explode (the map is
+    // grid-bounded) — no join back onto the count table, so the kernel is
+    // also safe on inputs whose attributes cannot self-join (the streaming
+    // memory-sink view resolves to the SAME attribute ids on both sides)
+    val bounds = c.groupBy(col("event_type"))
+      .agg(min(col("h")).as("mn"), max(col("h")).as("mx"),
+        sum(col("cnt")).as("total"),
+        map_from_entries(collect_list(struct(col("h"), col("cnt"))))
+          .as("byHour"))
+    val grid = bounds
+      .select(col("event_type"), col("mn"), col("mx"), col("total"),
+        col("byHour"), explode(sequence(col("mn"), col("mx"))).as("h"))
+      .withColumn("cnt", coalesce(element_at(col("byHour"), col("h")), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    grid
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .select(col("event_type"), col("h"),
+        (col("cum") * (col("mx") - col("mn") + 1L) -
+          (col("h") - col("mn") + 1L) * col("total")).as("dev"),
+        (col("mx") - col("mn") + 1L).as("n_hours"), col("total"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("dev")).desc, col("h"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("h").as("cp_hour"),
+        abs(col("dev")).as("max_abs_dev"), col("n_hours"), col("total"))
+      .orderBy(col("event_type"))
+  }
 
   /** Integer day key (µs-epoch floor division), BIGINT moments, identical
     * double operand order for mean/sd/z — shared by the batch query and
@@ -1296,8 +1346,18 @@ object Events extends QueryPack {
         |       ELSE 'test' END AS subset
         |FROM u ORDER BY user_id""".stripMargin,
 
+    // The streaming drain must land on the identical hourly table, so the
+    // batch CUSUM oracle judges it too.
+    "ev_stream_cpd" -> cpdOracle,
+
     // Same integer CUSUM scaled by H; ties break on the earliest hour.
-    "ev_cpd_cusum" ->
+    "ev_cpd_cusum" -> cpdOracle
+  )
+
+  /** Integer CUSUM over the dense epoch-hour grid, shared by the batch
+    * query and its streaming twin. (lazy: referenced by the `oracle` map
+    * val declared above it). */
+  private lazy val cpdOracle: String =
       """WITH c AS (
         |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
         |    count(*) AS cnt
@@ -1330,5 +1390,4 @@ object Events extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY event_type
         |  ORDER BY abs(dev) DESC, h) = 1
         |ORDER BY event_type""".stripMargin
-  )
 }

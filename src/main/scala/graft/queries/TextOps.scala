@@ -1060,6 +1060,23 @@ object TextOps extends QueryPack {
         rz(cov * cov / (varx * vary), 6).as("r2"))
     }),
 
+    // Degree distribution of the near-dup pair graph — the structural
+    // audit read next to gr1's PageRank: how many documents sit in
+    // how-connected neighborhoods (a fat tail = boilerplate hubs). Rides
+    // the staged pair table; two bounded rollups (node degree, then the
+    // degree histogram — rows bounded by max degree, not corpus size).
+    // Isolated documents have no pair row and no degree-0 bar, by design.
+    "gr2_degree_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pairs = stagedPairs(s, dir)
+      val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // Content-defined chunking dedup (LBFS/FastCDC family): boundaries
     // where the 4-token rolling context hashes ≡ 0 (mod 16), so chunk
     // edges survive early-document edits — the shift-invariance
@@ -2120,6 +2137,14 @@ object TextOps extends QueryPack {
         |        ((CAST(n_top AS DOUBLE) * sxx - sx * sx) * (CAST(n_top AS DOUBLE) * syy - sy * sy)), 6) + 0
         |    AS r2
         |FROM s""".stripMargin,
+
+    // Same symmetric edge set as gr1's CTEs; degree = per-node edge count.
+    "gr2_degree_hist" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        |        FROM edges GROUP BY src)
+        |SELECT degree, count(*) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
     // Same seed-59 window hash deciding the boundaries, same doc-end
     // append, same packed first-occurrence survivorship as dd_chunk_dedup.

@@ -26,6 +26,14 @@ object Vectors extends QueryPack {
         signBits = 8)
     }),
 
+    // Maximum-inner-product retrieval through the MIPS→NN reduction —
+    // ranking by raw dot product over the sign-bucket candidate walk.
+    "sim_mips_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.mipsTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+        signBits = 8)
+    }),
+
     // Approximate top-k via IVF cells (deterministic centroid subset,
     // nprobe=2) — the scale path when the query side is also large. The
     // centroid spacing is DERIVED (⌈√n⌉, so m ≈ √n at any corpus size);
@@ -448,6 +456,18 @@ object Vectors extends QueryPack {
         |  FROM b e JOIN q USING (bucket) WHERE e.vec_id != q.q_id)
         |SELECT q_id, vec_id, sim, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Same sign buckets, raw dot-product ranking (the MIPS order).
+    "sim_mips_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id, (round(${dot("q.q_emb", "e.embedding")}, 6) + 0) AS ip
+        |  FROM b e JOIN q USING (bucket) WHERE e.vec_id != q.q_id)
+        |SELECT q_id, vec_id, ip, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 

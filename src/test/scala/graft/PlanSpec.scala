@@ -894,6 +894,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("mips: queries broadcast; candidates bucket-bounded, never " +
+    "cartesian") {
+    val p = plan("sim_mips_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("degree hist: two bounded rollups over the staged pair table, " +
+    "no window") {
+    val p = plan("gr2_degree_hist")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(p.split("HashAggregate").length - 1 >= 4, p.take(600))
+  }
+
   test("cdc chunks: in-row chunking — exchanges only at the hash groupBy " +
     "and the doc rollup") {
     val p = plan("dd_cdc_chunks")
