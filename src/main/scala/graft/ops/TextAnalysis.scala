@@ -925,4 +925,56 @@ object TextAnalysis {
         coalesce(col("last_doc"), lit(-1L)).as("last_doc"))
       .orderBy(col("term"))
   }
+
+  /** BM25 ranking (Robertson et al., Okapi TREC-3 '94) for a fixed query
+    * term set over the inverted-index tokenization — the retrieval scorer
+    * an LLM-data search/curation stack runs after ix1's posting lookup.
+    * idf is the standard `ln((N − df + ½)/(df + ½) + 1)` (Lucene's
+    * non-negative variant); tf saturates at k1, length-normalized by b.
+    *
+    * Scale shape: the token stream is filtered to the query terms BEFORE
+    * any exchange (the ix1 discipline — an IN-list over a handful of
+    * terms cuts the corpus stream map-side); document length is computed
+    * in-row off the same split (no second corpus pass); df is
+    * term-bounded and broadcast; each per-(doc,term) score rounds at 6 dp
+    * into DECIMAL(20,6) so the per-doc sum is exact and order-independent
+    * (the tx_langid lam discipline); the top-k leaves via TakeOrdered.
+    * Every arithmetic step keeps ONE operand order — the DuckDB twin is
+    * written with the identical shape. */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val arr = split(F.normalizeText(lower(col("text"))), " ")
+    val withArr = docs.select(col("doc_id"), arr.as("arr"))
+    // corpus stats: one bounded row (exact integer length sum)
+    val stats = withArr
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("arr")).cast("long")).as("sl"))
+      .select(col("n_docs"),
+        round(col("sl").cast(DoubleType) / col("n_docs"), 6).as("avgdl"))
+    val tf = withArr
+      .select(col("doc_id"), size(col("arr")).cast("long").as("dl"),
+        explode(col("arr")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df_ = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nd = col("n_docs").cast(DoubleType)
+    val tfd = col("tf").cast(DoubleType)
+    val dld = col("dl").cast(DoubleType)
+    // k1 = 1.2, b = 0.75; (k1+1) and (1−b) pre-folded as exact double
+    // literals so both engines evaluate the same constants
+    val score = log((nd - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * dld / col("avgdl")))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(round(score, 6).cast(DecimalType(20, 6))).as("sc"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("sc").cast(DoubleType).as("bm25"),
+        col("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

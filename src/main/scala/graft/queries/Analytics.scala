@@ -626,6 +626,211 @@ object Analytics extends QueryPack {
             (countDistinct($"o_orderpriority") - 1)).cast("long").as("dof"),
           round(sum((($"obs" - e) * ($"obs" - e) / e)
               .cast(DecimalType(30, 10))).cast(DoubleType), 6).as("chi2"))
+    }),
+
+    // TPC-H Q8 shape (national market share): within one region's market
+    // (customers in ASIA), the share of yearly revenue supplied by one
+    // nation. The market membership semi-reduces orders through a
+    // broadcast customer⋈nation⋈region chain BEFORE the fact join, so the
+    // only big exchange is lineitem⋈orders on orderkey; the supplier
+    // nation flag rides a broadcast dim. Share = decimal-exact conditional
+    // sum over decimal-exact total — one double division at the end.
+    "q8_market_share" -> ((s, dir) => {
+      import s.implicits._
+      val d = DecimalType(30, 10)
+      val n = table(s, dir, "nation")
+      val asiaCust = table(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+        .join(broadcast(n
+            .join(broadcast(table(s, dir, "region").filter($"r_name" === "ASIA")
+              .select($"r_regionkey")), $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey")
+      val supFlag = table(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(n.filter($"n_name" === "NATION_1")
+            .select($"n_nationkey".as("tgt"))),
+          $"s_nationkey" === $"tgt", "left_outer")
+        .select($"s_suppkey", $"tgt".isNotNull.as("is_target"))
+      val mktOrders = table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        .join(broadcast(asiaCust), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+      val rev = ($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(d)
+      table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(broadcast(supFlag), $"l_suppkey" === $"s_suppkey")
+        .join(mktOrders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_year")
+        .agg(sum(when($"is_target", rev).otherwise(lit(0).cast(d))).as("tr"),
+          sum(rev).as("ar"))
+        .select($"o_year",
+          round($"tr".cast(DoubleType) / $"ar".cast(DoubleType), 6)
+            .as("mkt_share"),
+          round($"ar", 2).cast(DoubleType).as("total_rev"))
+        .orderBy($"o_year")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): profit on 'red%' parts per
+    // supplier nation per order year, cost modeled off the part list
+    // price (no partsupp table in this schema). part filters + broadcasts;
+    // the one big exchange is lineitem⋈orders on orderkey; supplier and
+    // nation ride broadcasts. The profit expression keeps ONE operand
+    // order on both engines (IEEE multiply is order-sensitive), then sums
+    // in decimal.
+    "q9_product_profit" -> ((s, dir) => {
+      import s.implicits._
+      val amount = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        lit(0.6) * $"p_retailprice" * $"l_quantity"
+      val redParts = table(s, dir, "part").filter($"p_name".startsWith("red"))
+        .select($"p_partkey", $"p_retailprice")
+      val supNation = table(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(broadcast(table(s, dir, "nation")
+            .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          $"l_quantity", $"l_extendedprice", $"l_discount")
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
+        .join(table(s, dir, "orders").select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"supp_nation", year($"o_orderdate").cast("long").as("o_year"))
+        .agg(dsum(amount).as("profit"), count(lit(1)).as("n"))
+        .orderBy($"supp_nation", $"o_year".desc)
+    }),
+
+    // TPC-H Q15 shape (top supplier): revenue per supplier over one
+    // quarter, keep the max-revenue supplier(s). The "view" is the
+    // supplier-bounded aggregate; the max is ONE broadcast row joined
+    // back by exact equality — exact because both sides carry the same
+    // decimal-rounded double, never a recomputed float.
+    "q15_top_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val rev = table(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("total_rev"))
+      val mx = rev.agg(max($"total_rev").as("mx"))
+      rev.crossJoin(broadcast(mx)).filter($"total_rev" === $"mx")
+        .join(broadcast(table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_rev")
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): revenue from brand lines
+    // ordered below half the part's average quantity. The correlated
+    // subquery becomes a part-bounded aggregate joined back by partkey —
+    // both the average side and the probe side are cut to the brand's
+    // parts by the SAME broadcast dim before anything shuffles, and the
+    // per-part averages broadcast back (part-bounded at any corpus size).
+    "q17_small_quantity" -> ((s, dir) => {
+      import s.implicits._
+      val brandLines = table(s, dir, "lineitem")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        .join(broadcast(table(s, dir, "part")
+            .filter($"p_brand" === "Brand#12").select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+      val avgQty = brandLines.groupBy($"l_partkey".as("ap_partkey"))
+        .agg(davg($"l_quantity", 6).as("avg_qty"))
+      brandLines
+        .join(broadcast(avgQty), $"l_partkey" === $"ap_partkey")
+        .filter($"l_quantity" < lit(0.5) * $"avg_qty")
+        .agg(dsum($"l_extendedprice").as("total_rev"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q20 shape (significant-share suppliers): suppliers carrying
+    // more than 10% of some 'red%' part's shipped volume. The availqty
+    // semi-join chain of the spec becomes: per-(part,supplier) shipped
+    // quantity vs per-part total, compared ENTIRELY in decimal space
+    // (qty·10 > total — exact in both engines, no float threshold), then a
+    // supplier rollup. Every post-lineitem table is part- or
+    // supplier-bounded; the one corpus exchange is the (part,supp) agg.
+    "q20_share_suppliers" -> ((s, dir) => {
+      import s.implicits._
+      val d = DecimalType(30, 10)
+      val redLines = table(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey", $"l_quantity")
+        .join(broadcast(table(s, dir, "part")
+            .filter($"p_name".startsWith("red")).select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+      val perPartSupp = redLines.groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity".cast(d)).as("qty"))
+      val perPart = perPartSupp.groupBy($"l_partkey".as("t_partkey"))
+        .agg(sum($"qty").as("total_qty"))
+      perPartSupp
+        .join(broadcast(perPart), $"l_partkey" === $"t_partkey")
+        .filter($"qty" * lit(10) > $"total_qty")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_parts"))
+        .join(broadcast(table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name")), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"n_parts")
+        .orderBy($"s_suppkey")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): in finished
+    // multi-supplier orders, the SOLE supplier whose lines shipped late
+    // (past orderdate + 60 days; this schema has no commit/receipt dates).
+    // The spec's EXISTS / NOT EXISTS self-joins collapse into ONE
+    // per-order aggregate — distinct suppliers, distinct late suppliers,
+    // and the late supplier's key all come out of the same orderkey
+    // shuffle, the q4 discipline at three-predicates scale.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      import s.implicits._
+      val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+      val perOrder = table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(table(s, dir, "orders").filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("ns"),
+          countDistinct(when(late, $"l_suppkey")).as("n_late"),
+          max(when(late, $"l_suppkey")).as("late_supp"))
+      perOrder.filter($"ns" > 1 && $"n_late" === 1)
+        .groupBy($"late_supp")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(table(s, dir, "supplier")
+          .select($"s_suppkey", $"s_name")), $"late_supp" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"numwait")
+        .orderBy($"numwait".desc, $"s_suppkey")
+    }),
+
+    // Lag-1 autocorrelation of the daily revenue series — the
+    // order-flow memory statistic a forecasting pipeline starts from.
+    // The series is CALENDAR-bounded (one row per day), so the global
+    // lead() window and the closed-form moment pass both run over ~2.4k
+    // rows no matter the corpus size; each day's revenue enters the
+    // moments as the SAME decimal-rounded double on both engines (the
+    // st2_corr discipline over a derived series).
+    "st8_autocorr" -> ((s, dir) => {
+      import s.implicits._
+      val d = DecimalType(30, 10)
+      val daily = table(s, dir, "orders")
+        .groupBy($"o_orderdate".as("day"))
+        .agg(dsum($"o_totalprice").as("rev"))
+      val w = Window.orderBy($"day")
+      val pairs = daily
+        .select($"day", $"rev", lead($"rev", 1).over(w).as("rev_next"))
+        .filter($"rev_next".isNotNull)
+      val nd = $"n".cast(DoubleType)
+      pairs.agg(count(lit(1)).as("n"),
+          sum($"rev".cast(d)).cast(DoubleType).as("sx"),
+          sum($"rev_next".cast(d)).cast(DoubleType).as("sy"),
+          sum(($"rev" * $"rev_next").cast(d)).cast(DoubleType).as("sxy"),
+          sum(($"rev" * $"rev").cast(d)).cast(DoubleType).as("sxx"),
+          sum(($"rev_next" * $"rev_next").cast(d)).cast(DoubleType).as("syy"))
+        .filter(nd * $"sxx" - $"sx" * $"sx" > 0 &&
+                nd * $"syy" - $"sy" * $"sy" > 0)
+        .select($"n",
+          rz((nd * $"sxy" - $"sx" * $"sy") /
+            (sqrt(nd * $"sxx" - $"sx" * $"sx") *
+             sqrt(nd * $"syy" - $"sy" * $"sy")), 6).as("autocorr_lag1"))
     })
   )
 
@@ -978,6 +1183,143 @@ object Analytics extends QueryPack {
         |  round(CAST(sum(CAST(
         |    (obs - CAST(rs AS DOUBLE) * cs / n) * (obs - CAST(rs AS DOUBLE) * cs / n)
         |      / (CAST(rs AS DOUBLE) * cs / n) AS DECIMAL(30,10))) AS DOUBLE), 6) AS chi2
-        |FROM cells JOIN rm USING (s) JOIN cm USING (p) CROSS JOIN tt""".stripMargin
+        |FROM cells JOIN rm USING (s) JOIN cm USING (p) CROSS JOIN tt""".stripMargin,
+
+    // Conditional and total revenue both sum in decimal; ONE double
+    // division at the end (same operand order as the Spark side).
+    "q8_market_share" ->
+      """WITH mkt AS (
+        |  SELECT o_orderkey, year(o_orderdate) AS o_year
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |tgt AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1'),
+        |agg AS (
+        |  SELECT o_year,
+        |    sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM tgt)
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))
+        |        ELSE 0 END) AS tr,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS ar
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN mkt ON l_orderkey = o_orderkey
+        |  GROUP BY o_year)
+        |SELECT o_year, round(CAST(tr AS DOUBLE) / CAST(ar AS DOUBLE), 6) AS mkt_share,
+        |  CAST(round(ar, 2) AS DOUBLE) AS total_rev
+        |FROM agg ORDER BY o_year""".stripMargin,
+
+    // The profit expression is written with the IDENTICAL operand order
+    // (IEEE multiply is order-sensitive); the sum is decimal-exact.
+    "q9_product_profit" ->
+      """SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(
+        |    l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity
+        |    AS DECIMAL(30,10))), 2) AS DOUBLE) AS profit,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE 'red%'
+        |GROUP BY 1, 2 ORDER BY supp_nation, o_year DESC""".stripMargin,
+
+    // total_rev is the same decimal-rounded double on both sides, so the
+    // max-equality join cannot float-diverge.
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // avg_qty is the davg twin (decimal sum, double divide, round 6);
+    // the half-average threshold keeps one operand order.
+    "q17_small_quantity" ->
+      """WITH bl AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |aq AS (
+        |  SELECT l_partkey AS ap_partkey,
+        |    round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+        |      / count(*), 6) AS avg_qty
+        |  FROM bl GROUP BY 1)
+        |SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS total_rev,
+        |  count(*) AS n_lines
+        |FROM bl JOIN aq ON l_partkey = ap_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    // The 10%-share threshold is compared entirely in decimal (qty*10 >
+    // total) — no float boundary for the engines to disagree on.
+    "q20_share_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(30,10))) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey AS t_partkey, sum(qty) AS total_qty
+        |       FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_parts
+        |FROM ps JOIN pt ON l_partkey = t_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty * 10 > total_qty
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+
+    // Same one-pass EXISTS/NOT-EXISTS collapse: distinct suppliers,
+    // distinct LATE suppliers, and the late supplier's key from one
+    // per-order aggregate.
+    "q21_waiting_supplier" ->
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS ns,
+        |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |                        THEN l_suppkey END) AS n_late,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |             THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE ns > 1 AND n_late = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    // Daily revenue enters the moments as the SAME decimal-rounded double
+    // on both engines; the moment pass is the st2_corr discipline.
+    "st8_autocorr" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT rev, lead(rev, 1) OVER (ORDER BY day) AS rev_next FROM daily),
+        |q AS (SELECT * FROM p WHERE rev_next IS NOT NULL),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(rev_next AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rev * rev_next AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(rev * rev AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(rev_next * rev_next AS DECIMAL(30,10))) AS DOUBLE) AS syy
+        |  FROM q)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0 AS autocorr_lag1
+        |FROM s
+        |WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |  AND CAST(n AS DOUBLE) * syy - sy * sy > 0""".stripMargin
   )
 }

@@ -972,6 +972,13 @@ object TextOps extends QueryPack {
       TextAnalysis.kwic(table(s, dir, "documents"),
         Seq("vector", "merge", "zz_absent"))),
 
+    // BM25 retrieval over the same tokenization ix1/ix2 index: top-100
+    // docs for a 4-term query, per-term scores rounded into DECIMAL(20,6)
+    // so the per-doc sum is exact (the langid lam discipline).
+    "ix3_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(table(s, dir, "documents"),
+        Seq("table", "scan", "merge", "vector"))),
+
     // Vocabulary richness: TTR + hapax share in integer ppm, the in-row
     // sorted-run kernel (zero shuffles).
     "tx_lexical_diversity" -> ((s, dir) =>
@@ -1877,6 +1884,37 @@ object TextOps extends QueryPack {
         |SELECT q.term, coalesce(df, 0) AS df, coalesce(tf, 0) AS tf,
         |  coalesce(first_doc, -1) AS first_doc, coalesce(last_doc, -1) AS last_doc
         |FROM q LEFT JOIN c USING (term) ORDER BY term""".stripMargin,
+
+    // Identical constant folding ((k1+1)=2.2, (1-b)=0.25) and operand
+    // order as the Spark side; per-term scores round into DECIMAL(20,6)
+    // before the per-doc sum.
+    "ix3_bm25" ->
+      """WITH da AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS arr
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n_docs,
+        |    round(CAST(sum(len(arr)) AS DOUBLE) / count(*), 6) AS avgdl
+        |  FROM da),
+        |tm AS (SELECT doc_id, len(arr) AS dl, unnest(arr) AS term FROM da),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM tm WHERE term IN ('table', 'scan', 'merge', 'vector')
+        |  GROUP BY 1, 2),
+        |dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(round(
+        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (CAST(tf AS DOUBLE) * 2.2) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+        |    6) AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+        |  count(*) AS n_terms
+        |FROM tf JOIN dfx USING (term) CROSS JOIN st
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // Three unrolled fixed-point PageRank iterations over clusterCtes'
     // edge set: integer micro-mass, floor division, integer damping — no

@@ -916,4 +916,80 @@ class PlanSpec extends SparkSpec {
     val keyed = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
     assert(keyed <= 3, s"CDC should shuffle on ch/doc_id only, saw $keyed")
   }
+
+  test("q8: market membership and supplier flag ride broadcasts; the " +
+    "region filter pushes into its scan") {
+    val p = plan("q8_market_share")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("r_name"), pushed)
+  }
+
+  test("q9: part prefix filter pushes; part/supplier/nation broadcast — " +
+    "the only keyed exchange is lineitem⋈orders") {
+    val p = plan("q9_product_profit")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("StringStartsWith(p_name,red"), pushed)
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q15: the quarter filter pushes into the lineitem scan; the max " +
+    "joins back as ONE broadcast row, never a window") {
+    val p = plan("q15_top_supplier")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"), pushed)
+    assert(!p.contains("Window"), "rank-window formulation crept in")
+    // the max row joins back as a broadcast nested loop (1-row build),
+    // never an unbounded cartesian
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("q17: both the average side and the probe side cut to the brand " +
+    "via broadcast BEFORE any exchange; per-part averages broadcast back") {
+    val p = plan("q17_small_quantity")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("q20: share threshold joins a part-bounded broadcast; one corpus " +
+    "exchange (the part,supp agg)") {
+    val p = plan("q20_share_suppliers")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("StringStartsWith(p_name,red"), pushed)
+  }
+
+  test("q21: the EXISTS/NOT-EXISTS pair collapses into ONE per-order " +
+    "aggregate — no self-join of lineitem, no window") {
+    val p = plan("q21_waiting_supplier")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    // lineitem is scanned ONCE (the spec's formulation scans it 3x);
+    // each scan node prints one InMemoryFileIndex Location line
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(scans == 1, s"lineitem scanned $scans times")
+  }
+
+  test("st8: the moment pass runs over the calendar-bounded daily series") {
+    val p = plan("st8_autocorr")
+    assert(!p.contains("CartesianProduct"))
+    // the lead() window orders the ~2.4k-row series, not the order log:
+    // it must sit ABOVE the daily aggregate in the plan
+    assert(p.contains("Window"), "lead() window missing")
+    assert(p.split("HashAggregate").length - 1 >= 2, p.take(600))
+  }
+
+  test("bm25: term filter cuts the token stream before any exchange; " +
+    "df and corpus stats broadcast; top-100 is TakeOrdered") {
+    val p = plan("ix3_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(p.split("BroadcastExchange").length - 1 >= 2, p.take(800))
+    // the 1-row corpus-stats cross join broadcasts (BNLJ), never a
+    // full cartesian
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("Window"))
+  }
 }
