@@ -68,4 +68,70 @@ object Graph {
         (col("m").cast("double") / MassScale.toDouble).as("pagerank"))
       .orderBy(col("pr_micro").desc, col("doc_id"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected edge list `(src, dst)` (each pair once) — the cohesion
+    * audit next to PageRank: a near-dup neighborhood that is also a
+    * near-CLIQUE (clustering ~1) is one boilerplate template, while a
+    * hub with low clustering stitches unrelated documents and deserves
+    * manual review before dedup collapses them.
+    *
+    * Algorithm: degree-ordered wedge join (Schank–Wagner / "compact
+    * forward"; the standard distributed formulation, cf. Cohen 2009
+    * "Graph twiddling in a MapReduce world"). Every edge is oriented from
+    * its lower-(degree, id) endpoint to the higher one, wedges are
+    * enumerated ONLY at the lowest-ordered corner, and the closing edge is
+    * probed in the same oriented table — each triangle is found exactly
+    * once, and the wedge count is bounded by O(E^1.5) REGARDLESS of skew
+    * (a degree-d hub generates no wedges beyond its oriented out-degree
+    * ≤ √E, where the naive per-node join would pay d²; at 100 TB the
+    * boilerplate hubs are exactly where d² explodes).
+    *
+    * Shape at scale: two self-equi-joins of the oriented edge table (both
+    * on its natural src key plus one probe on (src, dst)) and one rollup
+    * of triangle corners — no global structure, no iteration. lcc is
+    * reported in integer ppm: 2·tri·10⁶ DIV deg·(deg−1) (floor division
+    * agrees exactly across engines; zero for degree-1 nodes). */
+  def triangles(pairs: DataFrame, srcCol: String = "doc_a",
+                dstCol: String = "doc_b"): DataFrame = {
+    val fwd = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+    // orient by (degree, id): lower endpoint -> higher endpoint
+    val dd = fwd
+      .join(deg.select(col("node").as("sn"), col("degree").as("dsrc")),
+        col("src") === col("sn"))
+      .join(deg.select(col("node").as("dn"), col("degree").as("ddst")),
+        col("dst") === col("dn"))
+      .select(col("src"), col("dst"), col("dsrc"), col("ddst"))
+    val keepAsIs = col("dsrc") < col("ddst") ||
+      (col("dsrc") === col("ddst") && col("src") < col("dst"))
+    val oriented = dd.select(
+      when(keepAsIs, col("src")).otherwise(col("dst")).as("lo"),
+      when(keepAsIs, col("dst")).otherwise(col("src")).as("hi"),
+      when(keepAsIs, col("ddst")).otherwise(col("dsrc")).as("dhi"))
+    // wedges at the lowest corner: two oriented out-edges, ordered so each
+    // unordered {b, c} appears once; the closing edge is oriented b -> c
+    // by construction (orientation is a total order)
+    val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"),
+      col("dhi").as("db"))
+    val e2 = oriented.select(col("lo").as("a2"), col("hi").as("c"),
+      col("dhi").as("dc"))
+    val wedge = e1.join(e2, col("a") === col("a2") &&
+      (col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c"))))
+    val closing = oriented.select(col("lo").as("b2"), col("hi").as("c2"))
+    val tri = wedge.join(closing,
+      col("b") === col("b2") && col("c") === col("c2"))
+    val corners = tri.select(explode(array(col("a"), col("b"), col("c")))
+      .as("node")).groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("degree") > 1,
+          expr("(coalesce(n_tri, 0) * 2000000) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
+      .orderBy(col("doc_id"))
+  }
 }

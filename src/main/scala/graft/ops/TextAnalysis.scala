@@ -977,4 +977,50 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Exact phrase search over the ix1/ix2/ix3 tokenization — the
+    * adjacency-constrained retrieval a contamination/attribution audit
+    * needs when single-term postings are too coarse ("how many documents
+    * contain this exact benchmark prompt"). Per query phrase: containing-
+    * document count, total occurrence count (overlaps counted — "a a a"
+    * contains "a a" twice), and the first/last containing document; absent
+    * phrases report zeros/−1 (the ix1 zero-row contract).
+    *
+    * Shape at scale: occurrence counting is IN-ROW — each document slides
+    * an n-token window over its own token array (`transform` + `slice`,
+    * whole-stage-codegen'd, no UDF), so the corpus pass is map-only and
+    * the only exchange is the |phrases|-bounded census rollup. This is the
+    * right distribution for ad-hoc phrase queries: a positional-postings
+    * self-join (term₁ pos p ⋈ term₂ pos p+1) would shuffle posting lists
+    * corpus-wide to answer the same question; a standing search service
+    * amortizes that by staging the positional index ONCE term-bucketed,
+    * which is this operator's `stagedPairs`-style evolution path. */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val arr = split(F.normalizeText(lower(col("text"))), " ")
+    val perPhrase = phrases.map { p =>
+      val n = p.split(" ").length
+      val windows = s"transform(sequence(1, size(__arr) - ${n - 1}), " +
+        s"i -> concat_ws(' ', slice(__arr, i, $n)))"
+      val cnt = expr(s"CAST(CASE WHEN size(__arr) >= $n THEN " +
+        s"size(filter($windows, w -> w = '$p')) ELSE 0 END AS BIGINT)")
+      struct(lit(p).as("phrase"), cnt.as("n_occ"))
+    }
+    val matches = docs.select(col("doc_id"), arr.as("__arr"))
+      .select(col("doc_id"), explode(array(perPhrase: _*)).as("m"))
+      .select(col("doc_id"), col("m.phrase").as("phrase"),
+        col("m.n_occ").as("n_occ"))
+      .filter(col("n_occ") > 0)
+    val census = matches.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occ"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    phrases.toDF("phrase").join(broadcast(census), Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("first_doc"), lit(-1L)).as("first_doc"),
+        coalesce(col("last_doc"), lit(-1L)).as("last_doc"))
+      .orderBy(col("phrase"))
+  }
 }

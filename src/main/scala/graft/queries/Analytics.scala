@@ -831,6 +831,110 @@ object Analytics extends QueryPack {
           rz((nd * $"sxy" - $"sx" * $"sy") /
             (sqrt(nd * $"sxx" - $"sx" * $"sx") *
              sqrt(nd * $"syy" - $"sy" * $"sy")), 6).as("autocorr_lag1"))
+    }),
+
+    // TPC-H Q11 shape (important parts): parts whose value within one
+    // nation's shipments exceeds 2× the mean part value — the spec's
+    // scalar-subquery threshold made SCALE-STABLE (a fixed corpus-share
+    // cut like 0.1% empties as the part census grows; mean-relative keeps
+    // a ~8–10% head at every SF). Per-part decimal sums quantize to exact
+    // CENTS (round-2 in decimal, ×100, BIGINT), the census rides ONE
+    // broadcast row, and the threshold is PURE INTEGER
+    // (cents·n_parts > 2·total) — no float boundary anywhere. The
+    // nation's supplier set broadcasts and cuts the lineitem stream
+    // before the one corpus exchange (the per-part agg).
+    "q11_important_parts" -> ((s, dir) => {
+      import s.implicits._
+      val d = DecimalType(30, 10)
+      val natSupp = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+            .filter($"n_name" === "NATION_3").select($"n_nationkey")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val perPart = table(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(d))
+          .as("value_dec"))
+        .select($"l_partkey",
+          expr("CAST(round(value_dec, 2) * 100 AS BIGINT)").as("value_cents"))
+      val tot = perPart.agg(sum($"value_cents").as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(tot))
+        .filter($"value_cents" * $"n_parts" > lit(2) * $"total_cents")
+        .select($"l_partkey".as("p_partkey"), $"value_cents",
+          ($"value_cents".cast(DoubleType) / lit(100.0)).as("part_value"),
+          expr("(value_cents * 1000000) DIV total_cents").as("share_ppm"))
+        .orderBy($"value_cents".desc, $"p_partkey")
+    }),
+
+    // TPC-H Q14 shape (promo revenue effect): one row — the share of one
+    // month's revenue from PROMO parts, in integer ppm off exact cents
+    // (the q11 quantization; Spark DIV and DuckDB // both floor on
+    // positives). The part dim broadcasts; one month of lineitem is cut by
+    // the pushed shipdate range before the join.
+    "q14_promo_effect" -> ((s, dir) => {
+      import s.implicits._
+      val d = DecimalType(30, 10)
+      val value = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      table(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1995-09-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-10-01").cast("timestamp"))
+        .select($"l_partkey", $"l_extendedprice", $"l_discount")
+        .join(broadcast(table(s, dir, "part")
+          .select($"p_partkey", $"p_type")), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO", value).otherwise(lit(0.0)).cast(d))
+            .as("promo_dec"),
+          sum(value.cast(d)).as("total_dec"),
+          count(lit(1)).as("n_lines"))
+        .select(
+          expr("CAST(round(promo_dec, 2) * 100 AS BIGINT)").as("promo_cents"),
+          expr("CAST(round(total_dec, 2) * 100 AS BIGINT)").as("total_cents"),
+          $"n_lines")
+        .select($"promo_cents", $"total_cents", $"n_lines",
+          expr("(promo_cents * 1000000) DIV total_cents").as("promo_ppm"))
+    }),
+
+    // Mann-Whitney U (Wilcoxon rank-sum) between two return-flag
+    // populations on quantity — the nonparametric two-sample location
+    // test next to dq6's KS: does distribution A stochastically dominate
+    // R? Tie handling is EXACT and integer: values collapse to per-value
+    // counts first (the shuffle is bounded by |distinct values|, ~50, not
+    // corpus rows), average ranks are carried DOUBLED (2·minrank+ct−1, an
+    // integer even for .5 ranks), and the rank sum / U statistic stay
+    // BIGINT to the end. The tie-correction cube runs in DECIMAL(38,0)
+    // (ct³ overflows int64 past ~2M rows per value — sf10 territory); the
+    // z-score is the only float, computed in ONE operand order on both
+    // engines. Both windows run over the ~50-row value census.
+    "st9_mannwhitney" -> ((s, dir) => {
+      import s.implicits._
+      val vc = table(s, dir, "lineitem")
+        .filter($"l_returnflag".isin("A", "R"))
+        .select($"l_returnflag".as("g"), $"l_quantity".cast("long").as("v"))
+        .groupBy($"v")
+        .agg(sum(when($"g" === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when($"g" === "R", 1L).otherwise(0L)).as("cr"))
+        .withColumn("ct", $"ca" + $"cr")
+      val w = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rk = vc.select($"ca", $"cr", $"ct",
+        (sum($"ct").over(w) * lit(2) - $"ct" + lit(1)).as("dr"))
+      val s0 = rk.agg(sum($"ca").as("n1"), sum($"cr").as("n2"),
+        sum($"ca" * $"dr").as("r1x2"),
+        sum($"ct".cast(DecimalType(38, 0)) * $"ct" * $"ct" - $"ct")
+          .cast(DoubleType).as("tie3d"))
+      val n1d = $"n1".cast(DoubleType)
+      val n2d = $"n2".cast(DoubleType)
+      s0.select($"n1", $"n2",
+          ($"r1x2" - $"n1" * ($"n1" + lit(1))).as("u1_x2"), $"tie3d")
+        .select($"n1", $"n2", $"u1_x2",
+          rz(($"u1_x2".cast(DoubleType) / lit(2.0) - n1d * n2d / lit(2.0)) /
+            sqrt(n1d * n2d / lit(12.0) *
+              (($"n1" + $"n2" + lit(1)).cast(DoubleType) -
+                $"tie3d" / (($"n1" + $"n2").cast(DoubleType) *
+                  ($"n1" + $"n2" - lit(1)).cast(DoubleType)))), 6).as("z"))
     })
   )
 
@@ -1320,6 +1424,77 @@ object Analytics extends QueryPack {
         |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0 AS autocorr_lag1
         |FROM s
         |WHERE CAST(n AS DOUBLE) * sxx - sx * sx > 0
-        |  AND CAST(n AS DOUBLE) * syy - sy * sy > 0""".stripMargin
+        |  AND CAST(n AS DOUBLE) * syy - sy * sy > 0""".stripMargin,
+
+    // Per-part value quantized to exact cents before anything compares:
+    // the 2×-mean threshold and the ppm share are pure integer arithmetic.
+    "q11_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,10))), 2) * 100 AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+        |             count(*) AS n_parts FROM pp)
+        |SELECT l_partkey AS p_partkey, value_cents,
+        |  CAST(value_cents AS DOUBLE) / 100.0 AS part_value,
+        |  (value_cents * 1000000) // total_cents AS share_ppm
+        |FROM pp CROSS JOIN t
+        |WHERE value_cents * n_parts > 2 * total_cents
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+
+    // Same cents quantization; the ppm is a floor division of exact
+    // integers on both engines.
+    "q14_promo_effect" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(30,10))), 2) * 100 AS BIGINT) AS promo_cents,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(30,10))), 2) * 100 AS BIGINT) AS total_cents,
+        |    count(*) AS n_lines
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |    AND l_shipdate < TIMESTAMP '1995-10-01')
+        |SELECT promo_cents, total_cents, n_lines,
+        |  (promo_cents * 1000000) // total_cents AS promo_ppm
+        |FROM s""".stripMargin,
+
+    // Doubled average ranks (2·minrank+ct−1: integers even at .5 ranks),
+    // BIGINT rank sum and U, HUGEINT tie cubes (the Spark side runs them
+    // in DECIMAL(38,0)); the z-score is the only float, one operand order.
+    "st9_mannwhitney" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |vc AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM li GROUP BY v),
+        |vt AS (SELECT v, ca, cr, ca + cr AS ct FROM vc),
+        |rk AS (
+        |  SELECT ca, cr, ct,
+        |    sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * 2 - ct + 1 AS dr
+        |  FROM vt),
+        |s AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(cr) AS BIGINT) AS n2,
+        |    CAST(sum(ca * dr) AS BIGINT) AS r1x2,
+        |    CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE) AS tie3d
+        |  FROM rk),
+        |u AS (SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1_x2, tie3d FROM s)
+        |SELECT n1, n2, u1_x2,
+        |  round((CAST(u1_x2 AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE)
+        |        - tie3d / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+        |    6) + 0 AS z
+        |FROM u""".stripMargin
   )
 }

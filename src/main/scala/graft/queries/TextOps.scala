@@ -979,6 +979,22 @@ object TextOps extends QueryPack {
       TextAnalysis.bm25(table(s, dir, "documents"),
         Seq("table", "scan", "merge", "vector"))),
 
+    // Exact phrase search (adjacency-constrained retrieval): in-row
+    // sliding-window counts, |phrases|-bounded census, zero rows for the
+    // absent phrase — the contamination-audit grain ix1's single terms
+    // can't give.
+    "ix4_phrase" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(table(s, dir, "documents"),
+        Seq("stream column", "window join", "big order scan",
+          "zz absent phrase"))),
+
+    // Triangle census of the near-dup pair graph: per-node triangle count
+    // + local clustering in ppm via the degree-ordered wedge join — is a
+    // dense neighborhood one template (near-clique) or a hub stitching
+    // unrelated docs?
+    "gr3_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangles(stagedPairs(s, dir))),
+
     // Vocabulary richness: TTR + hapax share in integer ppm, the in-row
     // sorted-run kernel (zero shuffles).
     "tx_lexical_diversity" -> ((s, dir) =>
@@ -2183,6 +2199,73 @@ object TextOps extends QueryPack {
         |        FROM edges GROUP BY src)
         |SELECT degree, count(*) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    // Same degree-ordered orientation as the Spark side: each undirected
+    // pair oriented low-(degree,id) -> high, wedges enumerated at the
+    // lowest corner only, closing edge probed in the oriented table —
+    // every triangle found exactly once. lcc in integer ppm (// floor).
+    "gr3_triangles" ->
+      s"""WITH RECURSIVE $clusterCtes,
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+        |        FROM edges GROUP BY src),
+        |o AS (
+        |  SELECT CASE WHEN ds.degree < dd.degree
+        |                OR (ds.degree = dd.degree AND p.doc_a < p.doc_b)
+        |              THEN p.doc_a ELSE p.doc_b END AS lo,
+        |         CASE WHEN ds.degree < dd.degree
+        |                OR (ds.degree = dd.degree AND p.doc_a < p.doc_b)
+        |              THEN p.doc_b ELSE p.doc_a END AS hi,
+        |         CASE WHEN ds.degree < dd.degree
+        |                OR (ds.degree = dd.degree AND p.doc_a < p.doc_b)
+        |              THEN dd.degree ELSE ds.degree END AS dhi
+        |  FROM pairs p
+        |  JOIN deg ds ON p.doc_a = ds.node
+        |  JOIN deg dd ON p.doc_b = dd.node),
+        |w AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+        |   AND (e1.dhi < e2.dhi OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))),
+        |tri AS (SELECT a, b, c FROM w JOIN o ON w.b = o.lo AND w.c = o.hi),
+        |corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |       FROM corners GROUP BY node)
+        |SELECT deg.node AS doc_id, degree,
+        |  CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN degree > 1
+        |       THEN (coalesce(n_tri, 0) * 2000000) // (degree * (degree - 1))
+        |       ELSE 0 END AS lcc_ppm
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same tokenization, same in-row window counting (overlaps counted);
+    // per-phrase census with zero/-1 rows for the absent phrase.
+    "ix4_phrase" ->
+      """WITH tm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |ph AS (SELECT * FROM (VALUES ('stream column', 2), ('window join', 2),
+        |       ('big order scan', 3), ('zz absent phrase', 3)) v(phrase, n)),
+        |m AS (
+        |  SELECT doc_id, phrase,
+        |    CAST(len([i FOR i IN range(1, len(toks) - n + 2)
+        |              IF array_to_string(toks[i:i+n-1], ' ') = phrase]) AS BIGINT) AS n_occ
+        |  FROM tm CROSS JOIN ph
+        |  WHERE len(toks) >= n),
+        |c AS (
+        |  SELECT phrase,
+        |    CAST(count(CASE WHEN n_occ > 0 THEN 1 END) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_occ) AS BIGINT) AS n_occ,
+        |    min(CASE WHEN n_occ > 0 THEN doc_id END) AS first_doc,
+        |    max(CASE WHEN n_occ > 0 THEN doc_id END) AS last_doc
+        |  FROM m GROUP BY phrase)
+        |SELECT ph.phrase,
+        |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(c.n_occ, 0) AS BIGINT) AS n_occ,
+        |  CAST(coalesce(first_doc, -1) AS BIGINT) AS first_doc,
+        |  CAST(coalesce(last_doc, -1) AS BIGINT) AS last_doc
+        |FROM ph LEFT JOIN c ON ph.phrase = c.phrase
+        |ORDER BY ph.phrase""".stripMargin,
 
     // Same seed-59 window hash deciding the boundaries, same doc-end
     // append, same packed first-occurrence survivorship as dd_chunk_dedup.

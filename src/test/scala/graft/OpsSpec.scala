@@ -1325,6 +1325,40 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 > got(1L)._3, "the hub must outrank the leaves")
   }
 
+  test("triangles: one triangle + pendant, then K4 — each found once, " +
+    "lcc in ppm floors") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got = rows(graft.ops.Graph.triangles(pairs))
+      .map(r => r.getLong(0) -> (r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("lcc_ppm"))).toMap
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((2L, 1L, 1000000L)))
+    assert(got(3L) == ((3L, 1L, 333333L)))
+    assert(got(4L) == ((1L, 0L, 0L)))
+    // K4: 4 triangles total, each node in exactly 3 (degree-tie ordering
+    // must not double-count or drop wedges)
+    val k4 = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L),
+      (11L, 13L), (12L, 13L)).toDF("doc_a", "doc_b")
+    val g4 = rows(graft.ops.Graph.triangles(k4))
+      .map(r => r.getLong(0) -> (r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("lcc_ppm"))).toMap
+    for (v <- Seq(10L, 11L, 12L, 13L))
+      assert(g4(v) == ((3L, 3L, 1000000L)), s"node $v")
+  }
+
+  test("phraseSearch: overlapping matches counted, mixed phrase lengths, " +
+    "absent phrase reports zeros") {
+    val d = Seq((1L, "a a a b"), (2L, "c a a")).toDF("doc_id", "text")
+    val got = rows(TextAnalysis.phraseSearch(d,
+      Seq("a a", "a a b", "zz yy")))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got("a a") == ((2L, 3L, 1L, 2L)), "overlaps: doc1 has 2, doc2 has 1")
+    assert(got("a a b") == ((1L, 1L, 1L, 1L)))
+    assert(got("zz yy") == ((0L, 0L, -1L, -1L)))
+  }
+
   test("kwic: context windows clamp at document edges") {
     val d = Seq((1L, "a b target c d"), (2L, "target x")).toDF("doc_id", "text")
     val got = rows(TextAnalysis.kwic(d, Seq("target")))

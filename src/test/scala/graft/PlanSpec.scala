@@ -992,4 +992,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(600))
     assert(!p.contains("Window"))
   }
+
+  test("q11: the nation's supplier set broadcasts before the one corpus " +
+    "exchange; the total is ONE broadcast row") {
+    val p = plan("q11_important_parts")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("n_name"), pushed)
+  }
+
+  test("q14: the month range pushes into the lineitem scan; the part dim " +
+    "broadcasts; one row out") {
+    val p = plan("q14_promo_effect")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"), pushed)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("st9: ranks run over the value census (one keyed exchange off the " +
+    "corpus), never per-row; the returnflag filter pushes") {
+    val p = plan("st9_mannwhitney")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_returnflag"), pushed)
+    assert(p.contains("Window"), "cumulative-rank window missing")
+    // exactly one corpus-keyed exchange: the value-census hash agg; the
+    // ~50-row window repartitions to a single partition after it
+    val keyed = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(keyed <= 1, s"expected <=1 keyed exchange, saw $keyed")
+  }
+
+  test("gr3: triangle join rides the staged pair table — no shingle " +
+    "recompute; oriented self-joins are hash joins, not cartesian") {
+    val p = plan("gr3_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("regexp_replace"), "pair stage recomputed from raw text")
+    assert(p.split("SortMergeJoin").length - 1 +
+      (p.split("BroadcastHashJoin").length - 1) +
+      (p.split("ShuffledHashJoin").length - 1) >= 3, p.take(800))
+  }
+
+  test("ix4: phrase windows are in-row (map-only corpus pass); the only " +
+    "exchange is the phrase-bounded census") {
+    val p = plan("ix4_phrase")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    // no posting-list self-join: the corpus is scanned once
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 1, s"documents scanned $scans times")
+  }
 }
