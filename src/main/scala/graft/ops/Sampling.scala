@@ -246,4 +246,50 @@ object Sampling {
         expr("(n * 1000000) DIV fold_n").as("share_ppm"))
       .orderBy(col("fold"), col("stratum"))
   }
+
+  /** Neyman (optimal) stratified allocation (Neyman 1934; Cochran,
+    * Sampling Techniques §5.5): distribute a fixed labeling/eval budget
+    * across strata proportionally to N_h·σ_h — strata that are LARGE and
+    * internALLY VARIED get the samples; a huge-but-uniform stratum needs
+    * few. The allocation a proportional sampler (sp1) can't justify once
+    * per-stratum variances differ — the design step before any of the
+    * samplers in this file runs.
+    *
+    * Determinism: σ_h comes from decimal-exact sum/sum-of-squares partials
+    * (population σ, the emb_covariance discipline), rounded at 6 dp; the
+    * weight N_h·σ_h is then quantized to integer CENTS, and both the
+    * allocation share (ppm) and the per-stratum budget are FLOOR DIVISIONS
+    * of exact integers — no float threshold anywhere past the one rounded
+    * σ. Shape at scale: one partial-aggregated rollup to |strata| rows,
+    * then a one-row broadcast total; the corpus is read once. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+                       budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d = DecimalType(30, 10)
+    val x = col(valueCol).cast(DoubleType)
+    // materialize: the census feeds both the weight rows and the total —
+    // one corpus scan, not two
+    val stats = Dedup.materialize(df.groupBy(col(strataCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(x.cast(d)).cast(DoubleType).as("sx"),
+        sum((x * x).cast(d)).cast(DoubleType).as("sxx"))
+      .select(col("stratum"), col("n_rows"),
+        round(sqrt(greatest(
+          col("sxx") / col("n_rows") -
+            (col("sx") / col("n_rows")) * (col("sx") / col("n_rows")),
+          lit(0.0))), 6).as("sigma"))
+      .select(col("stratum"), col("n_rows"), col("sigma"),
+        // quantize the N_h·σ_h weight in DECIMAL space (the rd discipline:
+        // double->DECIMAL(30,10) cannot tie, decimal half-up is identical
+        // in both engines — round(double) is not)
+        expr("CAST(round(CAST(CAST(n_rows AS DOUBLE) * sigma " +
+          "AS DECIMAL(30,10)), 2) * 100 AS BIGINT)").as("weight_cents")))
+    val tot = stats.agg(sum(col("weight_cents")).as("total_cents"))
+    stats.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"), col("sigma"),
+        col("weight_cents"),
+        expr("(weight_cents * 1000000) DIV total_cents").as("alloc_ppm"),
+        expr(s"($budget * weight_cents) DIV total_cents").as("n_alloc"))
+      .orderBy(col("stratum"))
+  }
 }

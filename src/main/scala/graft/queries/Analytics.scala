@@ -935,7 +935,61 @@ object Analytics extends QueryPack {
               (($"n1" + $"n2" + lit(1)).cast(DoubleType) -
                 $"tie3d" / (($"n1" + $"n2").cast(DoubleType) *
                   ($"n1" + $"n2" - lit(1)).cast(DoubleType)))), 6).as("z"))
-    })
+    }),
+
+    // Kendall's τ-b between quantity and discount — rank correlation with
+    // EXACT tie handling, the ordinal sibling of st2's Pearson. The corpus
+    // collapses to a (x,y) contingency census first (≤ 50·11 cells — the
+    // ONE corpus exchange), concordant/discordant mass comes from the
+    // census's own upper-triangle self-join (cell-bounded at any corpus
+    // size; a per-row pair scan would be O(n²)), and C, D, and the tie
+    // terms stay exact integers in DECIMAL(38,0) (products of two corpus
+    // counts overflow int64 past ~3·10⁹ rows). Doubled tie terms
+    // (m = n(n−1), Σt(t−1)) avoid ALL integer division: τ-b =
+    // 2(C−D)/(√(m0−m1)·√(m0−m2)), the only float at the end.
+    "st10_kendall_tau" -> ((s, dir) => {
+      import s.implicits._
+      val dd = DecimalType(38, 0)
+      val xy = table(s, dir, "lineitem").select(
+        $"l_quantity".cast("long").as("x"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+      // materialize: four consumers (both pair sides, both marginals, n)
+      // must ride ONE corpus scan+agg, not five
+      val cell = graft.ops.Dedup.materialize(
+        xy.groupBy($"x", $"y").agg(count(lit(1)).as("c")))
+      val pairs = cell
+        .select($"x".as("xa"), $"y".as("ya"), $"c".cast(dd).as("ca"))
+        .join(broadcast(cell.select($"x".as("xb"), $"y".as("yb"),
+          $"c".cast(dd).as("cb"))), $"xa" < $"xb")
+      val cd = pairs.agg(
+        sum(when($"ya" < $"yb", $"ca" * $"cb").otherwise(lit(0).cast(dd)))
+          .as("cc"),
+        sum(when($"ya" > $"yb", $"ca" * $"cb").otherwise(lit(0).cast(dd)))
+          .as("dd"))
+      val mx = cell.groupBy($"x").agg(sum($"c").as("tx"))
+        .agg(sum($"tx".cast(dd) * ($"tx" - lit(1))).as("m1"))
+      val my = cell.groupBy($"y").agg(sum($"c").as("ty"))
+        .agg(sum($"ty".cast(dd) * ($"ty" - lit(1))).as("m2"))
+      // n off the census, not a second corpus scan
+      val nn = cell.agg(sum($"c").as("n"))
+      cd.crossJoin(broadcast(mx)).crossJoin(broadcast(my))
+        .crossJoin(broadcast(nn))
+        .select($"n",
+          rz(lit(2.0) * ($"cc" - $"dd").cast(DoubleType) /
+            (sqrt(($"n".cast(dd) * ($"n" - lit(1)) - $"m1").cast(DoubleType)) *
+             sqrt(($"n".cast(dd) * ($"n" - lit(1)) - $"m2").cast(DoubleType))),
+            6).as("tau_b"))
+    }),
+
+    // Neyman optimal allocation of a 10k labeling budget across order
+    // priorities — the sampling-design step before any sampler runs:
+    // budget ∝ N_h·σ_h, so large AND internally-varied strata get the
+    // samples. One rollup to |strata| rows, a one-row broadcast total;
+    // the weight quantizes to integer cents and both the share and the
+    // allocation are floor divisions of exact integers.
+    "sp12_neyman" -> ((s, dir) =>
+      graft.ops.Sampling.neymanAllocation(table(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1495,6 +1549,59 @@ object Analytics extends QueryPack {
         |      (CAST(n1 + n2 + 1 AS DOUBLE)
         |        - tie3d / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
         |    6) + 0 AS z
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    // Census self-join on the upper triangle; C, D, and the doubled tie
+    // terms in HUGEINT (the Spark side runs DECIMAL(38,0)); τ-b is the
+    // only float, same operand order.
+    "st10_kendall_tau" ->
+      """WITH xy AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |cell AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+        |         FROM xy GROUP BY x, y),
+        |cd AS (
+        |  SELECT
+        |    sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS cc,
+        |    sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS dd
+        |  FROM cell a JOIN cell b ON a.x < b.x),
+        |mx AS (SELECT sum(t * (t - 1)) AS m1 FROM
+        |       (SELECT CAST(sum(c) AS HUGEINT) AS t FROM cell GROUP BY x)),
+        |my AS (SELECT sum(t * (t - 1)) AS m2 FROM
+        |       (SELECT CAST(sum(c) AS HUGEINT) AS t FROM cell GROUP BY y)),
+        |nn AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cell)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(2.0 * CAST(cc - dd AS DOUBLE) /
+        |    (sqrt(CAST(n * (n - 1) - m1 AS DOUBLE)) *
+        |     sqrt(CAST(n * (n - 1) - m2 AS DOUBLE))), 6) + 0 AS tau_b
+        |FROM cd, mx, my, nn""".stripMargin,
+
+    // σ from the same decimal moment partials; the N_h·σ_h weight
+    // quantizes in DECIMAL space to exact cents; share and allocation are
+    // floor divisions.
+    "sp12_neyman" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT stratum, n_rows,
+        |    round(sqrt(greatest(sxx / n_rows - (sx / n_rows) * (sx / n_rows),
+        |      0.0)), 6) AS sigma
+        |  FROM s),
+        |wc AS (
+        |  SELECT stratum, n_rows, sigma,
+        |    CAST(round(CAST(CAST(n_rows AS DOUBLE) * sigma
+        |      AS DECIMAL(30,10)), 2) * 100 AS BIGINT) AS weight_cents
+        |  FROM w),
+        |t AS (SELECT CAST(sum(weight_cents) AS BIGINT) AS total_cents FROM wc)
+        |SELECT stratum, n_rows, sigma, weight_cents,
+        |  (weight_cents * 1000000) // total_cents AS alloc_ppm,
+        |  (10000 * weight_cents) // total_cents AS n_alloc
+        |FROM wc CROSS JOIN t
+        |ORDER BY stratum""".stripMargin
   )
 }

@@ -1325,6 +1325,20 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._3 > got(1L)._3, "the hub must outrank the leaves")
   }
 
+  test("neymanAllocation: budget follows N_h*sigma_h; zero-variance " +
+    "stratum gets zero") {
+    val df = Seq(("A", 0.0), ("A", 2.0), ("B", 5.0), ("B", 5.0),
+      ("C", 0.0), ("C", 6.0)).toDF("g", "v")
+    val got = rows(graft.ops.Sampling.neymanAllocation(df, "g", "v"))
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Double]("sigma"), r.getAs[Long]("weight_cents"),
+        r.getAs[Long]("alloc_ppm"), r.getAs[Long]("n_alloc"))).toMap
+    // sigma: A = 1 (pop. sd of {0,2}), B = 0, C = 3; weights 200/0/600
+    assert(got("A") == ((2L, 1.0, 200L, 250000L, 2500L)))
+    assert(got("B") == ((2L, 0.0, 0L, 0L, 0L)))
+    assert(got("C") == ((2L, 3.0, 600L, 750000L, 7500L)))
+  }
+
   test("triangles: one triangle + pendant, then K4 — each found once, " +
     "lcc in ppm floors") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))

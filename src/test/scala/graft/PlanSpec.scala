@@ -1033,6 +1033,32 @@ class PlanSpec extends SparkSpec {
       (p.split("ShuffledHashJoin").length - 1) >= 3, p.take(800))
   }
 
+  test("st10: the corpus collapses to the (x,y) census in ONE scan; the " +
+    "concordance pairs ride a broadcast of the census itself") {
+    val p = plan("st10_kendall_tau")
+    // the census is materialized (lineage barrier): its four consumers
+    // must NOT re-scan the corpus — the downstream plan reads the
+    // checkpointed census, so zero parquet scans survive
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(scans == 0, s"lineitem scanned $scans times (n must come off the census)")
+    // the upper-triangle inequality join is a broadcast nested loop over
+    // the <=550-row census, never a corpus cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
+  test("sp12: one rollup to strata rows; the total is a broadcast row; " +
+    "no second corpus pass") {
+    val p = plan("sp12_neyman")
+    // the strata census is materialized — weight rows and the total both
+    // ride it, so no orders scan survives in the downstream plan
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("orders.parquet"))
+    assert(scans == 0, s"orders scanned $scans times")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("ix4: phrase windows are in-row (map-only corpus pass); the only " +
     "exchange is the phrase-bounded census") {
     val p = plan("ix4_phrase")
