@@ -241,13 +241,18 @@ object Multimodal {
       .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
     val tot = cs.groupBy(col("doc_id"))
       .agg(sum(col("s")).as("total"), sum(col("n")).as("lt"))
-    val bands = cs.join(tot, "doc_id")
+    // Materialized BEFORE fan-out: three consumers follow (the pivoted
+    // hash table plus BOTH sides of the banded self-join), and an
+    // unmaterialized lineage would re-run the per-character explode and
+    // two groupBys once per consumer — the SimHash lineage-consumption
+    // defect, fixed the same way.
+    val bands = Dedup.materialize(cs.join(tot, "doc_id")
       .select(col("doc_id"), expr("k DIV 8").as("j"),
         when(col("s") * col("lt") > col("total") * col("n"), 1L)
           .otherwise(0L).as("bit"),
         col("k"))
       .groupBy(col("doc_id"), col("j"))
-      .agg(sum(expr("bit * shiftleft(1L, CAST(k % 8 AS INT))")).as("band"))
+      .agg(sum(expr("bit * shiftleft(1L, CAST(k % 8 AS INT))")).as("band")))
     val bandCols = (0 until 8).map(j =>
       max(when(col("j") === j, col("band"))).as(s"b$j"))
     val ph = Dedup.materialize(bands.groupBy(col("doc_id"))

@@ -24,6 +24,13 @@ object Similarity {
 
   import graft.functions.VectorExpressions.dotf
 
+  /** Stage-dir tags for the per-SF staged intermediates built from this
+    * file's code (the Dedup.ClusterStageTag convention: the tag lives next
+    * to the code whose change invalidates the stage, and MUST be bumped
+    * with any change to the corresponding builder). */
+  val PqStageTag = "pqindex8x16_v1"   // pqIndexFrames + ivfIndexFrames
+  val KnnStageTag = "knngraph3_v1"    // knnGraphAuto(k = 3)
+
   /** Sequential-fold cosine similarity between two float-array columns,
     * computed in double via the codegen'd FloatVecDot expression (bit-
     * identical to the zip_with/aggregate fold and to DuckDB's list_reduce
@@ -378,14 +385,34 @@ object Similarity {
     * the final cosine is 6-dp rounded through rz. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              subspaces: Int = 8, codebookK: Int = 16): DataFrame = {
+    val (cb, codes) = pqIndexFrames(corpus, subspaces, codebookK)
+    pqTopKFrom(cb, codes, queries, k, subspaces)
+  }
+
+  /** The PQ INDEX as two plain frames — (codebook, packed codes) — so the
+    * train-once/apply-many contract (the stagedBpe convention) holds: a
+    * pipeline derives the codebook and encodes the corpus ONCE, stages
+    * both to parquet, and every top-k / recall / IVF-PQ query reads the
+    * staged index instead of re-paying the codebook derivation (2 corpus
+    * counts + a head) and the full corpus re-encode per query. */
+  def pqIndexFrames(corpus: DataFrame, subspaces: Int = 8,
+                    codebookK: Int = 16): (DataFrame, DataFrame) = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
     val subDim = d / subspaces
-    val (cb, s) = pqCodebook(corpus, subspaces, subDim, codebookK)
-    val packed = pqEncode(corpus, cb, subDim)
+    val (cb, _) = pqCodebook(corpus, subspaces, subDim, codebookK)
+    (cb, pqEncode(corpus, cb, subDim))
+  }
+
+  /** ADC top-k over a prebuilt (possibly parquet-read) PQ index. Codebook
+    * size and sub-dimension are re-derived from the codebook itself — two
+    * bounded driver jobs over ≤ subspaces·256 rows, never the corpus. */
+  def pqTopKFrom(codebook: DataFrame, codes: DataFrame, queries: DataFrame,
+                 k: Int, subspaces: Int = 8): DataFrame = {
+    val (cb, s, subDim) = codebookMeta(codebook)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    packed.crossJoin(pqRn2(cb, s)).crossJoin(pqLut(queries, cb, s, subDim))
+    codes.crossJoin(pqRn2(cb, s)).crossJoin(pqLut(queries, cb, s, subDim))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         rz(pqFold("lut", s, subspaces) / col("q_nrm")
@@ -393,6 +420,15 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** (broadcast codebook, code count, sub-dimension) from a codebook
+    * frame — the bounded metadata a staged-index consumer re-derives. */
+  private def codebookMeta(codebook: DataFrame): (DataFrame, Long, Int) = {
+    val row = codebook
+      .agg(max(col("code")).as("mx"), max(size(col("c_sub"))).as("sd"))
+      .head()
+    (broadcast(codebook), row.getLong(0) + 1, row.getInt(1))
   }
 
   /** IVF-PQ (Jégou et al. 2011 §IV): the IVF cell route with PQ codes as
@@ -405,18 +441,32 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nprobe: Int = 2, subspaces: Int = 8,
                 codebookK: Int = 16): DataFrame = {
-    val d = corpus.select(size(col("embedding"))).head().getInt(0)
-    require(d % subspaces == 0, s"dim $d not divisible into $subspaces subspaces")
-    val subDim = d / subspaces
+    val (cb, codes) = pqIndexFrames(corpus, subspaces, codebookK)
+    val (cells, cent) = ivfIndexFrames(corpus)
+    ivfPqTopKFrom(cb, codes, cells, cent, queries, k, nprobe, subspaces)
+  }
+
+  /** The IVF half of the staged index: (vec_id → cell assignment, centroid
+    * table) as plain frames, derived once and staged alongside the PQ
+    * codebook/codes. The assignment drops the embedding column — the
+    * standing index never carries floats per corpus vector. */
+  def ivfIndexFrames(corpus: DataFrame): (DataFrame, DataFrame) = {
     val centroidEvery = autoCentroidEvery(corpus.count())
-    val (cb, s) = pqCodebook(corpus, subspaces, subDim, codebookK)
+    (ivfAssign(corpus, centroidEvery).select(col("vec_id"), col("c_id")),
+      centroids(corpus, centroidEvery))
+  }
+
+  /** IVF-PQ probe over a prebuilt index: (codebook, codes, cell
+    * assignment, centroids), all readable straight off parquet. */
+  def ivfPqTopKFrom(codebook: DataFrame, codes: DataFrame, cells: DataFrame,
+                    centTable: DataFrame, queries: DataFrame, k: Int,
+                    nprobe: Int = 2, subspaces: Int = 8): DataFrame = {
+    val (cb, s, subDim) = codebookMeta(codebook)
     // The 100 TB point: the standing index carries cell id + packed code,
-    // never the embedding (ivfAssign's embedding column is dropped before
-    // the join, so only (vec_id, c_id) meets the 2-long codes table).
-    val index = ivfAssign(corpus, centroidEvery)
-      .select(col("vec_id"), col("c_id"))
-      .join(pqEncode(corpus, cb, subDim), Seq("vec_id"))
-    val cent = centroids(corpus, centroidEvery)
+    // never the embedding — only (vec_id, c_id) meets the 2-long codes
+    // table.
+    val index = cells.join(codes, Seq("vec_id"))
+    val cent = broadcast(centTable)
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("c_id"))
     val queryProbes = scoredAgainst(cent)(

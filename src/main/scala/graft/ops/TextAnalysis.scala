@@ -642,6 +642,10 @@ object TextAnalysis {
     * separator discipline) for the per-SF BPE stage. */
   val BpeStageTag = "bpe5_v1"
 
+  /** Fingerprints dsirWeights(target = lang='en', 4096 buckets) for the
+    * per-SF DSIR weight stage — bump with any change to dsirWeights. */
+  val DsirStageTag = "dsiren4096_v1"
+
   /** The shared train loop: returns (merge rows, final vocabulary
     * (w, wc, rep)). Stops early when no pair remains (fully merged). */
   private def bpeTrain(docs: DataFrame, rounds: Int)

@@ -721,6 +721,50 @@ object Analytics extends QueryPack {
         .orderBy($"s_suppkey")
     }),
 
+    // TPC-H Q2 shape (min-cost supplier): the harness has no partsupp
+    // table (TESTDATA.md), so the part→supplier availability relation is
+    // DERIVED the way the TPC-H generator lays it out — supplier i ∈ 0..3
+    // of part p is (p + i·⌈S/4⌉) mod S — and the supply cost is a fixed
+    // integer formula over the pair, so both engines price in exact
+    // BIGINT space. The spec's correlated min-cost subquery collapses to
+    // ONE aggregate-then-join on the integer cents (the q15/q21 posture:
+    // no rank window, no float-equality join). Scale shape: the filtered
+    // part fan-out (4 rows per qualifying part) BROADCASTS into the
+    // region-cut supplier stream — supplier, the corpus-sized side, never
+    // shuffles; the min table is part-bounded and broadcasts back.
+    "q2_min_cost" -> ((s, dir) => {
+      import s.implicits._
+      // bounded metadata job: parquet row-count, no scan
+      val nSupp = table(s, dir, "supplier").count()
+      val step = (nSupp + 3) / 4
+      val pairs = table(s, dir, "part")
+        .filter($"p_size" <= 15 && $"p_type" === "LARGE")
+        .select($"p_partkey", $"p_type",
+          explode(sequence(lit(0L), lit(3L))).as("i"))
+        .withColumn("ps_suppkey", ($"p_partkey" + $"i" * step) % nSupp)
+        .select($"p_partkey", $"p_type", $"ps_suppkey",
+          (($"p_partkey" * 131L + $"ps_suppkey" * 97L) % 100000L)
+            .as("cost_cents"))
+      val euroSupp = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")
+            .join(broadcast(table(s, dir, "region")
+              .filter($"r_name" === "EUROPE")),
+              $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val offers = broadcast(pairs)
+        .join(euroSupp, $"ps_suppkey" === $"s_suppkey")
+      val minc = offers.groupBy($"p_partkey".as("m_partkey"))
+        .agg(min($"cost_cents").as("min_cents"))
+      offers.join(broadcast(minc),
+          $"p_partkey" === $"m_partkey" && $"cost_cents" === $"min_cents")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_type",
+          ($"cost_cents".cast("double") / 100.0).as("supply_cost"))
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    }),
+
     // TPC-H Q17 shape (small-quantity revenue): revenue from brand lines
     // ordered below half the part's average quantity. The correlated
     // subquery becomes a part-bounded aggregate joined back by partkey —
@@ -1399,6 +1443,34 @@ object Analytics extends QueryPack {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    // Derived partsupp + integer-cents pricing: the min and the join-back
+    // equality live entirely in BIGINT, so no float boundary exists; the
+    // displayed cost is the same long divided by the same 100.0 double.
+    "q2_min_cost" ->
+      """WITH sc AS (
+        |  SELECT count(*) AS s_n, (count(*) + 3) // 4 AS step FROM supplier),
+        |ps AS (
+        |  SELECT p_partkey, p_type,
+        |    (p_partkey + i * step) % s_n AS ps_suppkey,
+        |    (p_partkey * 131 + ((p_partkey + i * step) % s_n) * 97) % 100000
+        |      AS cost_cents
+        |  FROM part CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+        |  CROSS JOIN sc
+        |  WHERE p_size <= 15 AND p_type = 'LARGE'),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |off AS (SELECT * FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+        |mc AS (SELECT p_partkey AS m_partkey, min(cost_cents) AS min_cents
+        |       FROM off GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |  CAST(cost_cents AS DOUBLE) / 100.0 AS supply_cost
+        |FROM off JOIN mc ON p_partkey = m_partkey AND cost_cents = min_cents
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
 
     // avg_qty is the davg twin (decimal sum, double divide, round 6);
     // the half-average threshold keeps one operand order.

@@ -16,6 +16,47 @@ object Etl extends QueryPack {
 
   private def tmp(dir: String, name: String): String = tmpStage(dir, name)
 
+  /** Two-version parquet layout (v1: three columns, v2: + n_chars) for the
+    * schema-evolution read — the layout write is a per-SF stage (an
+    * upstream producer's history, immutable once written), so the judged
+    * query measures the mergeSchema READ, not the history synthesis. */
+  private[queries] def stagedSchemaEvo(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String = {
+    val path = tmp(dir, "schema_evo")
+    // guard on BOTH markers: a failure between the two writes would
+    // otherwise leave v2 missing/stale and every later run would skip
+    // the rewrite and read an inconsistent dataset
+    val freshStage = !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/v1/_SUCCESS")) ||
+        !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/v2/_SUCCESS"))
+    graft.queries.logStage(path, freshStage)
+    if (freshStage) {
+      val docs = table(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$path/v1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$path/v2")
+    }
+    path
+  }
+
+  /** Hive-partitioned documents layout (partitionBy lang) for the
+    * partition-pruning read — staged per SF for the same reason as
+    * stagedSchemaEvo: the layout is written once, the judged query is the
+    * pruned scan over it. */
+  private[queries] def stagedDocsByLang(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): String = {
+    val path = tmp(dir, "docs_by_lang")
+    graft.queries.ensureStaged(path, "_SUCCESS") {
+      table(s, dir, "documents")
+        .write.partitionBy("lang").mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   val queries: Map[String, QFn] = Map(
     // S1 + K1: parquet -> CSV staging file -> CsvExtractor-equivalent read.
     // Header normalization + inferSchema + the na_filter=false "" contract
@@ -300,24 +341,7 @@ object Etl extends QueryPack {
     // drift absorbed without rewriting history. The aggregate counts the
     // legacy rows explicitly so the drift stays visible downstream.
     "etl_schema_evolution" -> ((s, dir) => {
-      val path = tmp(dir, "schema_evo")
-      // guard on BOTH markers: a failure between the two writes would
-      // otherwise leave v2 missing/stale and every later run would skip
-      // the rewrite and read an inconsistent dataset
-      val freshStage = !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/v1/_SUCCESS")) ||
-          !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/v2/_SUCCESS"))
-      graft.queries.logStage(path, freshStage)
-      if (freshStage) {
-        val docs = table(s, dir, "documents")
-        docs.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"), col("lang"), col("source"))
-          .write.mode("overwrite").parquet(s"$path/v1")
-        docs.filter(col("doc_id") % 2 =!= 0)
-          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-          .write.mode("overwrite").parquet(s"$path/v2")
-      }
+      val path = stagedSchemaEvo(s, dir)
       s.read.option("mergeSchema", "true")
         .parquet(s"$path/v1", s"$path/v2")
         .groupBy(col("lang"))
@@ -332,11 +356,7 @@ object Etl extends QueryPack {
     // before any file opens (PlanSpec pins the PartitionFilters entry) —
     // the layout decision that turns a 100 TB scan into a 4 TB one.
     "etl_partitioned_write" -> ((s, dir) => {
-      val path = tmp(dir, "docs_by_lang")
-      graft.queries.ensureStaged(path, "_SUCCESS") {
-        table(s, dir, "documents")
-          .write.partitionBy("lang").mode("overwrite").parquet(path)
-      }
+      val path = stagedDocsByLang(s, dir)
       s.read.parquet(path).filter(col("lang") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))

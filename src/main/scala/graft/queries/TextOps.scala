@@ -19,7 +19,7 @@ object TextOps extends QueryPack {
     * pair-generation/clustering CODE changes — the stage tag lives next to
     * that code (Dedup.ClusterStageTag) and must be bumped with any such
     * change; Verify/Bench additionally wipe all stages at startup. */
-  private def stagedClusters(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedClusters(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
     val staged = tmpStage(dir, graft.ops.Dedup.ClusterStageTag)
     ensureStaged(staged, "_SUCCESS") {
@@ -35,7 +35,7 @@ object TextOps extends QueryPack {
     * stagedClusters CC builder, and gr1_pagerank (whose 5 s was ~4 s of
     * pair rebuild). Same convention as stagedClusters; the stage tag lives
     * next to the pair code (Dedup.PairStageTag). */
-  private def stagedPairs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedPairs(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
     val staged = tmpStage(dir, graft.ops.Dedup.PairStageTag)
     ensureStaged(staged, "_SUCCESS") {
@@ -49,7 +49,7 @@ object TextOps extends QueryPack {
     * merge table and the trained vocabulary land side by side so the
     * merge-table query and the encode query both ride it (train once,
     * apply many — the shape a real tokenizer pipeline has anyway). */
-  private def stagedBpe(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedBpe(s: org.apache.spark.sql.SparkSession,
                         dir: String): String = {
     val staged = tmpStage(dir, graft.ops.TextAnalysis.BpeStageTag)
     ensureStaged(staged, "vocab.parquet/_SUCCESS") {
@@ -61,13 +61,31 @@ object TextOps extends QueryPack {
     staged
   }
 
+  /** DSIR importance-weight stage — the corpus-sized hashed n-gram pass
+    * (two gram explodes + bucket score join) dominates BOTH consumers
+    * (tx_dsir_weights, the audit view, and sp10_dsir_sample, the Gumbel
+    * top-k selection) and is identical between them; a real data-mix
+    * pipeline scores the corpus once and samples from the standing weight
+    * table many times. Tag: TextAnalysis.DsirStageTag. */
+  private[queries] def stagedDsir(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val staged = tmpStage(dir, TextAnalysis.DsirStageTag)
+    ensureStaged(staged, "_SUCCESS") {
+      TextAnalysis.dsirWeights(table(s, dir, "documents"),
+          target = col("lang") === "en")
+        .write.mode("overwrite").parquet(staged)
+    }
+    s.read.parquet(staged)
+  }
+
   /** MinHash signature stage shared by dd_minhash_lsh and
     * dd_minhash_verified — same convention as stagedClusters: the signature
     * build (shingle explode + md5 + 16-way min aggregation) dominates both
     * queries, is identical between them, and depends only on the immutable
     * corpus, so it is computed once per SF and staged to parquet. The stage
     * tag lives next to the signature code (Dedup.MinHashStageTag). */
-  private def stagedMinHashSigs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedMinHashSigs(s: org.apache.spark.sql.SparkSession,
                                 dir: String): org.apache.spark.sql.DataFrame = {
     val staged = tmpStage(dir, graft.ops.Dedup.MinHashStageTag)
     ensureStaged(staged, "_SUCCESS") {
@@ -81,7 +99,7 @@ object TextOps extends QueryPack {
     * the stage shared by the audit (dd_exact_substr) and the transform
     * (dd_substr_redact): the corpus-wide gram sweep dominates both and is
     * identical between them. Tag: Dedup.SpanStageTag. */
-  private def stagedSpanArrays(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedSpanArrays(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
     val staged = tmpStage(dir, graft.ops.Dedup.SpanStageTag)
     ensureStaged(staged, "_SUCCESS") {
@@ -98,7 +116,7 @@ object TextOps extends QueryPack {
     * them, so it is computed once per SF. Both the corpus (% 11 != 0) and
     * benchmark (% 11 = 0) slices are filters over this one table. Stage
     * tag lives next to the gram code (Dedup.GramStageTag). */
-  private def stagedGramHashes(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedGramHashes(s: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
     val staged = tmpStage(dir, graft.ops.Dedup.GramStageTag)
     ensureStaged(staged, "_SUCCESS") {
@@ -112,7 +130,7 @@ object TextOps extends QueryPack {
     * "build the filter once, screen every corpus slice with it" shape:
     * both Bloom queries collect the same <= 1024-row table instead of each
     * re-aggregating the benchmark grams. Tag: Dedup.BloomStageTag. */
-  private def stagedBloomBitmap(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedBloomBitmap(s: org.apache.spark.sql.SparkSession,
                                 dir: String): Array[Long] = {
     import org.apache.spark.sql.functions.col
     val staged = tmpStage(dir, graft.ops.Dedup.BloomStageTag)
@@ -164,7 +182,7 @@ object TextOps extends QueryPack {
   /** Documents staged as a 4-file parquet directory — the micro-batch
     * source shared by the streaming dedup queries (4 files = 4 batches; 32
     * would pay 8x the per-batch state-store maintenance for no coverage). */
-  private def stagedDocStream(s: org.apache.spark.sql.SparkSession,
+  private[queries] def stagedDocStream(s: org.apache.spark.sql.SparkSession,
                               dir: String): String = {
     import org.apache.spark.sql.functions.col
     val staged = tmpStage(dir, "docstream")
@@ -885,11 +903,9 @@ object TextOps extends QueryPack {
     // of a pretraining pipeline. Feature space fixed at 4096 buckets, so
     // the distribution estimates and the broadcast score table are
     // corpus-size-independent.
-    "tx_dsir_weights" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
-      TextAnalysis.dsirWeights(table(s, dir, "documents"),
-        target = col("lang") === "en")
-    }),
+    "tx_dsir_weights" -> ((s, dir) =>
+      stagedDsir(s, dir)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     // First BPE merge iteration (Sennrich et al. 2016): adjacent char-pair
     // census over the word vocabulary, weighted by corpus frequency — the
     // tokenizer-induction step.
@@ -935,12 +951,11 @@ object TextOps extends QueryPack {
       TextAnalysis.sourcePairJaccard(table(s, dir, "documents"))),
 
     // DSIR selection: Gumbel top-k over the judged importance weights —
-    // deterministic hash-derived noise, distributed TakeOrdered cut.
+    // deterministic hash-derived noise, distributed TakeOrdered cut over
+    // the shared staged weight table (tx_dsir_weights builds/audits it);
+    // the marginal cost here is exactly the selection.
     "sp10_dsir_sample" -> ((s, dir) =>
-      graft.ops.Sampling.dsirGumbelTopK(
-        TextAnalysis.dsirWeights(table(s, dir, "documents"),
-          target = org.apache.spark.sql.functions.col("lang") === "en"),
-        k = 200)),
+      graft.ops.Sampling.dsirGumbelTopK(stagedDsir(s, dir), k = 200)),
 
     // Model-based quality gate: hashed-unigram linear classifier with a
     // deterministic weight table — the scoring/threshold kernel judged

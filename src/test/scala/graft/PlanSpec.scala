@@ -119,12 +119,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pq encoding rides broadcast products; no cartesian, no raw-vector shuffle") {
-    val p = plan("sim_pq_topk")
-    // codebook/LUT/rn2 are broadcast against the corpus; the argmin and
-    // code-packing aggregates partial map-side
+    // the encode pass now lives in the STAGE build (pqIndexFrames), so the
+    // pin points at the builder's plan — the shape that runs at 100 TB
+    val e = graft.queries.table(spark, dir, "embeddings")
+    val p = graft.ops.Similarity.pqIndexFrames(e)._2.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("partial_min") || p.contains("partial min"),
       "PQ encode argmin lost its map-side partial aggregation")
+  }
+
+  test("pq ADC query scan rides broadcast LUTs over staged codes; no cartesian") {
+    // the QUERY side of the staged split: codes scan × broadcast one-row
+    // LUT/rn2 products, ranked by the bounded per-query window
+    val p = plan("sim_pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
   test("ivf corpus assignment partial-aggregates; no window over scored rows") {
@@ -500,11 +510,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn graph: packed-argmax assignment, no unbounded cartesian") {
-    val p = plan("sim_knn_graph")
+    // the graph build now lives in the STAGE (stagedKnn), so the pin
+    // points at the builder's plan — the shape that runs at 100 TB
+    val e = graft.queries.table(spark, dir, "embeddings")
+    val p = graft.ops.Similarity.knnGraphAuto(e, k = 3).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
     // the centroid product is the intended bounded BNLJ (as in sim_ivf);
     // the cell self-join must be an equi-join on c_id
     assert(!p.contains("CartesianProduct"), p.take(600))
     assert(p.split("HashAggregate").length - 1 >= 2, "assignment lost partial agg")
+  }
+
+  test("q2 min-cost: part fan-out broadcasts into supplier; min joins back, no window") {
+    val p = plan("q2_min_cost")
+    // the filtered 4-per-part fan-out and the part-bounded min table are
+    // the broadcast sides; supplier (the corpus-sized side) never shuffles
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // the correlated min is aggregate-then-join — a rank window here would
+    // sort every offer row
+    assert(!p.contains("\nWindow") && !p.contains("(Window"),
+      "q2 min-cost regressed to a rank window")
   }
 
   test("histogram quantiles: windows run over bins, events only feed the count agg") {
@@ -610,7 +637,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dsir: score table broadcasts; per-doc rollup partially aggregates") {
-    val p = plan("tx_dsir_weights")
+    // the weight pass now lives in the STAGE (stagedDsir), so the pin
+    // points at the builder's plan — the shape that runs at 100 TB
+    val docs = graft.queries.table(spark, dir, "documents")
+    val p = graft.ops.TextAnalysis.dsirWeights(docs,
+        target = org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"), "bucket score table lost its broadcast")
     assert(!p.contains("CartesianProduct"))
     assert(p.split("HashAggregate").length - 1 >= 2)
