@@ -285,11 +285,30 @@ object Sampling {
         expr("CAST(round(CAST(CAST(n_rows AS DOUBLE) * sigma " +
           "AS DECIMAL(30,10)), 2) * 100 AS BIGINT)").as("weight_cents")))
     val tot = stats.agg(sum(col("weight_cents")).as("total_cents"))
-    stats.crossJoin(broadcast(tot))
+    // Floor division under-fills by up to |strata|−1 units; the leftover
+    // is dealt by LARGEST REMAINDER (rank on the exact integer modulus,
+    // stratum tie-break — deterministic in both engines). The result is
+    // then CAPPED at N_h (textbook Neyman: a stratum cannot yield more
+    // rows than it has). Cap-induced shortfall is NOT re-redistributed —
+    // that is the documented single-pass behavior (full Neyman iterates
+    // cap→reallocate to a fixpoint; run the operator again on the uncapped
+    // strata to iterate externally). The window runs over |strata| rows,
+    // never the corpus.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("stratum"))
+    val floored = stats.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n_rows"), col("sigma"),
         col("weight_cents"),
         expr("(weight_cents * 1000000) DIV total_cents").as("alloc_ppm"),
-        expr(s"($budget * weight_cents) DIV total_cents").as("n_alloc"))
+        expr(s"($budget * weight_cents) DIV total_cents").as("alloc0"),
+        expr(s"($budget * weight_cents) % total_cents").as("rem"))
+    val leftover = floored.agg((lit(budget) - sum(col("alloc0"))).as("leftover"))
+    floored.withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(leftover))
+      .select(col("stratum"), col("n_rows"), col("sigma"),
+        col("weight_cents"), col("alloc_ppm"),
+        least(col("alloc0") + when(col("rn") <= col("leftover"), 1L)
+          .otherwise(0L), col("n_rows")).as("n_alloc"))
       .orderBy(col("stratum"))
   }
 }

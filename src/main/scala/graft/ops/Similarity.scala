@@ -30,6 +30,7 @@ object Similarity {
     * with any change to the corresponding builder). */
   val PqStageTag = "pqindex8x16_v1"   // pqIndexFrames + ivfIndexFrames
   val KnnStageTag = "knngraph3_v1"    // knnGraphAuto(k = 3)
+  val OpqStageTag = "opqindex8x16_v1" // opqPermutation + permuted pqIndexFrames
 
   /** Sequential-fold cosine similarity between two float-array columns,
     * computed in double via the codegen'd FloatVecDot expression (bit-
@@ -528,6 +529,37 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(sum(expr("(pk % 256) * shiftleft(1L, CAST(8 * m AS INT))")).as("cp"))
   }
+
+  /** OPQ-lite dimension permutation (the parametric rotation of Ge et
+    * al., CVPR 2013, restricted to permutation matrices — the
+    * deterministic, SQL-reproducible member of the rotation family):
+    * rank dimensions by their variance (read off the STAGED covariance
+    * diagonal — no extra corpus pass) and deal them round-robin across
+    * subspaces, so no subspace hoards the high-variance coordinates and
+    * the per-subspace quantizers share the distortion budget. Returns
+    * perm where perm(newPos) = originalDim; the collect is d rows — a
+    * bounded driver artifact, never corpus-sized. */
+  def opqPermutation(covCells: DataFrame, subspaces: Int = 8): Seq[Int] = {
+    val vars = covCells.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").cast("long"), col("cov"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val d = vars.length
+    require(d > 0 && d % subspaces == 0,
+      s"dim $d not divisible into $subspaces subspaces")
+    val subDim = d / subspaces
+    vars.sortBy { case (dim, v) => (-v, dim) }.zipWithIndex
+      .map { case ((dim, _), r) =>
+        ((r % subspaces) * subDim + r / subspaces, dim) }
+      .sortBy(_._1).map(_._2.toInt).toSeq
+  }
+
+  /** Reorder a vector column by a fixed permutation — a codegen'd array
+    * constructor over literal indices (map-only, no shuffle). Cosine is
+    * permutation-invariant, so exact rankings are unchanged; only the
+    * subspace SPLIT the PQ encoder sees moves. */
+  def permuteVectors(df: DataFrame, perm: Seq[Int],
+                     vecCol: String = "embedding"): DataFrame =
+    df.withColumn(vecCol, array(perm.map(i => col(vecCol).getItem(i)): _*))
 
   /** Per-query LUT of exact sub-dot-products, index m·S + code (the
     * kmeans-update array_sort(collect_list(struct)) determinism). */

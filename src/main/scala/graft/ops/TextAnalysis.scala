@@ -947,6 +947,10 @@ object TextAnalysis {
     * written with the identical shape. */
   def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 100): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // Terms pass through the SAME normalization as the document stream
+    // (lower + whitespace-collapse) — an uppercase or padded term could
+    // otherwise never match a normalized token.
+    val normTerms = terms.map(normalizeQueryToken).filter(_.nonEmpty).distinct
     val arr = split(F.normalizeText(lower(col("text"))), " ")
     val withArr = docs.select(col("doc_id"), arr.as("arr"))
     // corpus stats: one bounded row (exact integer length sum)
@@ -958,7 +962,7 @@ object TextAnalysis {
     val tf = withArr
       .select(col("doc_id"), size(col("arr")).cast("long").as("dl"),
         explode(col("arr")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(normTerms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val df_ = tf.groupBy(col("term"))
@@ -974,7 +978,11 @@ object TextAnalysis {
     tf.join(broadcast(df_), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
-      .agg(sum(round(score, 6).cast(DecimalType(20, 6))).as("sc"),
+      // per-(doc,term) scores round in DECIMAL space (the rd discipline —
+      // round(double) is shortest-repr HALF_UP in Spark vs binary in
+      // DuckDB; a score landing on an exact 5e-7 boundary would diverge)
+      .agg(sum(round(score.cast(DecimalType(30, 10)), 6)
+          .cast(DecimalType(20, 6))).as("sc"),
         count(lit(1)).as("n_terms"))
       .select(col("doc_id"), col("sc").cast(DoubleType).as("bm25"),
         col("n_terms"))
@@ -999,16 +1007,34 @@ object TextAnalysis {
     * corpus-wide to answer the same question; a standing search service
     * amortizes that by staging the positional index ONCE term-bucketed,
     * which is this operator's `stagedPairs`-style evolution path. */
+  /** JVM-side twin of F.normalizeText + lower for caller-supplied query
+    * terms/phrases: lowercase, collapse all whitespace runs to one space,
+    * trim — so query text and document text meet in the same space. */
+  private def normalizeQueryToken(s: String): String =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
   def phraseSearch(docs: DataFrame, phrases: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Phrases pass through the SAME normalization as the document stream
+    // (lower + whitespace-collapse): an uppercase or double-spaced phrase
+    // could otherwise never match, and splitting a doubled space would
+    // inject empty tokens that corrupt the window length. Reported rows
+    // carry the normalized phrase. Every comparison below is built from
+    // Column APIs with BOUND literals — caller text is never interpolated
+    // into a parsed expression string, so a quote/backslash/lambda
+    // metacharacter in a phrase is just data, not syntax.
+    val normPhrases = phrases.map(normalizeQueryToken)
+      .filter(_.nonEmpty).distinct
     val arr = split(F.normalizeText(lower(col("text"))), " ")
-    val perPhrase = phrases.map { p =>
+    val perPhrase = normPhrases.map { p =>
       val n = p.split(" ").length
-      val windows = s"transform(sequence(1, size(__arr) - ${n - 1}), " +
-        s"i -> concat_ws(' ', slice(__arr, i, $n)))"
-      val cnt = expr(s"CAST(CASE WHEN size(__arr) >= $n THEN " +
-        s"size(filter($windows, w -> w = '$p')) ELSE 0 END AS BIGINT)")
+      val windows = transform(
+        sequence(lit(1), size(col("__arr")) - lit(n - 1)),
+        i => concat_ws(" ", slice(col("__arr"), i, lit(n))))
+      val cnt = when(size(col("__arr")) >= n,
+          size(filter(windows, w => w === lit(p))))
+        .otherwise(0).cast("long")
       struct(lit(p).as("phrase"), cnt.as("n_occ"))
     }
     val matches = docs.select(col("doc_id"), arr.as("__arr"))
@@ -1019,7 +1045,7 @@ object TextAnalysis {
     val census = matches.groupBy(col("phrase"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occ"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-    phrases.toDF("phrase").join(broadcast(census), Seq("phrase"), "left")
+    normPhrases.toDF("phrase").join(broadcast(census), Seq("phrase"), "left")
       .select(col("phrase"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_occ"), lit(0L)).as("n_occ"),

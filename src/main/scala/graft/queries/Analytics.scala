@@ -996,7 +996,11 @@ object Analytics extends QueryPack {
       val dd = DecimalType(38, 0)
       val xy = table(s, dir, "lineitem").select(
         $"l_quantity".cast("long").as("x"),
-        expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+        // key derivation rounds in DECIMAL space (the rd discipline) — a
+        // discount landing exactly on a .5 cent would otherwise split
+        // between Spark's shortest-repr and DuckDB's binary round(double)
+        expr("CAST(round(CAST(l_discount * 100 AS DECIMAL(30,10)), 0) AS BIGINT)")
+          .as("y"))
       // materialize: four consumers (both pair sides, both marginals, n)
       // must ride ONE corpus scan+agg, not five
       val cell = graft.ops.Dedup.materialize(
@@ -1629,7 +1633,7 @@ object Analytics extends QueryPack {
     "st10_kendall_tau" ->
       """WITH xy AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS x,
-        |    CAST(round(l_discount * 100) AS BIGINT) AS y
+        |    CAST(round(CAST(l_discount * 100 AS DECIMAL(30,10)), 0) AS BIGINT) AS y
         |  FROM lineitem),
         |cell AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
         |         FROM xy GROUP BY x, y),
@@ -1669,11 +1673,19 @@ object Analytics extends QueryPack {
         |    CAST(round(CAST(CAST(n_rows AS DOUBLE) * sigma
         |      AS DECIMAL(30,10)), 2) * 100 AS BIGINT) AS weight_cents
         |  FROM w),
-        |t AS (SELECT CAST(sum(weight_cents) AS BIGINT) AS total_cents FROM wc)
-        |SELECT stratum, n_rows, sigma, weight_cents,
-        |  (weight_cents * 1000000) // total_cents AS alloc_ppm,
-        |  (10000 * weight_cents) // total_cents AS n_alloc
-        |FROM wc CROSS JOIN t
+        |t AS (SELECT CAST(sum(weight_cents) AS BIGINT) AS total_cents FROM wc),
+        |fl AS (
+        |  SELECT stratum, n_rows, sigma, weight_cents,
+        |    (weight_cents * 1000000) // total_cents AS alloc_ppm,
+        |    (10000 * weight_cents) // total_cents AS alloc0,
+        |    (10000 * weight_cents) % total_cents AS rem
+        |  FROM wc CROSS JOIN t),
+        |lo AS (SELECT 10000 - sum(alloc0) AS leftover FROM fl)
+        |SELECT stratum, n_rows, sigma, weight_cents, alloc_ppm,
+        |  least(alloc0 + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, stratum) <= leftover
+        |    THEN 1 ELSE 0 END, n_rows) AS n_alloc
+        |FROM fl CROSS JOIN lo
         |ORDER BY stratum""".stripMargin
   )
 }

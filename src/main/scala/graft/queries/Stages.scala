@@ -39,6 +39,7 @@ object Stages {
     "stage:dsir"         -> ((s, d) => { TextOps.stagedDsir(s, d); () }),
     // embedding side
     "stage:cov"          -> ((s, d) => { Vectors.stagedCov(s, d); () }),
+    "stage:opq"          -> ((s, d) => { Vectors.stagedOpq(s, d); () }),
     "stage:pq"           -> ((s, d) => { Vectors.stagedPq(s, d); () }),
     "stage:knn"          -> ((s, d) => { Vectors.stagedKnn(s, d); () }),
     // ETL layout stages

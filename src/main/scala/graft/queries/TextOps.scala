@@ -1936,11 +1936,11 @@ object TextOps extends QueryPack {
         |dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |        FROM tf GROUP BY 1)
         |SELECT doc_id,
-        |  CAST(sum(CAST(round(
+        |  CAST(sum(CAST(round(CAST(
         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
         |    (CAST(tf AS DOUBLE) * 2.2) /
-        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
-        |    6) AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |    AS DECIMAL(30,10)), 6) AS DECIMAL(20,6))) AS DOUBLE) AS bm25,
         |  count(*) AS n_terms
         |FROM tf JOIN dfx USING (term) CROSS JOIN st
         |GROUP BY doc_id

@@ -96,6 +96,35 @@ object Vectors extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // OPQ-lite recall audit: recall@5 of PQ-ADC over the variance-
+    // balanced dimension permutation (Ge et al. 2013's rotation family,
+    // restricted to its deterministic permutation member) against the
+    // exact ranking — measured side by side with sim_pq_recall so the
+    // rotation's effect on the SAME index budget is a number, not a hope.
+    "sim_opq_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val st = stagedOpq(s, dir)
+      val perm = s.read.parquet(s"$st/perm.parquet").orderBy(col("pos"))
+        .collect().map(_.getLong(1).toInt).toSeq
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.pqTopKFrom(
+          s.read.parquet(s"$st/codebook.parquet"),
+          s.read.parquet(s"$st/codes.parquet"),
+          Similarity.permuteVectors(q, perm), k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // Lloyd k-means (k = 16, 2 assignment rounds) over the corpus — the
     // clustering step semantic-dedup / diversity-balancing pipelines run
     // first. Deterministic end-to-end: IVF seeding, 6-dp-rounded cosine
@@ -302,6 +331,29 @@ object Vectors extends QueryPack {
     staged
   }
 
+  /** OPQ-lite index stage: the variance-balanced dimension permutation is
+    * read off the STAGED covariance diagonal (stage:cov pays the Gram
+    * pass), then the standard PQ train/encode runs over the permuted
+    * corpus — codebook + codes land beside a (pos, dim) permutation table
+    * so the query side permutes its vectors identically. */
+  private[queries] def stagedOpq(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    val staged = tmpStage(dir, Similarity.OpqStageTag)
+    ensureStaged(staged, "codes.parquet/_SUCCESS") {
+      val perm = Similarity.opqPermutation(stagedCov(s, dir))
+      import s.implicits._
+      perm.zipWithIndex
+        .map { case (dim, pos) => (pos.toLong, dim.toLong) }
+        .toDF("pos", "dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staged/perm.parquet")
+      val (cb, codes) = Similarity.pqIndexFrames(
+        Similarity.permuteVectors(table(s, dir, "embeddings"), perm))
+      cb.write.mode("overwrite").parquet(s"$staged/codebook.parquet")
+      codes.write.mode("overwrite").parquet(s"$staged/codes.parquet")
+    }
+    staged
+  }
+
   /** kNN edge stage — the cell-bounded graph build (IVF assignment +
     * per-cell self-join + per-vector ranking) dominates both
     * sim_knn_graph and sim_dup_clusters and is identical between them, so
@@ -385,14 +437,17 @@ object Vectors extends QueryPack {
   /** DuckDB twin of ops.Similarity.pqTopK — the full PQ chain (derived
     * codebook, packed-min encoding with the 10^12 bias, per-query LUT,
     * ascending-m ADC folds) as a reusable CTE block ending in `pq`
-    * (q_id, vec_id, sim, rank <= 5). */
-  private lazy val pqCtes: String = {
+    * (q_id, vec_id, sim, rank <= 5). Parameterized over the source
+    * relation so the OPQ oracle can run the identical chain over the
+    * permuted view. */
+  private lazy val pqCtes: String = pqCtesOn("embeddings")
+  private def pqCtesOn(tbl: String): String = {
     def sl(v: String, m: String) =
       s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
-    s"""pqce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM embeddings),
+    s"""pqce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM $tbl),
       |pqsd AS (SELECT embedding AS c_emb,
       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-      |  FROM embeddings WHERE vec_id % (SELECT every FROM pqce) = 0),
+      |  FROM $tbl WHERE vec_id % (SELECT every FROM pqce) = 0),
       |pqs AS (SELECT CAST(count(*) AS BIGINT) AS s FROM pqsd),
       |pqcb AS (SELECT mm.m, code, ${sl("c_emb", "mm.m")} AS c_sub
       |  FROM pqsd CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
@@ -401,13 +456,13 @@ object Vectors extends QueryPack {
       |  SELECT v.vec_id, c.m,
       |    min((CAST(round((c.cn2 - 2 * ${dot(sl("v.embedding", "c.m"), "c.c_sub")}) * 1000000) AS BIGINT)
       |         + 1000000000000) * 256 + c.code) AS pk
-      |  FROM embeddings v CROSS JOIN pqcb2 c
+      |  FROM $tbl v CROSS JOIN pqcb2 c
       |  GROUP BY 1, 2),
       |pqpacked AS (SELECT vec_id,
       |    CAST(sum((pk % 256) * (CAST(1 AS BIGINT) << CAST(8 * m AS INT))) AS BIGINT) AS cp
       |  FROM pqenc GROUP BY 1),
       |pqq AS (SELECT vec_id AS q_id, embedding AS q_emb, sqrt(${norm2("embedding")}) AS q_nrm
-      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |  FROM $tbl WHERE vec_id % 100 = 0),
       |pqlut AS (
       |  SELECT q_id, q_nrm, list(dv ORDER BY idx) AS lut FROM (
       |    SELECT q.q_id, q.q_nrm, c.m * sc.s + c.code AS idx,
@@ -623,6 +678,46 @@ object Vectors extends QueryPack {
 
     "sim_pq_recall" ->
       s"""WITH $pqCtes,
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |bscored AS (
+        |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
+        |b AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) t WHERE rank <= 5),
+        |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN pq USING (q_id, vec_id) GROUP BY 1),
+        |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+        |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
+        |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
+
+    // Same recall harness over the OPQ-permuted PQ chain: the variance
+    // ranking reuses the emb_covariance diagonal discipline (decimal
+    // sums, 6-dp rz round), the permutation is dealt round-robin by
+    // variance rank, and the whole PQ CTE block runs over the permuted
+    // view — brute-force ranking stays on the raw vectors (cosine is
+    // permutation-invariant).
+    "sim_opq_recall" ->
+      s"""WITH oe AS (
+        |  SELECT vec_id, CAST(unnest(range(len(embedding))) AS BIGINT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |ovv AS (
+        |  SELECT i AS dim,
+        |    round(CAST(sum(CAST(x*x AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+        |      - CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+        |        * (CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*)), 6) + 0 AS v
+        |  FROM oe GROUP BY 1),
+        |ork AS (SELECT dim, row_number() OVER (ORDER BY v DESC, dim) - 1 AS r FROM ovv),
+        |opos AS (SELECT dim,
+        |    (r % 8) * ((SELECT count(*) FROM ovv) // 8) + (r // 8) AS p
+        |  FROM ork),
+        |operm AS (SELECT list(CAST(dim + 1 AS INT) ORDER BY p) AS pl FROM opos),
+        |pembeddings AS (
+        |  SELECT vec_id, list_select(embedding, (SELECT pl FROM operm)) AS embedding
+        |  FROM embeddings),
+        |${pqCtesOn("pembeddings")},
         |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
         |bscored AS (
         |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim

@@ -1326,17 +1326,32 @@ class OpsSpec extends SparkSpec {
   }
 
   test("neymanAllocation: budget follows N_h*sigma_h; zero-variance " +
-    "stratum gets zero") {
+    "stratum gets zero; allocation caps at N_h") {
     val df = Seq(("A", 0.0), ("A", 2.0), ("B", 5.0), ("B", 5.0),
       ("C", 0.0), ("C", 6.0)).toDF("g", "v")
     val got = rows(graft.ops.Sampling.neymanAllocation(df, "g", "v"))
       .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
         r.getAs[Double]("sigma"), r.getAs[Long]("weight_cents"),
         r.getAs[Long]("alloc_ppm"), r.getAs[Long]("n_alloc"))).toMap
-    // sigma: A = 1 (pop. sd of {0,2}), B = 0, C = 3; weights 200/0/600
-    assert(got("A") == ((2L, 1.0, 200L, 250000L, 2500L)))
+    // sigma: A = 1 (pop. sd of {0,2}), B = 0, C = 3; weights 200/0/600.
+    // The 10000 budget wants 2500/0/7500 — but a 2-row stratum can only
+    // yield 2 rows, so both allocations CAP at N_h.
+    assert(got("A") == ((2L, 1.0, 200L, 250000L, 2L)))
     assert(got("B") == ((2L, 0.0, 0L, 0L, 0L)))
-    assert(got("C") == ((2L, 3.0, 600L, 750000L, 7500L)))
+    assert(got("C") == ((2L, 3.0, 600L, 750000L, 2L)))
+  }
+
+  test("neymanAllocation: floored remainder dealt by largest remainder — " +
+    "allocations sum to the budget") {
+    val df = Seq(("A", 0.0), ("A", 2.0), ("B", 5.0), ("B", 5.0),
+      ("C", 0.0), ("C", 6.0)).toDF("g", "v")
+    // weights 200/0/600, total 800, budget 3: floors 0/0/2 (leftover 1),
+    // remainders 600/0/200 — A takes the extra unit
+    val got = rows(graft.ops.Sampling.neymanAllocation(df, "g", "v",
+        budget = 3))
+      .map(r => r.getString(0) -> r.getAs[Long]("n_alloc")).toMap
+    assert(got == Map("A" -> 1L, "B" -> 0L, "C" -> 2L))
+    assert(got.values.sum == 3L, "allocations must exhaust the budget")
   }
 
   test("triangles: one triangle + pendant, then K4 — each found once, " +
@@ -1373,11 +1388,56 @@ class OpsSpec extends SparkSpec {
     assert(got("zz yy") == ((0L, 0L, -1L, -1L)))
   }
 
+  test("phraseSearch: caller phrases are data, not syntax — quotes, " +
+    "backslashes and lambda metacharacters cannot break or change the " +
+    "predicate; phrases normalize like the corpus") {
+    val d = Seq((1L, "it's  a -> b \\ test"), (2L, "plain row"))
+      .toDF("doc_id", "text")
+    // raw quote, backslash, arrow, and un-normalized casing/spacing
+    val got = rows(TextAnalysis.phraseSearch(d,
+      Seq("it's", "a -> b", "\\ test", "IT'S  A", "w = 'x' OR 1=1")))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("it's") == ((1L, 1L)))
+    assert(got("a -> b") == ((1L, 1L)))
+    assert(got("\\ test") == ((1L, 1L)))
+    // "IT'S  A" normalizes to "it's a" and matches
+    assert(got("it's a") == ((1L, 1L)))
+    assert(got("w = 'x' or 1=1") == ((0L, 0L)), "injection text is a phrase")
+  }
+
+  test("bm25: terms normalize like the corpus — padded/uppercase terms " +
+    "still match") {
+    val d = Seq((1L, "Table scan merge"), (2L, "no match here"))
+      .toDF("doc_id", "text")
+    val got = rows(TextAnalysis.bm25(d, Seq(" TABLE ", "scan")))
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_terms")).toMap
+    assert(got(1L) == 2L, "normalized terms must hit doc 1 twice")
+    assert(!got.contains(2L))
+  }
+
   test("kwic: context windows clamp at document edges") {
     val d = Seq((1L, "a b target c d"), (2L, "target x")).toDF("doc_id", "text")
     val got = rows(TextAnalysis.kwic(d, Seq("target")))
       .map(r => (r.getLong(1), r.getAs[Long]("pos"), r.getAs[String]("context")))
     assert(got == Seq((1L, 3L, "a b target c d"), (2L, 1L, "target x")))
+  }
+
+  test("opqPermutation: dims dealt round-robin by variance rank off the " +
+    "covariance diagonal; permuteVectors reorders accordingly") {
+    // diag variances: dim0=1.0, dim1=4.0, dim2=0.5, dim3=2.0 (off-diag
+    // cells must be ignored); 2 subspaces over d=4 → subDim=2.
+    // rank desc: dim1, dim3, dim0, dim2 → positions 0,2,1,3 →
+    // perm(pos)=originalDim = [1, 0, 3, 2]
+    val cov = Seq((0L, 0L, 1.0), (1L, 1L, 4.0), (2L, 2L, 0.5),
+      (3L, 3L, 2.0), (0L, 1L, 9.9), (1L, 3L, -9.9))
+      .toDF("dim_i", "dim_j", "cov")
+    val perm = Similarity.opqPermutation(cov, subspaces = 2)
+    assert(perm == Seq(1, 0, 3, 2))
+    val e = Seq((1L, Seq(10.0f, 20.0f, 30.0f, 40.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.permuteVectors(e, perm))
+      .map(_.getSeq[Float](1)).head
+    assert(got == Seq(20.0f, 10.0f, 40.0f, 30.0f))
   }
 
   test("standardize: z-scores per dimension; constant dimension pins to 0") {

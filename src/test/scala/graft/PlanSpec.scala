@@ -1089,7 +1089,12 @@ class PlanSpec extends SparkSpec {
     val scans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("orders.parquet"))
     assert(scans == 0, s"orders scanned $scans times")
-    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    // exactly one Window — the largest-remainder rank over the |strata|-row
+    // census (bounded), never a corpus-row window (formatted explain names
+    // each node twice: tree + details)
+    assert(p.split("\\bWindow\\b").length - 1 <= 2,
+      "unexpected extra Window node beyond the strata-rank")
   }
 
   test("ix4: phrase windows are in-row (map-only corpus pass); the only " +
