@@ -43,7 +43,10 @@ class BenchSpec extends AnyFunSuite {
     // realistic value mix (mostly sub-second, a few heavy): the line must
     // fit, every query must be either present or counted in omitted, and
     // the heavy hitters — the ones that drive the 2x gate — must be present
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // the fleet line also carries one stage:<name> row per staged
+    // intermediate — include them so the budget check matches reality
+    val names = (SparkEntry.queries.keys.toSeq ++
+      graft.queries.Stages.all.map(_._1)).sorted
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 17 == 0) 8.5 else 0.3 + (i % 7) / 10.0) }
     val line = Bench.judgedLine(results, Set.empty, "sf0.1")

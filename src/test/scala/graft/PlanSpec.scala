@@ -522,6 +522,18 @@ class PlanSpec extends SparkSpec {
     assert(p.split("HashAggregate").length - 1 >= 2, "assignment lost partial agg")
   }
 
+  test("phash dedup: band table materializes before the fan-out — one " +
+    "documents scan, three consumers ride the barrier") {
+    val p = plan("mm_phash_dedup")
+    // the per-character explode + two groupBys must run ONCE; the pivoted
+    // hash table and both self-join sides consume the checkpointed bands
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans <= 1, s"documents scanned $scans times — bands lineage " +
+      "is being re-executed per consumer")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q2 min-cost: part fan-out broadcasts into supplier; min joins back, no window") {
     val p = plan("q2_min_cost")
     // the filtered 4-per-part fan-out and the part-bounded min table are
