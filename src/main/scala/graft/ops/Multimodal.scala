@@ -214,23 +214,40 @@ object Multimodal {
     * the way crawl pipelines run it (aHash/PDQ-style): the plane is cut
     * into 64 blocks, bit k set iff block k's mean exceeds the global mean
     * (compared with exact integer cross-multiplication, no floats), the 64
-    * bits packed into eight 8-bit bands, candidates drawn only from pairs
-    * sharing ≥1 band (the SimHash pigeonhole: fewer than 8 bit flips MUST
-    * leave some band untouched, so recall is exact for hamming ≤ 7 and
-    * probabilistic above — the standard banded-LSH trade, identical in
-    * both engines), verified by exact Hamming distance via
-    * bit_count(xor).
+    * bits packed into four 16-bit subindex words, candidates drawn by
+    * multi-index hashing (Norouzi et al., "Fast Search in Hamming Space
+    * with Multi-Index Hashing", CVPR 2012): each side of the self-join
+    * probes every subindex at Hamming radius 1 — an exact-key equi-join
+    * where the probe side enumerates the word plus its 16 one-bit flips.
+    * Generalized pigeonhole: a pair within total Hamming 7 has SOME
+    * subindex within per-word distance floor(7/4) = 1, so recall is EXACT
+    * for hamming <= 7 and probabilistic in (7, maxHamming]; the verify
+    * join then applies the exact bit_count(xor) cut.
+    *
+    * Why 16-bit words and not the 8-bit bands the SimHash path uses: the
+    * subindex key space must scale with the corpus (MIH's w ~ log2 n).
+    * 8-bit bands cap the key space at 256 values, so the candidate join
+    * degenerates to n^2*8/256 pairs — the factor-30 audit measured 131x
+    * growth on 30x data (433 s) from exactly that flood. 16-bit words
+    * with one-sided radius-1 probes cost 17 probe keys per word but cut
+    * expected random collisions ~30x (n^2*68/65536), and the same
+    * maxHamming verify keeps the output a strict superset of the
+    * guaranteed radius. At 100 TB the next step is the same design on a
+    * longer hash (256-bit PDQ -> 16 subindices of 16 bits, guarantee
+    * radius 31) — the band arithmetic below is width-parameterized in
+    * spirit, not rewritten.
     *
     * The decode step is the documented deterministic stand-in (this
     * container has no image codecs): the "plane" is the document's
     * character-code stream — every Spark-side shape (per-block partial
-    * aggregation, banded candidate join, popcount verify) is the real one
-    * and carries over unchanged when a codec supplies true pixels.
+    * aggregation, MIH probe join, popcount verify) is the real one and
+    * carries over unchanged when a codec supplies true pixels.
     *
     * Scale shape: one explode whose (doc, block) rollup partial-aggregates
-    * map-side to 64 rows per asset before the exchange; bands are 4 rows
-    * per asset; the candidate join is an equi-join on (band idx, band
-    * value); the verify join touches only candidate pairs. */
+    * map-side to 64 rows per asset before the exchange; subindex words are
+    * 4 rows per asset; probes are a map-side 17-way fan-out of the
+    * MATERIALIZED word table (no lineage recompute on either join side);
+    * the verify join touches only candidate pairs. */
   def phashDedup(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
     val cs = docs
       .select(col("doc_id"), length(col("text")).as("L"),
@@ -242,32 +259,44 @@ object Multimodal {
     val tot = cs.groupBy(col("doc_id"))
       .agg(sum(col("s")).as("total"), sum(col("n")).as("lt"))
     // Materialized BEFORE fan-out: three consumers follow (the pivoted
-    // hash table plus BOTH sides of the banded self-join), and an
-    // unmaterialized lineage would re-run the per-character explode and
-    // two groupBys once per consumer — the SimHash lineage-consumption
-    // defect, fixed the same way.
-    val bands = Dedup.materialize(cs.join(tot, "doc_id")
-      .select(col("doc_id"), expr("k DIV 8").as("j"),
+    // hash table, the probe fan-out, and the exact side of the MIH
+    // join), and an unmaterialized lineage would re-run the
+    // per-character explode and two groupBys once per consumer — the
+    // SimHash lineage-consumption defect, fixed the same way.
+    val words = Dedup.materialize(cs.join(tot, "doc_id")
+      .select(col("doc_id"), expr("k DIV 16").as("j"),
         when(col("s") * col("lt") > col("total") * col("n"), 1L)
           .otherwise(0L).as("bit"),
         col("k"))
       .groupBy(col("doc_id"), col("j"))
-      .agg(sum(expr("bit * shiftleft(1L, CAST(k % 8 AS INT))")).as("band")))
-    val bandCols = (0 until 8).map(j =>
+      .agg(sum(expr("bit * shiftleft(1L, CAST(k % 16 AS INT))")).as("band")))
+    val bandCols = (0 until 4).map(j =>
       max(when(col("j") === j, col("band"))).as(s"b$j"))
-    val ph = Dedup.materialize(bands.groupBy(col("doc_id"))
+    val ph = Dedup.materialize(words.groupBy(col("doc_id"))
       .agg(bandCols.head, bandCols.tail: _*))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+    // One-sided radius-1 probe enumeration: f = 0 is the word itself,
+    // f in 1..16 flips bit f-1. Covers per-word distance <= 1 against
+    // the exact side (d = 0: exact hits exact; d = 1: the differing bit's
+    // flip hits the other word) — one direction suffices since xor
+    // distance is symmetric and doc_a < doc_b picks the direction.
+    val probes = words
+      .select(col("doc_id"), col("j"), col("band"),
+        explode(sequence(lit(0), lit(16))).as("f"))
+      .select(col("doc_id"), col("j"),
+        when(col("f") === 0, col("band"))
+          .otherwise(expr("band ^ shiftleft(1L, CAST(f - 1 AS INT))"))
+          .as("key"))
+    val cand = probes.as("a").join(words.as("b"),
+        col("a.j") === col("b.j") && col("a.key") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val hamming = (0 until 8).map(j =>
+    val hamming = (0 until 4).map(j =>
       expr(s"bit_count(a.b$j ^ bb$j)")).reduce(_ + _).cast("long")
     cand
       .join(ph.as("a"), col("doc_a") === col("a.doc_id"))
       .join(ph.select(col("doc_id").as("bid") +:
-        (0 until 8).map(j => col(s"b$j").as(s"bb$j")): _*),
+        (0 until 4).map(j => col(s"b$j").as(s"bb$j")): _*),
         col("doc_b") === col("bid"))
       .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)

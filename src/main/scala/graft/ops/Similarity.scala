@@ -139,6 +139,16 @@ object Similarity {
   def autoCentroidEvery(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
 
+  /** Scale-honest judged-query workload: a search service's query stream
+    * does not grow with its index, so the judged workload is a BOUNDED
+    * deterministic subset — stride = ceil(n/64) keeps ~64 query vectors
+    * at any corpus size. The old fixed stride (every 100th vec_id) made
+    * |queries| proportional to n, which turns every exhaustive-scan path
+    * (brute force, flat PQ-ADC) into O(n^2/100): the factor-30 audit
+    * measured 123-131x growth on 30x data for exactly this reason. The
+    * count() is parquet row-count metadata, not a scan. */
+  def queryStride(n: Long): Long = math.max(1L, math.ceil(n / 64.0).toLong)
+
   /** ivfTopK with centroidEvery derived from the corpus size so the
     * centroid count stays ≈ √n at any scale. The count() is a bounded
     * driver-side action (parquet row-count metadata, no data scan); pass an

@@ -11,18 +11,26 @@ import graft.ops.{Multimodal, Similarity}
   */
 object Vectors extends QueryPack {
 
+  /** Bounded judged-query workload: ~64 deterministic query vectors at
+    * every corpus size (Similarity.queryStride). Keeping the workload
+    * corpus-proportional made every exhaustive-scan query O(n^2) in the
+    * factor-30 audit; a real query stream is independent of index size. */
+  private def boundedQueries(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.filter(col("vec_id") % graft.ops.Similarity.queryStride(e.count()) === 0)
+
+
   val queries: Map[String, QFn] = Map(
-    // Exact brute-force top-k: bounded query set (vec_id % 100 == 0)
+    // Exact brute-force top-k: bounded query set (~64 strided vec_ids)
     // broadcast against the full corpus.
     "sim_brute_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5)
+      Similarity.bruteForceTopK(e, boundedQueries(e), k = 5)
     }),
 
     // Approximate top-k via deterministic axis-sign LSH buckets.
     "sim_lsh_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.signLshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+      Similarity.signLshTopK(e, boundedQueries(e), k = 5,
         signBits = 8)
     }),
 
@@ -30,7 +38,7 @@ object Vectors extends QueryPack {
     // ranking by raw dot product over the sign-bucket candidate walk.
     "sim_mips_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.mipsTopK(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+      Similarity.mipsTopK(e, boundedQueries(e), k = 5,
         signBits = 8)
     }),
 
@@ -40,7 +48,7 @@ object Vectors extends QueryPack {
     // the oracle mirrors the derivation with a count subquery.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.ivfTopKAuto(e, e.filter(col("vec_id") % 100 === 0), k = 5,
+      Similarity.ivfTopKAuto(e, boundedQueries(e), k = 5,
         nprobe = 2)
     }),
 
@@ -55,7 +63,7 @@ object Vectors extends QueryPack {
       Similarity.pqTopKFrom(
         s.read.parquet(s"$st/codebook.parquet"),
         s.read.parquet(s"$st/codes.parquet"),
-        e.filter(col("vec_id") % 100 === 0), k = 5)
+        boundedQueries(e), k = 5)
     }),
 
     // IVF-PQ: nprobe cells per query, candidates scored from 8-byte
@@ -69,7 +77,7 @@ object Vectors extends QueryPack {
         s.read.parquet(s"$st/codes.parquet"),
         s.read.parquet(s"$st/cells.parquet"),
         s.read.parquet(s"$st/cent.parquet"),
-        e.filter(col("vec_id") % 100 === 0), k = 5, nprobe = 2)
+        boundedQueries(e), k = 5, nprobe = 2)
     }),
 
     // Recall@5 of the PQ-ADC ranking against the exact brute-force
@@ -77,7 +85,7 @@ object Vectors extends QueryPack {
     // same staged index as sim_pq_topk instead of re-training it.
     "sim_pq_recall" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = boundedQueries(e)
       val st = stagedPq(s, dir)
       val brute = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("q_id"), col("vec_id"))
@@ -103,7 +111,7 @@ object Vectors extends QueryPack {
     // rotation's effect on the SAME index budget is a number, not a hope.
     "sim_opq_recall" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = boundedQueries(e)
       val st = stagedOpq(s, dir)
       val perm = s.read.parquet(s"$st/perm.parquet").orderBy(col("pos"))
         .collect().map(_.getLong(1).toInt).toSeq
@@ -146,7 +154,7 @@ object Vectors extends QueryPack {
     // (q_id, vec_id) sets and the recall is one bounded join + rollup.
     "sim_lsh_recall" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") % 100 === 0)
+      val q = boundedQueries(e)
       val brute = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("q_id"), col("vec_id"))
       val approx = Similarity.signLshTopK(e, q, k = 5, signBits = 8)
@@ -444,7 +452,8 @@ object Vectors extends QueryPack {
   private def pqCtesOn(tbl: String): String = {
     def sl(v: String, m: String) =
       s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
-    s"""pqce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM $tbl),
+    s"""qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+      |pqce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM $tbl),
       |pqsd AS (SELECT embedding AS c_emb,
       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
       |  FROM $tbl WHERE vec_id % (SELECT every FROM pqce) = 0),
@@ -462,7 +471,7 @@ object Vectors extends QueryPack {
       |    CAST(sum((pk % 256) * (CAST(1 AS BIGINT) << CAST(8 * m AS INT))) AS BIGINT) AS cp
       |  FROM pqenc GROUP BY 1),
       |pqq AS (SELECT vec_id AS q_id, embedding AS q_emb, sqrt(${norm2("embedding")}) AS q_nrm
-      |  FROM $tbl WHERE vec_id % 100 = 0),
+      |  FROM $tbl WHERE vec_id % (SELECT qevery FROM qe) = 0),
       |pqlut AS (
       |  SELECT q_id, q_nrm, list(dv ORDER BY idx) AS lut FROM (
       |    SELECT q.q_id, q.q_nrm, c.m * sc.s + c.code AS idx,
@@ -550,7 +559,8 @@ object Vectors extends QueryPack {
     "emb_pca_power" -> pcaPowerOracle,
 
     "sim_brute_topk" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
         |scored AS (
         |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.q_id)
@@ -560,8 +570,9 @@ object Vectors extends QueryPack {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "sim_lsh_topk" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % 100 = 0),
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |b AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % (SELECT qevery FROM qe) = 0),
         |scored AS (
         |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
         |  FROM b e JOIN q USING (bucket) WHERE e.vec_id != q.q_id)
@@ -572,8 +583,9 @@ object Vectors extends QueryPack {
 
     // Same sign buckets, raw dot-product ranking (the MIPS order).
     "sim_mips_topk" ->
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % 100 = 0),
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |b AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM b WHERE vec_id % (SELECT qevery FROM qe) = 0),
         |scored AS (
         |  SELECT q.q_id, e.vec_id, (round(${dot("q.q_emb", "e.embedding")}, 6) + 0) AS ip
         |  FROM b e JOIN q USING (bucket) WHERE e.vec_id != q.q_id)
@@ -583,7 +595,8 @@ object Vectors extends QueryPack {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "sim_ivf_topk" ->
-      s"""WITH ce AS (
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |ce AS (
         |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
         |cent AS (
         |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
@@ -599,7 +612,7 @@ object Vectors extends QueryPack {
         |    SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.c_id,
         |      row_number() OVER (PARTITION BY v.vec_id
         |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN cent c WHERE v.vec_id % 100 = 0) t WHERE rn <= 2),
+        |    FROM embeddings v CROSS JOIN cent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
         |scored AS (
         |  SELECT qp.q_id, ca.vec_id, ${cos("qp.q_emb", "ca.embedding")} AS sim
         |  FROM qp JOIN ca USING (c_id) WHERE ca.vec_id != qp.q_id)
@@ -656,7 +669,7 @@ object Vectors extends QueryPack {
         |    SELECT v.vec_id AS q_id, c.c_id,
         |      row_number() OVER (PARTITION BY v.vec_id
         |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % 100 = 0) t WHERE rn <= 2),
+        |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
         |iscored AS (
         |  SELECT l.q_id, p.vec_id,
         |    round(
@@ -678,7 +691,7 @@ object Vectors extends QueryPack {
 
     "sim_pq_recall" ->
       s"""WITH $pqCtes,
-        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
         |bscored AS (
         |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
         |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
@@ -718,7 +731,7 @@ object Vectors extends QueryPack {
         |  SELECT vec_id, list_select(embedding, (SELECT pl FROM operm)) AS embedding
         |  FROM embeddings),
         |${pqCtesOn("pembeddings")},
-        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
         |bscored AS (
         |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
         |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
@@ -733,7 +746,8 @@ object Vectors extends QueryPack {
         |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
 
     "sim_lsh_recall" ->
-      s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
         |bscored AS (
         |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
         |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
@@ -742,7 +756,7 @@ object Vectors extends QueryPack {
         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |    FROM bscored) t WHERE rank <= 5),
         |lb AS (SELECT vec_id, embedding, $bucket8 AS bucket FROM embeddings),
-        |lq AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM lb WHERE vec_id % 100 = 0),
+        |lq AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM lb WHERE vec_id % (SELECT qevery FROM qe) = 0),
         |lscored AS (
         |  SELECT lq.q_id, e.vec_id, ${cos("lq.q_emb", "e.embedding")} AS sim
         |  FROM lb e JOIN lq USING (bucket) WHERE e.vec_id != lq.q_id),
@@ -943,23 +957,28 @@ object Vectors extends QueryPack {
         |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
         |    CAST(sum(n) AS BIGINT) AS lt
         |  FROM cs GROUP BY 1),
-        |bands AS MATERIALIZED (
-        |  SELECT cs.doc_id, CAST(k // 8 AS BIGINT) AS j,
+        |words AS MATERIALIZED (
+        |  SELECT cs.doc_id, CAST(k // 16 AS BIGINT) AS j,
         |    CAST(sum((CASE WHEN s * lt > total * n THEN 1 ELSE 0 END)
-        |             * (CAST(1 AS BIGINT) << CAST(k % 8 AS INT))) AS BIGINT) AS band
+        |             * (CAST(1 AS BIGINT) << CAST(k % 16 AS INT))) AS BIGINT) AS band
         |  FROM cs JOIN tot USING (doc_id) GROUP BY 1, 2),
         |ph AS MATERIALIZED (
         |  SELECT doc_id, list(band ORDER BY j) AS bl
-        |  FROM bands GROUP BY doc_id),
+        |  FROM words GROUP BY doc_id),
+        |probes AS (
+        |  SELECT doc_id, j,
+        |    xor(band, CASE WHEN f = 0 THEN 0
+        |              ELSE (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)) END) AS key
+        |  FROM words, (SELECT unnest(range(0, 17)) AS f)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 9),
+        |  FROM probes a JOIN words b
+        |    ON a.j = b.j AND a.key = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 5),
         |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) AS BIGINT) AS hamming
         |FROM cand JOIN ph x ON cand.doc_a = x.doc_id
         |          JOIN ph y ON cand.doc_b = y.doc_id
-        |WHERE list_sum(list_transform(range(1, 9),
+        |WHERE list_sum(list_transform(range(1, 5),
         |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) <= 12
         |ORDER BY doc_a, doc_b""".stripMargin,
 
