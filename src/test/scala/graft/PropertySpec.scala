@@ -423,4 +423,45 @@ class PropertySpec extends SparkSpec {
     assert(got(99999.99) == (9999999L, 9L))
     assert(got(123.456) == (12345L, 1L))
   }
+
+  test("MIH pigeonhole: every 64-bit pair within hamming 7 is caught by " +
+    "a radius-1 probe on one of the 4 16-bit subindex words") {
+    // The exact-recall guarantee behind Multimodal.phashDedup's candidate
+    // join (Norouzi et al. 2012): distributing <= 7 flipped bits over 4
+    // words leaves some word with <= floor(7/4) = 1 flips, so the probe
+    // set {word} U {word ^ (1 << b) : b < 16} of the query side MUST hit
+    // the exact word of the other side for that j. Checked exhaustively
+    // over randomized base hashes and all flip counts 0..7.
+    val rnd = new scala.util.Random(42)
+    def words(h: Long): Seq[Long] =
+      (0 until 4).map(j => (h >>> (16 * j)) & 0xffffL)
+    for (_ <- 0 until 300; d <- 0 to 7) {
+      val a = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(d)
+      val b = flips.foldLeft(a)((h, bit) => h ^ (1L << bit))
+      val wa = words(a); val wb = words(b)
+      val caught = (0 until 4).exists { j =>
+        val probes = wa(j) +: (0 until 16).map(f => wa(j) ^ (1L << f))
+        probes.contains(wb(j))
+      }
+      assert(caught, s"pair at hamming $d missed by all radius-1 probes " +
+        s"(a=$a flips=$flips)")
+    }
+  }
+
+  test("queryStride bounds the judged ANN workload at every corpus size") {
+    // The service contract: ~64 query vectors regardless of corpus size —
+    // a workload proportional to n turns every exhaustive-scan path into
+    // O(n^2) exactly where the small-SF bench can't see it.
+    import graft.ops.Similarity.queryStride
+    assert(queryStride(0L) == 1L && queryStride(1L) == 1L)
+    for (n <- Seq(1L, 10L, 63L, 64L, 65L, 1000L, 10000L, 1000000L,
+      1000000000L, 100000000000L)) {
+      val stride = queryStride(n)
+      val count = if (n == 0) 0L else (n + stride - 1) / stride // ids 0,s,2s..<n
+      assert(count <= 64L, s"n=$n stride=$stride count=$count > 64")
+      if (n >= 64L)
+        assert(count >= 33L, s"n=$n stride=$stride count=$count < 33")
+    }
+  }
 }
