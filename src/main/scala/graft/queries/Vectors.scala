@@ -170,6 +170,28 @@ object Vectors extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // Recall@5 of the IVF path (nprobe=2) against the exact brute-force
+    // ranking — completes the recall-audit family (LSH/PQ/OPQ and now
+    // IVF). At scale nprobe is THE knob traded against recall; this row
+    // is the measured side of that trade, same harness as sim_lsh_recall.
+    "sim_ivf_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.ivfTopKAuto(e, q, k = 5, nprobe = 2)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
@@ -764,6 +786,48 @@ object Vectors extends QueryPack {
         |  SELECT q_id, vec_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |    FROM lscored) t WHERE rank <= 5),
+        |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN l USING (q_id, vec_id) GROUP BY 1),
+        |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+        |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
+        |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
+
+    // Brute-force CTEs from sim_lsh_recall + the IVF assignment/probe
+    // CTEs from sim_ivf_topk, joined by the same hits/k rollup.
+    "sim_ivf_recall" ->
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
+        |bscored AS (
+        |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
+        |b AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) t WHERE rank <= 5),
+        |ce AS (
+        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ce) = 0),
+        |ca AS (
+        |  SELECT vec_id, embedding, c_id FROM (
+        |    SELECT v.vec_id, v.embedding, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
+        |qp AS (
+        |  SELECT q_id, q_emb, c_id FROM (
+        |    SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
+        |iscored AS (
+        |  SELECT qp.q_id, ca.vec_id, ${cos("qp.q_emb", "ca.embedding")} AS sim
+        |  FROM qp JOIN ca USING (c_id) WHERE ca.vec_id != qp.q_id),
+        |l AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM iscored) t WHERE rank <= 5),
         |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN l USING (q_id, vec_id) GROUP BY 1),
         |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
         |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
