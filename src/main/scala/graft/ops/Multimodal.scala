@@ -233,9 +233,12 @@ object Multimodal {
     * expected random collisions ~30x (n^2*68/65536), and the same
     * maxHamming verify keeps the output a strict superset of the
     * guaranteed radius. At 100 TB the next step is the same design on a
-    * longer hash (256-bit PDQ -> 16 subindices of 16 bits, guarantee
-    * radius 31) — the band arithmetic below is width-parameterized in
-    * spirit, not rewritten.
+    * longer hash — and `bits` makes it real: 256-bit PDQ width is 16
+    * subindices of 16 bits, exact-recall radius 2·16−1 = 31 (generalized
+    * pigeonhole with per-word probe radius 1: total distance ≤ 2m−1 over
+    * m words forces SOME word ≤ 1). The word width stays 16 regardless —
+    * MIH's key-space-vs-corpus balance (w ~ log2 n) is per subindex, so a
+    * longer hash adds subindices, never wider probes.
     *
     * The decode step is the documented deterministic stand-in (this
     * container has no image codecs): the "plane" is the document's
@@ -248,12 +251,15 @@ object Multimodal {
     * 4 rows per asset; probes are a map-side 17-way fan-out of the
     * MATERIALIZED word table (no lineage recompute on either join side);
     * the verify join touches only candidate pairs. */
-  def phashDedup(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+  def phashDedup(docs: DataFrame, maxHamming: Int = 12,
+                 bits: Int = 64): DataFrame = {
+    require(bits % 16 == 0, s"hash width $bits not a multiple of the 16-bit word")
+    val nWords = bits / 16
     val cs = docs
       .select(col("doc_id"), length(col("text")).as("L"),
         posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
       .select(col("doc_id"), col("L"),
-        expr("(p0 * 64) DIV L").as("k"), ascii(col("ch")).as("c"))
+        expr(s"(p0 * $bits) DIV L").as("k"), ascii(col("ch")).as("c"))
       .groupBy(col("doc_id"), col("k"))
       .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
     val tot = cs.groupBy(col("doc_id"))
@@ -270,7 +276,7 @@ object Multimodal {
         col("k"))
       .groupBy(col("doc_id"), col("j"))
       .agg(sum(expr("bit * shiftleft(1L, CAST(k % 16 AS INT))")).as("band")))
-    val bandCols = (0 until 4).map(j =>
+    val bandCols = (0 until nWords).map(j =>
       max(when(col("j") === j, col("band"))).as(s"b$j"))
     val ph = Dedup.materialize(words.groupBy(col("doc_id"))
       .agg(bandCols.head, bandCols.tail: _*))
@@ -291,12 +297,12 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val hamming = (0 until 4).map(j =>
+    val hamming = (0 until nWords).map(j =>
       expr(s"bit_count(a.b$j ^ bb$j)")).reduce(_ + _).cast("long")
     cand
       .join(ph.as("a"), col("doc_a") === col("a.doc_id"))
       .join(ph.select(col("doc_id").as("bid") +:
-        (0 until 4).map(j => col(s"b$j").as(s"bb$j")): _*),
+        (0 until nWords).map(j => col(s"b$j").as(s"bb$j")): _*),
         col("doc_b") === col("bid"))
       .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)

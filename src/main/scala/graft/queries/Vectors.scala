@@ -322,7 +322,15 @@ object Vectors extends QueryPack {
     // Perceptual-hash near-dup pairs (aHash/PDQ shape): 64 block-mean
     // bits in 4 bands, banded candidate join, bit_count(xor) verify.
     "mm_phash_dedup" -> ((s, dir) =>
-      Multimodal.phashDedup(table(s, dir, "documents"), maxHamming = 12))
+      Multimodal.phashDedup(table(s, dir, "documents"), maxHamming = 12)),
+
+    // The PDQ-width variant of the same MIH design: 256 block-mean bits
+    // in 16 subindex words, exact recall to hamming 31 (2·16−1), the
+    // verify cut scaled proportionally (12/64 → 48/256). Word width stays
+    // 16 — a longer hash adds subindices, never wider probes.
+    "mm_phash_wide" -> ((s, dir) =>
+      Multimodal.phashDedup(table(s, dir, "documents"), maxHamming = 48,
+        bits = 256))
   )
 
   /** Covariance-cell stage: the corpus-sized Gram pass runs once per SF;
@@ -471,6 +479,51 @@ object Vectors extends QueryPack {
     * relation so the OPQ oracle can run the identical chain over the
     * permuted view. */
   private lazy val pqCtes: String = pqCtesOn("embeddings")
+  /** The MIH perceptual-hash oracle, width-parameterized exactly like
+    * Multimodal.phashDedup: `bits` block-mean bits in bits/16 subindex
+    * words, radius-1 probe enumeration per word, bit_count(xor) verify.
+    * One generator keeps the 64-bit and 256-bit (PDQ-width) oracles from
+    * drifting apart. */
+  private def phashOracle(bits: Int, maxHamming: Int): String = {
+    val nWords = bits / 16
+    s"""WITH u AS (
+      |  SELECT doc_id, len(text) AS L, text,
+      |    unnest(range(1, len(text) + 1)) AS i
+      |  FROM documents),
+      |cs AS MATERIALIZED (
+      |  SELECT doc_id, ((i - 1) * $bits) // L AS k,
+      |    CAST(sum(ord(text[i])) AS BIGINT) AS s, count(*) AS n
+      |  FROM u GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+      |    CAST(sum(n) AS BIGINT) AS lt
+      |  FROM cs GROUP BY 1),
+      |words AS MATERIALIZED (
+      |  SELECT cs.doc_id, CAST(k // 16 AS BIGINT) AS j,
+      |    CAST(sum((CASE WHEN s * lt > total * n THEN 1 ELSE 0 END)
+      |             * (CAST(1 AS BIGINT) << CAST(k % 16 AS INT))) AS BIGINT) AS band
+      |  FROM cs JOIN tot USING (doc_id) GROUP BY 1, 2),
+      |ph AS MATERIALIZED (
+      |  SELECT doc_id, list(band ORDER BY j) AS bl
+      |  FROM words GROUP BY doc_id),
+      |probes AS (
+      |  SELECT doc_id, j,
+      |    xor(band, CASE WHEN f = 0 THEN 0
+      |              ELSE (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)) END) AS key
+      |  FROM words, (SELECT unnest(range(0, 17)) AS f)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM probes a JOIN words b
+      |    ON a.j = b.j AND a.key = b.band AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, ${nWords + 1}),
+      |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) AS BIGINT) AS hamming
+      |FROM cand JOIN ph x ON cand.doc_a = x.doc_id
+      |          JOIN ph y ON cand.doc_b = y.doc_id
+      |WHERE list_sum(list_transform(range(1, ${nWords + 1}),
+      |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) <= $maxHamming
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def pqCtesOn(tbl: String): String = {
     def sl(v: String, m: String) =
       s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
@@ -1008,43 +1061,8 @@ object Vectors extends QueryPack {
     // decodeMeta's container arithmetic (n_bytes = text bytes + 33-byte
     // PNG / 39-byte JFIF header) + per-format running totals; floor
     // division via the exact (x - mod) / width pattern on both sides.
-    "mm_phash_dedup" ->
-      """WITH u AS (
-        |  SELECT doc_id, len(text) AS L, text,
-        |    unnest(range(1, len(text) + 1)) AS i
-        |  FROM documents),
-        |cs AS MATERIALIZED (
-        |  SELECT doc_id, ((i - 1) * 64) // L AS k,
-        |    CAST(sum(ord(text[i])) AS BIGINT) AS s, count(*) AS n
-        |  FROM u GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
-        |    CAST(sum(n) AS BIGINT) AS lt
-        |  FROM cs GROUP BY 1),
-        |words AS MATERIALIZED (
-        |  SELECT cs.doc_id, CAST(k // 16 AS BIGINT) AS j,
-        |    CAST(sum((CASE WHEN s * lt > total * n THEN 1 ELSE 0 END)
-        |             * (CAST(1 AS BIGINT) << CAST(k % 16 AS INT))) AS BIGINT) AS band
-        |  FROM cs JOIN tot USING (doc_id) GROUP BY 1, 2),
-        |ph AS MATERIALIZED (
-        |  SELECT doc_id, list(band ORDER BY j) AS bl
-        |  FROM words GROUP BY doc_id),
-        |probes AS (
-        |  SELECT doc_id, j,
-        |    xor(band, CASE WHEN f = 0 THEN 0
-        |              ELSE (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)) END) AS key
-        |  FROM words, (SELECT unnest(range(0, 17)) AS f)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM probes a JOIN words b
-        |    ON a.j = b.j AND a.key = b.band AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(list_sum(list_transform(range(1, 5),
-        |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) AS BIGINT) AS hamming
-        |FROM cand JOIN ph x ON cand.doc_a = x.doc_id
-        |          JOIN ph y ON cand.doc_b = y.doc_id
-        |WHERE list_sum(list_transform(range(1, 5),
-        |    t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) <= 12
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "mm_phash_dedup" -> phashOracle(bits = 64, maxHamming = 12),
+    "mm_phash_wide" -> phashOracle(bits = 256, maxHamming = 48),
 
     "mm_shard_manifest" ->
       """WITH m AS (

@@ -1622,6 +1622,25 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._3 <= 4L))
   }
 
+  test("phashDedup at PDQ width: 256-bit hashes pair exact dups at 0 and " +
+    "respect the scaled cut") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+      (3L, "completely different text about astronomy and the moons of jupiter", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = rows(graft.ops.Multimodal.phashDedup(d, maxHamming = 16,
+      bits = 256))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    assert(got.contains((1L, 2L, 0L)), s"exact dup not found in $got")
+    assert(got.forall(_._3 <= 16L))
+    // a non-multiple-of-16 width is a caller error, not silent truncation
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.phashDedup(d, maxHamming = 4, bits = 100)
+    }
+  }
+
   test("pcaPower: recovers the dominant axis of an anisotropic cloud") {
     // 64-dim vectors: dim 0 carries variance ~100x any other dim, so the
     // top component must align with axis 0 and evr must dominate.

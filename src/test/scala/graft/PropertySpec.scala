@@ -449,6 +449,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MIH pigeonhole at PDQ width: every 256-bit pair within hamming 31 " +
+    "is caught by a radius-1 probe on one of the 16 subindex words") {
+    // The same guarantee at the wide width mm_phash_wide ships: <= 31
+    // flips over 16 words leaves some word with <= floor(31/16) = 1.
+    val rnd = new scala.util.Random(7)
+    def words(h: Array[Long]): Seq[Long] =
+      (0 until 16).map(j => (h(j / 4) >>> (16 * (j % 4))) & 0xffffL)
+    for (_ <- 0 until 120; d <- Seq(0, 1, 7, 15, 16, 30, 31)) {
+      val a = Array.fill(4)(rnd.nextLong())
+      val flips = rnd.shuffle((0 until 256).toList).take(d)
+      val b = a.clone()
+      flips.foreach(bit => b(bit / 64) ^= (1L << (bit % 64)))
+      val wa = words(a); val wb = words(b)
+      val caught = (0 until 16).exists { j =>
+        val probes = wa(j) +: (0 until 16).map(f => wa(j) ^ (1L << f))
+        probes.contains(wb(j))
+      }
+      assert(caught, s"pair at hamming $d missed by all radius-1 probes")
+    }
+  }
+
   test("queryStride bounds the judged ANN workload at every corpus size") {
     // The service contract: ~64 query vectors regardless of corpus size —
     // a workload proportional to n turns every exhaustive-scan path into
