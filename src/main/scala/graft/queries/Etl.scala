@@ -416,6 +416,45 @@ object Etl extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Z-order layout audit: orders laid out by Morton-interleaved
+    // (custkey, order-day) z-cells vs a plain date-range layout, then the
+    // footer-pruning question a 100 TB scan planner asks — "how many
+    // files does this predicate open?" — answered for a predicate on
+    // EACH dimension. The z layout prunes both; the linear layout prunes
+    // only its sort dimension. File assignment is z >> 14 (a pure map —
+    // no global sort; a writer would repartitionByRange on the same
+    // key); footer stats are one rollup per layout, materialized once
+    // and consumed by both predicate audits.
+    "etl_zorder_layout" -> ((s, dir) => {
+      import graft.ops.Layout
+      val o = table(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("y"))
+      val z = Layout.zValue(col("x"), col("y"), bits = 21)
+      val zStats = graft.ops.Dedup.materialize(
+        Layout.fileRangeStats(o, shiftright(z, 14), col("x"), col("y")))
+      val linStats = graft.ops.Dedup.materialize(
+        Layout.fileRangeStats(o, shiftright(col("y"), 7), col("x"), col("y")))
+      def audit(stats: org.apache.spark.sql.DataFrame, layout: String,
+                pred: String, mn: String, mx: String, lo: Long, hi: Long) =
+        stats.agg(count(lit(1)).as("files_total"),
+            sum(when(Layout.scanned(col(mn), col(mx), lo, hi), 1L)
+              .otherwise(0L)).as("files_scanned"),
+            sum(when(Layout.scanned(col(mn), col(mx), lo, hi),
+              col("n_rows")).otherwise(0L)).as("rows_scanned"))
+          .select(lit(layout).as("layout"), lit(pred).as("predicate"),
+            col("files_total"), col("files_scanned"), col("rows_scanned"))
+      audit(zStats, "zorder", "custkey_band", "min_x", "max_x", 300L, 420L)
+        .unionByName(audit(zStats, "zorder", "day_band",
+          "min_y", "max_y", 9800L, 9960L))
+        .unionByName(audit(linStats, "linear", "custkey_band",
+          "min_x", "max_x", 300L, 420L))
+        .unionByName(audit(linStats, "linear", "day_band",
+          "min_y", "max_y", 9800L, 9960L))
+        .orderBy(col("layout"), col("predicate"))
+    }),
+
     // Data-quality gate 1/3 — one-pass numeric profile of the fact table:
     // null counts, exact distincts, min/max/mean per column, all from a
     // single scan (the pre-load sanity dashboard).
@@ -636,6 +675,50 @@ object Etl extends QueryPack {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The Morton interleave is the same integer shift/mask fold on both
+    // engines; every audit number is an exact integer.
+    "etl_zorder_layout" ->
+      """WITH o AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS x,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |zc AS (
+        |  SELECT x, y,
+        |    CAST(list_sum(list_transform(range(0, 21),
+        |      i -> ((x >> i) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
+        |         + ((y >> i) & 1) * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT)))) AS BIGINT) AS z
+        |  FROM o),
+        |zs AS (
+        |  SELECT z >> 14 AS file_id, count(*) AS n_rows,
+        |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+        |  FROM zc GROUP BY 1),
+        |ls AS (
+        |  SELECT y >> 7 AS file_id, count(*) AS n_rows,
+        |    min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+        |  FROM zc GROUP BY 1),
+        |a AS (
+        |  SELECT 'zorder' AS layout, 'custkey_band' AS predicate,
+        |    count(*) AS files_total,
+        |    CAST(sum(CASE WHEN mxx >= 300 AND mnx <= 420 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |    CAST(sum(CASE WHEN mxx >= 300 AND mnx <= 420 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM zs
+        |  UNION ALL
+        |  SELECT 'zorder', 'day_band', count(*),
+        |    CAST(sum(CASE WHEN mxy >= 9800 AND mny <= 9960 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN mxy >= 9800 AND mny <= 9960 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM zs
+        |  UNION ALL
+        |  SELECT 'linear', 'custkey_band', count(*),
+        |    CAST(sum(CASE WHEN mxx >= 300 AND mnx <= 420 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN mxx >= 300 AND mnx <= 420 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM ls
+        |  UNION ALL
+        |  SELECT 'linear', 'day_band', count(*),
+        |    CAST(sum(CASE WHEN mxy >= 9800 AND mny <= 9960 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN mxy >= 9800 AND mny <= 9960 THEN n_rows ELSE 0 END) AS BIGINT)
+        |  FROM ls)
+        |SELECT * FROM a ORDER BY layout, predicate""".stripMargin,
 
     "dq1_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

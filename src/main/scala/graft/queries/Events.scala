@@ -227,6 +227,35 @@ object Events extends QueryPack {
         .orderBy(col("purchase_id"))
     }),
 
+    // Interval-overlap self-join: same-part shipments from DIFFERENT
+    // suppliers whose transit windows intersect — the concurrency census
+    // completing the temporal-join shape family (as-of, containment,
+    // overlap). Transit windows are derived deterministically (ship day +
+    // 1..14 days keyed off orderkey+linenumber: the schema carries no
+    // receipt date). Bucketized equi-join, each pair counted once in
+    // max(start)'s bucket — no distinct pass, no per-key nested loop.
+    "rj2_overlap_join" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("ship_id"),
+          col("l_suppkey"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("d0"),
+          ((col("l_orderkey") + col("l_linenumber")) % 14 + 1).as("transit"))
+        .select(col("l_partkey"), col("ship_id"), col("l_suppkey"),
+          col("d0"), (col("d0") + col("transit")).as("d1"))
+      val pairs = graft.ops.RangeJoin.intervalOverlapPairs(li,
+        key = Seq("l_partkey"), idCol = "ship_id",
+        startCol = "d0", endCol = "d1", bucketWidth = 16L,
+        excludeEqual = Some("l_suppkey"))
+      pairs.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("overlap") + 1).as("sum_overlap_days"),
+          max(col("overlap") + 1).as("max_overlap_days"))
+        .orderBy(col("l_partkey"))
+    }),
+
     // As-of join: every purchase matched to the user's most recent click at
     // or before it (last-touch attribution) — the union-and-carry
     // formulation, one shuffle, no range-join blow-up.
@@ -978,6 +1007,28 @@ object Events extends QueryPack {
         |  CAST(j.n_views AS BIGINT) AS n_views
         |FROM p JOIN j ON p.purchase_id = j.purchase_id
         |ORDER BY p.purchase_id""".stripMargin,
+
+    // Plain overlap self-join in SQL — the bucketization is a Spark
+    // physical concern; the oracle states only the overlap predicate.
+    "rj2_overlap_join" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_orderkey * 10 + l_linenumber AS ship_id,
+        |    l_suppkey,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d0,
+        |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      + (l_orderkey + l_linenumber) % 14 + 1 AS d1
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey,
+        |    least(a.d1, b.d1) - greatest(a.d0, b.d0) + 1 AS overlap_days
+        |  FROM li a JOIN li b
+        |    ON a.l_partkey = b.l_partkey AND a.ship_id < b.ship_id
+        |    AND a.l_suppkey <> b.l_suppkey
+        |    AND a.d0 <= b.d1 AND b.d0 <= a.d1)
+        |SELECT l_partkey, count(*) AS n_pairs,
+        |  CAST(sum(overlap_days) AS BIGINT) AS sum_overlap_days,
+        |  CAST(max(overlap_days) AS BIGINT) AS max_overlap_days
+        |FROM p GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
 
     // Same union-and-carry shape in SQL: right rows sort before left rows
     // at equal timestamps (side 0 < 1), left rows carry the last non-null

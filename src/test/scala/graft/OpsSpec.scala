@@ -628,6 +628,79 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(10L, 11L, 12L))
   }
 
+  test("interval overlap pairs: multi-bucket overlaps count once, touching " +
+    "endpoints count, excludeEqual drops same-group pairs") {
+    import graft.ops.RangeJoin
+    val iv = Seq(
+      // long interval spanning many width-5 buckets; 20..60 vs 55..80
+      // overlap in two shared buckets — must emit ONE pair (overlap 5)
+      (1L, 1L, 10L, 20L, 60L),
+      (1L, 2L, 20L, 55L, 80L),
+      // touching endpoints: [55, 80] meets [80, 95] with overlap 0
+      (1L, 3L, 30L, 80L, 95L),
+      // disjoint
+      (1L, 4L, 40L, 200L, 210L),
+      // overlaps id=1 but same group 10 → dropped by excludeEqual
+      (1L, 5L, 10L, 30L, 40L),
+      // other key: never pairs across keys
+      (2L, 6L, 50L, 20L, 60L))
+      .toDF("k", "id", "grp", "s", "e")
+    val got = rows(RangeJoin.intervalOverlapPairs(iv, Seq("k"), "id",
+      "s", "e", bucketWidth = 5L, excludeEqual = Some("grp"))
+      .orderBy("id_a", "id_b"))
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("overlap")))
+    assert(got == Seq((1L, 2L, 5L), (2L, 3L, 0L)), s"got $got")
+  }
+
+  test("zValue: interleaves bits (known Morton values) and orders cells " +
+    "so z-range files are rectangles") {
+    import graft.ops.Layout
+    val d = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (7L, 7L),
+      (5L, 3L)).toDF("x", "y")
+    val got = rows(d.select(col("x"), col("y"),
+      Layout.zValue(col("x"), col("y"), bits = 4).as("z")))
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) -> r.getAs[Long]("z"))
+      .toMap
+    // hand-computed Morton codes: x bits even positions, y bits odd
+    assert(got((0L, 0L)) == 0L)
+    assert(got((1L, 0L)) == 1L)
+    assert(got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L)
+    assert(got((7L, 7L)) == 63L)
+    assert(got((5L, 3L)) == 27L)  // x=101,y=011 -> 011011
+    intercept[IllegalArgumentException] {
+      d.select(Layout.zValue(col("x"), col("y"), bits = 32))
+    }
+  }
+
+  test("z-order pruning: both dimensions prune under z layout; only the " +
+    "sort dimension prunes under linear layout") {
+    import graft.ops.Layout
+    // 32x32 grid of points; z cells of 4096 z-values = 64x64 rectangles
+    // would be 1 file, so shift 4 -> files are 4-z-value cells (2x2)
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val z = Layout.zValue(col("x"), col("y"), bits = 6)
+    val zStats = Layout.fileRangeStats(pts, shiftright(z, 4), col("x"), col("y"))
+    val lin = Layout.fileRangeStats(pts, shiftright(col("y"), 2), col("x"), col("y"))
+    def scannedFiles(stats: org.apache.spark.sql.DataFrame,
+                     mn: String, mx: String): Long =
+      rows(stats.agg(sum(when(Layout.scanned(col(mn), col(mx), 8L, 11L), 1L)
+        .otherwise(0L)).as("s"))).head.getAs[Long]("s")
+    val zTotal = zStats.count()
+    // z layout: an x-band [8,11] covers 4 of 16 columns of 4x4 cells
+    assert(scannedFiles(zStats, "min_x", "max_x") < zTotal / 2,
+      "x-band failed to prune z-layout files")
+    assert(scannedFiles(zStats, "min_y", "max_y") < zTotal / 2,
+      "y-band failed to prune z-layout files")
+    // linear layout: y-band prunes, x-band opens EVERY file
+    val lTotal = lin.count()
+    assert(scannedFiles(lin, "min_y", "max_y") == 1L)
+    assert(scannedFiles(lin, "min_x", "max_x") == lTotal,
+      "x-band should scan every linear file")
+  }
+
   test("tfidf: repeated corpus-wide terms score below distinctive terms") {
     val d = Seq(
       (1L, "apple apple banana shared", "en"),

@@ -270,6 +270,14 @@ class PlanSpec extends SparkSpec {
       "range join degenerated to a per-key nested loop")
   }
 
+  test("interval overlap join stays an equi-join on (key, bucket), " +
+    "never a nested loop") {
+    val p = plan("rj2_overlap_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "overlap join degenerated to a per-key nested loop")
+  }
+
   test("stratified sampling is a pure map-side filter (no agg, no join)") {
     val p = plan("sp1_stratified")
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p.take(600))
