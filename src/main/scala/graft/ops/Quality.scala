@@ -102,6 +102,36 @@ object Quality {
       .orderBy(col("rule"))
   }
 
+  /** k-anonymity / l-diversity release audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007): group the table by its quasi-identifier columns — the
+    * attributes an attacker can link from outside — and measure how small
+    * the equivalence classes get (k) and how uniform the sensitive
+    * attribute is within them (l). A class of size 1 is a re-identified
+    * individual; a class with one sensitive value leaks it even at high k.
+    * This is the gate a training corpus derived from user data runs before
+    * release, next to the PII scrub.
+    *
+    * Emits the class-SIZE census, not the classes: (class_size,
+    * n_classes, n_rows, min_l_div, classes_l1) ordered by size — the
+    * artifact is bounded by the number of DISTINCT class sizes (≤ √(2n)
+    * regardless of table size) while still answering both audit
+    * questions (risk mass below any k = prefix-sum; worst l at any size
+    * = min_l_div). Two shuffles: the quasi rollup (corpus-sized keys),
+    * then the bounded census. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String],
+                 sensitive: String): DataFrame =
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("l_div"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("l_div")).as("min_l_div"),
+        sum(when(col("l_div") === 1L, 1L).otherwise(0L)).as("classes_l1"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        col("min_l_div"), col("classes_l1"))
+      .orderBy(col("class_size"))
+
   /** Population-Stability-Index drift gate: compare the (event_type ×
     * value-decile) distribution of the stream's EARLY half against its
     * LATE half — the standard go/no-go check before a new data window is

@@ -1037,7 +1037,46 @@ object Analytics extends QueryPack {
     // allocation are floor divisions of exact integers.
     "sp12_neyman" -> ((s, dir) =>
       graft.ops.Sampling.neymanAllocation(table(s, dir, "orders"),
-        "o_orderpriority", "o_totalprice"))
+        "o_orderpriority", "o_totalprice")),
+
+    // Classical additive seasonal decomposition of daily event volume
+    // (the moving-average method STL refines): trend = centered 7-day
+    // moving average, seasonal = ISO-weekday mean of the detrended
+    // series, residual = what's left — the ingest-monitoring primitive
+    // that separates weekly rhythm from genuine drift before an anomaly
+    // gate fires. The corpus collapses to the DAILY census first (one
+    // exchange, ≤ a-few-thousand rows at any corpus size), so the
+    // ordered trend window runs over bounded metadata, not events (the
+    // st10 census posture); edge days without a full 7-day window are
+    // excluded rather than padded. Trend is an exact integer sum / 7.0
+    // (bit-identical IEEE both engines); seasonal means ride the davg
+    // decimal discipline + rz; the residual is pure double arithmetic
+    // over those two identical values, so it needs no rounding at all.
+    "st11_seasonal_decompose" -> ((s, dir) => {
+      import s.implicits._
+      val daily = graft.ops.Dedup.materialize(
+        table(s, dir, "events")
+          .groupBy($"ts".cast("date").as("day"))
+          .agg(count(lit(1)).as("n_events")))
+      val w = Window.orderBy($"day").rowsBetween(-3, 3)
+      // materialize: the detrended frame feeds both the seasonal rollup
+      // and the final join — one window pass, not two
+      val det = graft.ops.Dedup.materialize(daily
+        .select($"day", $"n_events",
+          count(lit(1)).over(w).as("wn"),
+          (sum($"n_events").over(w).cast(DoubleType) / lit(7.0)).as("trend"))
+        .filter($"wn" === 7)
+        .select($"day", $"n_events", $"trend",
+          (weekday($"day") + lit(1)).as("dow"),
+          ($"n_events".cast(DoubleType) - $"trend").as("detr")))
+      val seas = det.groupBy($"dow")
+        .agg(rz(davg($"detr", 6), 6).as("seasonal"))
+      det.join(broadcast(seas), "dow")
+        .select($"day", $"n_events", $"trend", $"seasonal",
+          ($"n_events".cast(DoubleType) - $"trend" - $"seasonal")
+            .as("residual"))
+        .orderBy($"day")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1686,6 +1725,33 @@ object Analytics extends QueryPack {
         |      row_number() OVER (ORDER BY rem DESC, stratum) <= leftover
         |    THEN 1 ELSE 0 END, n_rows) AS n_alloc
         |FROM fl CROSS JOIN lo
-        |ORDER BY stratum""".stripMargin
+        |ORDER BY stratum""".stripMargin,
+
+    // trend is integer-sum / 7.0 (IEEE-identical), seasonal rides the
+    // davg decimal discipline + the rz sign-of-zero normalization, and
+    // the residual is raw double arithmetic over those two identical
+    // values — rounding it would ADD divergence risk, not remove it.
+    // isodow == Spark weekday + 1 (Mon=1 .. Sun=7).
+    "st11_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT day, n_events, count(*) OVER w AS wn,
+        |    CAST(sum(n_events) OVER w AS DOUBLE) / 7.0 AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT day, n_events, trend, isodow(day) AS dow,
+        |    CAST(n_events AS DOUBLE) - trend AS detr
+        |  FROM tr WHERE wn = 7),
+        |seas AS (
+        |  SELECT dow,
+        |    round(round(CAST(sum(CAST(detr AS DECIMAL(30,10))) AS DOUBLE)
+        |      / count(*), 6), 6) + 0 AS seasonal
+        |  FROM det GROUP BY dow)
+        |SELECT det.day, det.n_events, det.trend, seas.seasonal,
+        |  CAST(det.n_events AS DOUBLE) - det.trend - seas.seasonal AS residual
+        |FROM det JOIN seas USING (dow) ORDER BY det.day""".stripMargin
   )
 }

@@ -565,6 +565,19 @@ object Etl extends QueryPack {
     // rounding is not cross-engine safe), so the whole artifact hashes as
     // integers. Shape: one map-side digit extraction + a 9-key rollup +
     // one broadcast total row.
+    // Release-gate 9: k-anonymity / l-diversity over the customer table —
+    // quasi-identifiers an outsider can link (segment, nation), sensitive
+    // attribute the release would leak (account-balance band). The judged
+    // artifact is the bounded class-size census (re-identification risk
+    // mass below any k is a prefix sum over it).
+    "dq9_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Quality.kAnonymity(
+        table(s, dir, "customer")
+          .withColumn("bal_band", floor($"c_acctbal" / 1000.0).cast("long")),
+        quasi = Seq("c_mktsegment", "c_nationkey"), sensitive = "bal_band")
+    }),
+
     "dq8_benford" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -928,6 +941,19 @@ object Etl extends QueryPack {
 
     // Same exact-cents digit extraction (tie-free decimal cast, floor,
     // integer leading digit), same literal Benford ppm table.
+    // floor(double/1000) is IEEE-exact in both engines; every census
+    // number is an exact integer.
+    "dq9_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+        |    count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT class_size, count(*) AS n_classes,
+        |  CAST(class_size * count(*) AS BIGINT) AS n_rows,
+        |  min(l_div) AS min_l_div,
+        |  CAST(sum(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l1
+        |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin,
+
     "dq8_benford" ->
       """WITH cents AS (
         |  SELECT CAST(floor(CAST(o_totalprice AS DECIMAL(30,10)) * 100) AS BIGINT) AS cents

@@ -653,6 +653,22 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 5L), (2L, 3L, 0L)), s"got $got")
   }
 
+  test("kAnonymity: size census, min l-diversity, and l=1 leak count") {
+    val d = Seq(
+      // class (a,1): 3 rows, 2 sensitive values
+      ("a", 1, 10L), ("a", 1, 10L), ("a", 1, 20L),
+      // class (a,2): 1 row -> k=1 re-identification, l=1 leak
+      ("a", 2, 30L),
+      // class (b,1): 3 rows, all same sensitive -> l=1 leak at size 3
+      ("b", 1, 40L), ("b", 1, 40L), ("b", 1, 40L))
+      .toDF("seg", "nat", "sens")
+    val got = rows(graft.ops.Quality.kAnonymity(d, Seq("seg", "nat"), "sens"))
+      .map(r => (r.getAs[Long]("class_size"), r.getAs[Long]("n_classes"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("min_l_div"),
+        r.getAs[Long]("classes_l1")))
+    assert(got == Seq((1L, 1L, 1L, 1L, 1L), (3L, 2L, 6L, 1L, 1L)), s"$got")
+  }
+
   test("zValue: interleaves bits (known Morton values) and orders cells " +
     "so z-range files are rectangles") {
     import graft.ops.Layout
