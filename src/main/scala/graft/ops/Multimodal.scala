@@ -247,10 +247,21 @@ object Multimodal {
     * carries over unchanged when a codec supplies true pixels.
     *
     * Scale shape: one explode whose (doc, block) rollup partial-aggregates
-    * map-side to 64 rows per asset before the exchange; subindex words are
-    * 4 rows per asset; probes are a map-side 17-way fan-out of the
-    * MATERIALIZED word table (no lineage recompute on either join side);
-    * the verify join touches only candidate pairs. */
+    * map-side to 64 rows per asset before the exchange, pivoted into the
+    * materialized per-doc hash table; everything downstream is
+    * CANONICALIZE-THEN-EXPAND. Exact duplicates (same payload after
+    * re-encode, boilerplate assets, mirror crawls) carry bit-identical
+    * phashes, so a per-doc MIH join degenerates quadratically: with
+    * replication factor r, every probe key collides with all r copies and
+    * in-key candidate pairs grow r^2 (the factor-30 audit measured a 100M-
+    * pair stream from exactly this — r = 30 letter-rotated replicas →
+    * ×900 candidates). Instead the MIH probe join and popcount verify run
+    * over DISTINCT hash values only (representative = min doc_id); the
+    * rep-level pairs then expand to member pairs through a cheap keyed
+    * membership join, and same-hash groups emit their intra pairs
+    * (hamming 0) directly. Output is identical — expansion is the
+    * inherent output size — while the expensive joins shrink r^2-fold.
+    * This is the shape crawl-scale phash dedup actually ships. */
   def phashDedup(docs: DataFrame, maxHamming: Int = 12,
                  bits: Int = 64): DataFrame = {
     require(bits % 16 == 0, s"hash width $bits not a multiple of the 16-bit word")
@@ -264,48 +275,78 @@ object Multimodal {
       .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
     val tot = cs.groupBy(col("doc_id"))
       .agg(sum(col("s")).as("total"), sum(col("n")).as("lt"))
-    // Materialized BEFORE fan-out: three consumers follow (the pivoted
-    // hash table, the probe fan-out, and the exact side of the MIH
-    // join), and an unmaterialized lineage would re-run the
-    // per-character explode and two groupBys once per consumer — the
-    // SimHash lineage-consumption defect, fixed the same way.
-    val words = Dedup.materialize(cs.join(tot, "doc_id")
+    val words = cs.join(tot, "doc_id")
       .select(col("doc_id"), expr("k DIV 16").as("j"),
         when(col("s") * col("lt") > col("total") * col("n"), 1L)
           .otherwise(0L).as("bit"),
         col("k"))
       .groupBy(col("doc_id"), col("j"))
-      .agg(sum(expr("bit * shiftleft(1L, CAST(k % 16 AS INT))")).as("band")))
+      .agg(sum(expr("bit * shiftleft(1L, CAST(k % 16 AS INT))")).as("band"))
     val bandCols = (0 until nWords).map(j =>
       max(when(col("j") === j, col("band"))).as(s"b$j"))
+    // Materialized BEFORE fan-out: the canonicalizing groupBy, the
+    // membership join, and (transitively) every downstream consumer read
+    // this table — an unmaterialized lineage would re-run the
+    // per-character explode and two groupBys once per consumer (the
+    // SimHash lineage-consumption defect, fixed the same way).
     val ph = Dedup.materialize(words.groupBy(col("doc_id"))
       .agg(bandCols.head, bandCols.tail: _*))
+    val bcols = (0 until nWords).map(j => col(s"b$j"))
+    // Canonicalize: one row per distinct hash VALUE (exact group-by on the
+    // full word tuple — no lossy re-hash that could alias two distinct
+    // hashes into a false hamming-0 pair), rep = min member id. cnt > 1
+    // marks groups that owe intra pairs.
+    val reps = Dedup.materialize(ph.groupBy(bcols: _*)
+      .agg(min(col("doc_id")).as("uid"), count(lit(1)).as("cnt")))
+    // Membership (uid -> doc_id), materialized: four join sides consume it
+    // during expansion. A keyed join, not collect_list — a viral duplicate
+    // group stays distributed instead of becoming one giant array row.
+    val members = Dedup.materialize(ph.join(reps.select(bcols :+ col("uid"): _*),
+        (0 until nWords).map(j => s"b$j"))
+      .select(col("uid"), col("doc_id")))
+    // Unpivot the materialized rep table into MIH subindex words — map-only.
+    val uwords = reps.select(col("uid"),
+      posexplode(array(bcols: _*)).as(Seq("j", "band")))
     // One-sided radius-1 probe enumeration: f = 0 is the word itself,
     // f in 1..16 flips bit f-1. Covers per-word distance <= 1 against
     // the exact side (d = 0: exact hits exact; d = 1: the differing bit's
     // flip hits the other word) — one direction suffices since xor
-    // distance is symmetric and doc_a < doc_b picks the direction.
-    val probes = words
-      .select(col("doc_id"), col("j"), col("band"),
+    // distance is symmetric and uid_a < uid_b picks the direction.
+    val probes = uwords
+      .select(col("uid"), col("j"), col("band"),
         explode(sequence(lit(0), lit(16))).as("f"))
-      .select(col("doc_id"), col("j"),
+      .select(col("uid"), col("j"),
         when(col("f") === 0, col("band"))
           .otherwise(expr("band ^ shiftleft(1L, CAST(f - 1 AS INT))"))
           .as("key"))
-    val cand = probes.as("a").join(words.as("b"),
+    val cand = probes.as("a").join(uwords.as("b"),
         col("a.j") === col("b.j") && col("a.key") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.uid") < col("b.uid"))
+      .select(col("a.uid").as("ua"), col("b.uid").as("ub"))
       .distinct()
+    // Verify on the rep table (already pivoted — no second pivot) at the
+    // exact bit_count(xor) cut; then expand rep pairs to member pairs.
     val hamming = (0 until nWords).map(j =>
       expr(s"bit_count(a.b$j ^ bb$j)")).reduce(_ + _).cast("long")
-    cand
-      .join(ph.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(ph.select(col("doc_id").as("bid") +:
+    val repPairs = cand
+      .join(reps.as("a"), col("ua") === col("a.uid"))
+      .join(reps.select(col("uid").as("bid") +:
         (0 until nWords).map(j => col(s"b$j").as(s"bb$j")): _*),
-        col("doc_b") === col("bid"))
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+        col("ub") === col("bid"))
+      .select(col("ua"), col("ub"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+    // Cross-group expansion: groups are disjoint and each unordered group
+    // pair appears once, so least/greatest yields each doc pair exactly
+    // once. Intra-group pairs are hamming 0 by construction.
+    val cross = repPairs
+      .join(members.select(col("uid").as("ua"), col("doc_id").as("da")), "ua")
+      .join(members.select(col("uid").as("ub"), col("doc_id").as("db")), "ub")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val intra = members.as("x").join(members.as("y"),
+        col("x.uid") === col("y.uid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionAll(intra).orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -1101,6 +1101,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("st11: events collapse to the daily census in ONE pass; the trend " +
+    "window and seasonal join ride the materialized census, not events") {
+    val p = plan("st11_seasonal_decompose")
+    // the daily rollup is materialized; the detrended frame too — so the
+    // downstream plan (window + seasonal agg + join) reads checkpoints,
+    // and zero event scans survive
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("events.parquet"))
+    assert(scans == 0, s"events scanned $scans times downstream of the census")
+    // the trend window sits INSIDE the materialize boundary (it ran once,
+    // against the daily census) — downstream there must be no Window at
+    // all, just the broadcast of the 7-row seasonal table
+    assert(!p.contains("Window"), "a window leaked past the census barrier")
+    assert(p.contains("BroadcastHashJoin"), "7-row seasonal table must broadcast")
+  }
+
+  test("dq9: three keyed exchanges only — the (quasi, sensitive) distinct " +
+    "pre-rollup, the quasi rollup, the bounded size census; no join, " +
+    "no window") {
+    val p = plan("dq9_k_anonymity")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+    val keyed = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(keyed <= 3, s"expected <=3 keyed exchanges, saw $keyed")
+  }
+
   test("sp12: one rollup to strata rows; the total is a broadcast row; " +
     "no second corpus pass") {
     val p = plan("sp12_neyman")
