@@ -1711,6 +1711,36 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._3 <= 4L))
   }
 
+  test("phashDedup canonicalize-then-expand: a replica group emits every " +
+    "intra pair at 0 and every member reaches near-dup neighbors") {
+    // 1,2,3 are byte-identical (one hash group, rep = 1); 4 is a near dup
+    // of the group (few flipped blocks); 5 is far. The rep-level MIH pair
+    // (1,4) must expand to (1,4),(2,4),(3,4) with the SAME hamming, the
+    // group owes its three intra pairs at 0, and 5 pairs with nothing.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val near = "the quick brown fox jumps over the hazy dog near the river bank"
+    val d = Seq(
+      (1L, base, "en"), (2L, base, "en"), (3L, base, "en"),
+      (4L, near, "en"),
+      (5L, "completely different text about astronomy and moons of jupiter", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = rows(graft.ops.Multimodal.phashDedup(d, maxHamming = 12))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    val intra = got.filter(p => p._1 <= 3 && p._2 <= 3)
+    assert(intra.toSet == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"intra pairs wrong: $got")
+    val cross = got.filter(_._2 == 4L)
+    if (cross.nonEmpty) {
+      // expansion must be all-or-nothing across the group, same distance
+      assert(cross.map(_._1).toSet == Set(1L, 2L, 3L),
+        s"cross pairs missed a member: $got")
+      assert(cross.map(_._3).toSet.size == 1, s"hamming differs: $got")
+    }
+    assert(got.forall(p => p._1 != 5L && p._2 != 5L), s"far doc paired: $got")
+    assert(got == got.sorted, s"output not ordered: $got")
+  }
+
   test("phashDedup at PDQ width: 256-bit hashes pair exact dups at 0 and " +
     "respect the scaled cut") {
     val d = Seq(
