@@ -166,6 +166,46 @@ object Dedup {
     hashed.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
   }
 
+  /** minHashSignatures as a MAP-ONLY plan: the shingle walk and the 16
+    * per-seed minima run inside higher-order functions (transform /
+    * aggregate) over each row's own token array, so the operator needs no
+    * explode, no shuffle, and — crucially — no state when the input is a
+    * STREAM. This is the form an ingest gate runs: signatures are a pure
+    * per-document function, so computing them via a corpus-keyed
+    * aggregation (the batch plan above, which amortizes better when the
+    * signature table is being staged anyway) would force a stateful
+    * streaming aggregation before the corpus join, capping the query at
+    * one stateful operator total. Bit-identical to minHashSignatures:
+    * same normalize/shingle rules (windows of `shingleLen`, whole text
+    * when shorter), same seededHash split, same (A·hhi + B·hlo + C) mod P
+    * lattice — PropertySpec pins the equality on random corpora. */
+  def minHashSignaturesMapOnly(docs: DataFrame, numHashes: Int = 16,
+                               shingleLen: Int = 3): DataFrame = {
+    val toks = split(F.normalizeText(lower(col("text"))), " ")
+    val shingles = when(size(col("toks")) >= shingleLen,
+      transform(sequence(lit(1), size(col("toks")) - (shingleLen - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(shingleLen)))))
+      .otherwise(array(concat_ws(" ", col("toks"))))
+    // three narrow projections so md5 runs once per shingle and the
+    // hi/lo split once per hash (CollapseProject would inline a single
+    // nested expression into 16 copies)
+    val split60 = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), x => seededHash(0, x)).as("hraw"))
+      .select(col("doc_id"),
+        transform(col("hraw"), h => struct(
+          shiftrightunsigned(h, 30).as("hhi"),
+          h.bitwiseAND(lit((1L << 30) - 1)).as("hlo"))).as("hs"))
+    val sigCols = (0 until numHashes).map { i =>
+      aggregate(col("hs"), lit(Long.MaxValue),
+        (acc, e) => least(acc,
+          (e.getField("hhi") * minHashA(i) + e.getField("hlo") * minHashB(i)
+            + minHashC(i)) % MinHashP)).as(s"h$i")
+    }
+    split60.select(col("doc_id") +: sigCols: _*)
+  }
+
   /** Banded-LSH candidate pairs over a signature table (doc_a < doc_b,
     * distinct): documents sharing any band bucket become a candidate.
     *

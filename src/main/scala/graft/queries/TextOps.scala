@@ -630,6 +630,39 @@ object TextOps extends QueryPack {
       Dedup.incrementalLshFromBuckets(sigs.filter(col("doc_id") % 5 === 0),
         stagedCorpusBands(s, dir))
     }),
+    // The same ingest gate AS A STREAM — the posture a 100 TB pipeline
+    // actually runs it in (new documents are gated at arrival, not by a
+    // nightly batch-vs-corpus join). The incoming slice arrives one file
+    // per micro-batch; signatures + band keys are MAP-ONLY per document
+    // (Dedup.minHashSignaturesMapOnly — higher-order functions, no
+    // explode, no state), each micro-batch stream-static joins the
+    // standing bucketed corpus band table, and the single stateful
+    // operator is the per-doc match rollup (collect_set dedups band
+    // collisions exactly like the batch DISTINCT). Drained result equals
+    // dd_incremental_lsh row for row — same oracle SQL, the
+    // dd_bloom_confirmed proven-equal convention.
+    "dd_stream_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = stagedDocStream(s, dir)
+      val corpus = stagedCorpusBands(s, dir)
+      val stream = StreamOps.readEventStream(s, staged,
+          s.read.parquet(staged))
+        .filter(col("doc_id") % 5 === 0)
+      val bands = Dedup.bandBuckets(Dedup.minHashSignaturesMapOnly(stream))
+        .select(col("doc_id").as("new_doc"), col("band"), col("bh"))
+      val matches = bands.join(corpus, Seq("band", "bh"))
+        .select(col("new_doc"), col("doc_id").as("dup_of"))
+      val agg = matches.groupBy(col("new_doc"))
+        .agg(collect_set(col("dup_of")).as("ms"))
+      StreamOps.drainToTable(agg,
+        s"dd_stream_neardup$sf".replace(".", "_"), mode = "complete",
+        shufflePartitions = Some(8))
+        .select(col("new_doc"), size(col("ms")).cast("long").as("n_matches"),
+          array_min(col("ms")).as("first_match"))
+        .orderBy(col("new_doc"))
+    }),
     // Split-leakage audit: sp4's seed-41 98/1/1 boundary, eval side's band
     // buckets broadcast against the train side (signatures from the shared
     // staged table — split for free), confirmed by full-signature
@@ -1422,6 +1455,8 @@ object TextOps extends QueryPack {
     "dd_bloom_decontaminate" -> bloomOracle,
     "dd_bloom_confirmed" -> decontaminateOracle,
     "dd_incremental_lsh" -> incrementalLshOracle,
+    // proven-equal streaming twin (the dd_bloom_confirmed convention)
+    "dd_stream_neardup" -> incrementalLshOracle,
     "dd_split_leakage" -> splitLeakageOracle,
 
     // Same 4-gram/seed-23 hashing as the decontamination CTEs, over the

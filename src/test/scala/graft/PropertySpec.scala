@@ -424,6 +424,25 @@ class PropertySpec extends SparkSpec {
     assert(got(123.456) == (12345L, 1L))
   }
 
+  test("minHashSignaturesMapOnly equals the batch aggregation plan on " +
+    "random corpora, including sub-shingle and whitespace-junk texts") {
+    // The streaming ingest gate computes signatures with higher-order
+    // functions (no explode, no state); any drift from the batch lattice
+    // would silently desynchronize dd_stream_neardup from the corpus
+    // band index built by the batch path.
+    val word = Gen.oneOf("the", "fox", "dog", "a", "ñu", "Tab\tsep", "", " ")
+    val txt = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(txt, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val a = graft.ops.Dedup.minHashSignatures(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = graft.ops.Dedup.minHashSignaturesMapOnly(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length == b.length, s"row counts differ: ${a.length} vs ${b.length}")
+    for ((ra, rb) <- a.zip(b)) assert(ra == rb, s"signature drift: $ra vs $rb")
+  }
+
   test("MIH pigeonhole: every 64-bit pair within hamming 7 is caught by " +
     "a radius-1 probe on one of the 4 16-bit subindex words") {
     // The exact-recall guarantee behind Multimodal.phashDedup's candidate

@@ -89,6 +89,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("dd_stream_neardup drains to exactly the batch incremental-LSH gate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.TextOps.queries("dd_stream_neardup")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.TextOps.queries("dd_incremental_lsh")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "gate matched nothing at sf0.001")
+    assert(streamed == batch,
+      s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")
