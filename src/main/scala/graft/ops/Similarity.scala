@@ -61,6 +61,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Exact re-rank of an ANN shortlist — the second stage of the
+    * two-stage serving pattern every production vector store runs
+    * (PQ/IVF shortlist of ~10–20·k candidates, then true-vector cosine
+    * over just those): quantization error decides only which ~100 rows
+    * get fetched, never the final order, so top-k recall approaches the
+    * shortlist's recall ceiling at a cost of |queries|·shortlist vector
+    * fetches. Shape at scale: the (q_id, vec_id) shortlist is tiny and
+    * BROADCASTS into the corpus scan (a keyed fetch — the corpus never
+    * shuffles and the join prunes to shortlist rows); the re-rank window
+    * runs over ≤ |queries|·shortlist rows, never the corpus. Same
+    * rounded-then-ranked determinism as bruteForceTopK. */
+  def rerankExact(shortlist: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")))
+    val fetched = corpus
+      .join(broadcast(shortlist.select(col("q_id"), col("vec_id"))), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
+    val scored = fetched.join(q, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        rz(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Maximum-inner-product top-k (MIPS) — retrieval where score = q·x,
     * not cosine (the recommendation / last-layer-logit shape: vector
     * magnitude IS signal). The MIPS→NN reduction (Shrivastava & Li,

@@ -80,6 +80,22 @@ object Vectors extends QueryPack {
         boundedQueries(e), k = 5, nprobe = 2)
     }),
 
+    // Two-stage serving: PQ-ADC shortlist (50 per query, the ~10k rule of
+    // thumb) re-ranked with TRUE vectors fetched by id — quantization
+    // error decides which rows get fetched, never the final order. The
+    // shortlist broadcasts into the corpus scan (keyed fetch, corpus
+    // never shuffles); the re-rank window runs over <= 64·50 rows.
+    "sim_pq_rerank" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val st = stagedPq(s, dir)
+      val shortlist = Similarity.pqTopKFrom(
+          s.read.parquet(s"$st/codebook.parquet"),
+          s.read.parquet(s"$st/codes.parquet"), q, k = 50)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.rerankExact(shortlist, e, q, k = 5)
+    }),
+
     // Recall@5 of the PQ-ADC ranking against the exact brute-force
     // ranking — the sim_lsh_recall audit harness pointed at PQ. Rides the
     // same staged index as sim_pq_topk instead of re-training it.
@@ -762,6 +778,26 @@ object Vectors extends QueryPack {
         |SELECT q_id, vec_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
         |  FROM iscored) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // The pqscored CTE re-ranked at shortlist width 50, then exact cosine
+    // over the fetched true vectors (pqq carries q_emb; 6-dp rz parity).
+    "sim_pq_rerank" ->
+      s"""WITH $pqCtes,
+        |rsl AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+        |    FROM pqscored) t WHERE r <= 50),
+        |rrx AS (
+        |  SELECT rsl.q_id, rsl.vec_id,
+        |    ${cos("q.q_emb", "e.embedding")} AS sim
+        |  FROM rsl JOIN pqq q USING (q_id)
+        |           JOIN embeddings e ON rsl.vec_id = e.vec_id)
+        |SELECT q_id, vec_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM rrx) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "sim_pq_recall" ->

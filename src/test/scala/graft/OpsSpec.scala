@@ -1698,6 +1698,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("rerankExact: full shortlist reproduces brute force; a pruned " +
+    "shortlist ranks only fetched candidates") {
+    val e = (0L until 12L).map(i =>
+        (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 4 === 0)
+    // shortlist = every (q, candidate) pair -> re-rank IS brute force
+    val full = q.select(col("vec_id").as("q_id"))
+      .crossJoin(e.select(col("vec_id")))
+      .filter(col("q_id") =!= col("vec_id"))
+    val rr = rows(Similarity.rerankExact(full, e, q, k = 3))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val brute = rows(Similarity.bruteForceTopK(e, q, k = 3))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    assert(rr == brute, s"full-shortlist re-rank diverged:\n$rr\nvs\n$brute")
+    // pruning vec 1 from q 0's shortlist: it must never be ranked for q 0
+    val pruned = full.filter(!(col("q_id") === 0L && col("vec_id") === 1L))
+    val got = rows(Similarity.rerankExact(pruned, e, q, k = 3))
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    assert(!got.contains((0L, 1L)), "pruned candidate leaked into the re-rank")
+    assert(got.count(_._1 == 0L) == 3, "q 0 lost rows beyond the pruned one")
+  }
+
   test("phashDedup: identical planes pair at hamming 0, all pairs under cut") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank", "en"),

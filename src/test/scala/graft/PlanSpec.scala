@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("pq rerank: shortlist and queries broadcast into the corpus fetch; " +
+    "the corpus never shuffles for the re-rank") {
+    val p = plan("sim_pq_rerank")
+    // stage 1 is sim_pq_topk's plan (BNLJ over broadcast LUTs); stage 2's
+    // fetch-by-id and query attach must both be broadcast hash joins —
+    // a sort-merge join here would shuffle the corpus for a ~64x50-row
+    // shortlist
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("ivf corpus assignment partial-aggregates; no window over scored rows") {
     val p = plan("sim_ivf_topk")
     // The |corpus|·m argmax must collapse map-side (a packed-BIGINT max()
