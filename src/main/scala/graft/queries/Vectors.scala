@@ -80,6 +80,25 @@ object Vectors extends QueryPack {
         boundedQueries(e), k = 5, nprobe = 2)
     }),
 
+    // The same two-stage serving over the SUBLINEAR stage 1: IVF-PQ
+    // shortlist (nprobe cells, 8-byte codes — cost tracks cell size, not
+    // the corpus) re-ranked with true vectors. This is the end-to-end
+    // 100 TB query path: index memory 16 bytes/vector, per-query work
+    // nprobe·cell + 50 exact fetches.
+    "sim_ivfpq_rerank" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val st = stagedPq(s, dir)
+      val shortlist = Similarity.ivfPqTopKFrom(
+          s.read.parquet(s"$st/codebook.parquet"),
+          s.read.parquet(s"$st/codes.parquet"),
+          s.read.parquet(s"$st/cells.parquet"),
+          s.read.parquet(s"$st/cent.parquet"),
+          q, k = 50, nprobe = 2)
+        .select(col("q_id"), col("vec_id"))
+      Similarity.rerankExact(shortlist, e, q, k = 5)
+    }),
+
     // Two-stage serving: PQ-ADC shortlist (50 per query, the ~10k rule of
     // thumb) re-ranked with TRUE vectors fetched by id — quantization
     // error decides which rows get fetched, never the final order. The
@@ -495,6 +514,43 @@ object Vectors extends QueryPack {
     * relation so the OPQ oracle can run the identical chain over the
     * permuted view. */
   private lazy val pqCtes: String = pqCtesOn("embeddings")
+
+  /** The IVF-PQ scoring CTEs (centroids, corpus/probe assignment, ADC
+    * scoring over probed cells) shared by sim_ivfpq_topk and
+    * sim_ivfpq_rerank — one text so the two oracles cannot drift. Assumes
+    * $pqCtes is already in the WITH list (uses qe/pqpacked/pqlut/pqrn/pqs). */
+  private lazy val ivfPqCtes: String =
+    s"""ice AS (
+      |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+      |icent AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id % (SELECT every FROM ice) = 0),
+      |ica AS (
+      |  SELECT vec_id, c_id FROM (
+      |    SELECT v.vec_id, c.c_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+      |    FROM embeddings v CROSS JOIN icent c) t WHERE rn = 1),
+      |iqp AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT v.vec_id AS q_id, c.c_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+      |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
+      |iscored AS (
+      |  SELECT l.q_id, p.vec_id,
+      |    round(
+      |      list_reduce(list_transform(range(0, 8),
+      |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)
+      |      / l.q_nrm
+      |      / sqrt(list_reduce(list_transform(range(0, 8),
+      |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
+      |  FROM iqp
+      |    JOIN ica USING (c_id)
+      |    JOIN pqpacked p ON ica.vec_id = p.vec_id
+      |    JOIN pqlut l ON iqp.q_id = l.q_id
+      |    CROSS JOIN pqrn r CROSS JOIN pqs sc
+      |  WHERE p.vec_id <> l.q_id)""".stripMargin
   /** The MIH perceptual-hash oracle, width-parameterized exactly like
     * Multimodal.phashDedup: `bits` block-mean bits in bits/16 subindex
     * words, radius-1 probe enumeration per word, bit_count(xor) verify.
@@ -744,40 +800,32 @@ object Vectors extends QueryPack {
 
     "sim_ivfpq_topk" ->
       s"""WITH $pqCtes,
-        |ice AS (
-        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
-        |icent AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  WHERE vec_id % (SELECT every FROM ice) = 0),
-        |ica AS (
-        |  SELECT vec_id, c_id FROM (
-        |    SELECT v.vec_id, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN icent c) t WHERE rn = 1),
-        |iqp AS (
-        |  SELECT q_id, c_id FROM (
-        |    SELECT v.vec_id AS q_id, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
-        |iscored AS (
-        |  SELECT l.q_id, p.vec_id,
-        |    round(
-        |      list_reduce(list_transform(range(0, 8),
-        |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)
-        |      / l.q_nrm
-        |      / sqrt(list_reduce(list_transform(range(0, 8),
-        |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
-        |  FROM iqp
-        |    JOIN ica USING (c_id)
-        |    JOIN pqpacked p ON ica.vec_id = p.vec_id
-        |    JOIN pqlut l ON iqp.q_id = l.q_id
-        |    CROSS JOIN pqrn r CROSS JOIN pqs sc
-        |  WHERE p.vec_id <> l.q_id)
+        |$ivfPqCtes
         |SELECT q_id, vec_id, sim, rank FROM (
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
         |  FROM iscored) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // The iscored CTE re-ranked at shortlist width 50 with exact cosine —
+    // the sublinear serving path end-to-end (nprobe cells, packed codes,
+    // then true vectors for 50 rows per query).
+    "sim_ivfpq_rerank" ->
+      s"""WITH $pqCtes,
+        |$ivfPqCtes,
+        |isl AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+        |    FROM iscored) t WHERE r <= 50),
+        |irx AS (
+        |  SELECT isl.q_id, isl.vec_id,
+        |    ${cos("q.q_emb", "e.embedding")} AS sim
+        |  FROM isl JOIN pqq q USING (q_id)
+        |           JOIN embeddings e ON isl.vec_id = e.vec_id)
+        |SELECT q_id, vec_id, sim, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM irx) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // The pqscored CTE re-ranked at shortlist width 50, then exact cosine

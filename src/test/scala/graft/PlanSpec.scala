@@ -148,6 +148,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ivfpq rerank: the exact stage broadcasts shortlist and queries; " +
+    "no cartesian anywhere") {
+    val p = plan("sim_ivfpq_rerank")
+    // stage 1 is sim_ivfpq_topk's plan (bounded BNLJ centroid products,
+    // cell equi-joins); stage 2's fetch-by-id and query attach broadcast
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ivf corpus assignment partial-aggregates; no window over scored rows") {
     val p = plan("sim_ivf_topk")
     // The |corpus|·m argmax must collapse map-side (a packed-BIGINT max()
