@@ -282,8 +282,14 @@ object Multimodal {
         col("k"))
       .groupBy(col("doc_id"), col("j"))
       .agg(sum(expr("bit * shiftleft(1L, CAST(k % 16 AS INT))")).as("band"))
+    // coalesce densifies: a doc shorter than nWords characters maps no
+    // block into some subindex word, so the pivot would yield NULL b_j —
+    // and every downstream join (canonicalize groupBy is fine, but the
+    // null-unsafe membership equi-join and the MIH probe join are not)
+    // would silently drop the doc, even from exact-dup pairs. An empty
+    // word is semantically all-zero bits (no block mean exceeded).
     val bandCols = (0 until nWords).map(j =>
-      max(when(col("j") === j, col("band"))).as(s"b$j"))
+      coalesce(max(when(col("j") === j, col("band"))), lit(0L)).as(s"b$j"))
     // Materialized BEFORE fan-out: the canonicalizing groupBy, the
     // membership join, and (transitively) every downstream consumer read
     // this table — an unmaterialized lineage would re-run the

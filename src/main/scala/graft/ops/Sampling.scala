@@ -287,14 +287,18 @@ object Sampling {
     val tot = stats.agg(sum(col("weight_cents")).as("total_cents"))
     // Floor division under-fills by up to |strata|−1 units; the leftover
     // is dealt by LARGEST REMAINDER (rank on the exact integer modulus,
-    // stratum tie-break — deterministic in both engines). The result is
-    // then CAPPED at N_h (textbook Neyman: a stratum cannot yield more
-    // rows than it has). Cap-induced shortfall is NOT re-redistributed —
-    // that is the documented single-pass behavior (full Neyman iterates
+    // stratum tie-break — deterministic in both engines) — ranked ONLY
+    // over strata with headroom (alloc0 < N_h), so no remainder unit is
+    // granted to an already-capped stratum and then discarded by the cap.
+    // The result is then CAPPED at N_h (textbook Neyman: a stratum cannot
+    // yield more rows than it has). Cap-induced shortfall beyond one
+    // remainder unit per stratum is NOT re-redistributed — that is the
+    // documented single-pass behavior (full Neyman iterates
     // cap→reallocate to a fixpoint; run the operator again on the uncapped
     // strata to iterate externally). The window runs over |strata| rows,
     // never the corpus.
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("elig"))
       .orderBy(col("rem").desc, col("stratum"))
     val floored = stats.crossJoin(broadcast(tot))
       .select(col("stratum"), col("n_rows"), col("sigma"),
@@ -303,12 +307,14 @@ object Sampling {
         expr(s"($budget * weight_cents) DIV total_cents").as("alloc0"),
         expr(s"($budget * weight_cents) % total_cents").as("rem"))
     val leftover = floored.agg((lit(budget) - sum(col("alloc0"))).as("leftover"))
-    floored.withColumn("rn", row_number().over(w).cast("long"))
+    floored.withColumn("elig", col("alloc0") < col("n_rows"))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .crossJoin(broadcast(leftover))
       .select(col("stratum"), col("n_rows"), col("sigma"),
         col("weight_cents"), col("alloc_ppm"),
-        least(col("alloc0") + when(col("rn") <= col("leftover"), 1L)
-          .otherwise(0L), col("n_rows")).as("n_alloc"))
+        least(col("alloc0") +
+          when(col("elig") && col("rn") <= col("leftover"), 1L)
+            .otherwise(0L), col("n_rows")).as("n_alloc"))
       .orderBy(col("stratum"))
   }
 }

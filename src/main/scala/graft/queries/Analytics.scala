@@ -1720,9 +1720,12 @@ object Analytics extends QueryPack {
         |    (10000 * weight_cents) % total_cents AS rem
         |  FROM wc CROSS JOIN t),
         |lo AS (SELECT 10000 - sum(alloc0) AS leftover FROM fl)
+        |-- remainder units rank only among strata with headroom
+        |-- (alloc0 < n_rows), mirroring the Spark-side eligibility window
         |SELECT stratum, n_rows, sigma, weight_cents, alloc_ppm,
-        |  least(alloc0 + CASE WHEN
-        |      row_number() OVER (ORDER BY rem DESC, stratum) <= leftover
+        |  least(alloc0 + CASE WHEN alloc0 < n_rows AND
+        |      row_number() OVER (PARTITION BY (alloc0 < n_rows)
+        |        ORDER BY rem DESC, stratum) <= leftover
         |    THEN 1 ELSE 0 END, n_rows) AS n_alloc
         |FROM fl CROSS JOIN lo
         |ORDER BY stratum""".stripMargin,

@@ -149,7 +149,7 @@ object Vectors extends QueryPack {
       val q = boundedQueries(e)
       val st = stagedOpq(s, dir)
       val perm = s.read.parquet(s"$st/perm.parquet").orderBy(col("pos"))
-        .collect().map(_.getLong(1).toInt).toSeq
+        .select(col("dim")).collect().map(_.getLong(0).toInt).toSeq
       val brute = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("q_id"), col("vec_id"))
       val approx = Similarity.pqTopKFrom(
@@ -570,11 +570,19 @@ object Vectors extends QueryPack {
       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
       |    CAST(sum(n) AS BIGINT) AS lt
       |  FROM cs GROUP BY 1),
-      |words AS MATERIALIZED (
+      |words0 AS (
       |  SELECT cs.doc_id, CAST(k // 16 AS BIGINT) AS j,
       |    CAST(sum((CASE WHEN s * lt > total * n THEN 1 ELSE 0 END)
       |             * (CAST(1 AS BIGINT) << CAST(k % 16 AS INT))) AS BIGINT) AS band
       |  FROM cs JOIN tot USING (doc_id) GROUP BY 1, 2),
+      |words AS MATERIALIZED (
+      |  -- densified over j in [0, nWords): a doc shorter than $nWords chars
+      |  -- populates no block in some subindex word; that word is all-zero
+      |  -- bits, not absent (mirrors the Spark pivot's coalesce-to-0)
+      |  SELECT d.doc_id, jj.j, CAST(coalesce(w.band, 0) AS BIGINT) AS band
+      |  FROM (SELECT DISTINCT doc_id FROM words0) d
+      |  CROSS JOIN (SELECT unnest(range(0, $nWords)) AS j) jj
+      |  LEFT JOIN words0 w ON w.doc_id = d.doc_id AND w.j = jj.j),
       |ph AS MATERIALIZED (
       |  SELECT doc_id, list(band ORDER BY j) AS bl
       |  FROM words GROUP BY doc_id),

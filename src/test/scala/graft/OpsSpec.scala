@@ -1443,6 +1443,21 @@ class OpsSpec extends SparkSpec {
     assert(got.values.sum == 3L, "allocations must exhaust the budget")
   }
 
+  test("neymanAllocation: remainder units rank only among strata with " +
+    "headroom — a capped stratum cannot absorb and discard one") {
+    // A {0,2}: n=2, sigma 1, weight 200; B {0,6,0,6}: n=4, sigma 3,
+    // weight 1200. Budget 9: floors 1/7, leftover 1. B's remainder
+    // (1000) outranks A's (400) but B is already over its cap (7 > 4) —
+    // the unit must go to A (headroom 1 < 2), not vanish into B's cap.
+    val df = Seq(("A", 0.0), ("A", 2.0),
+      ("B", 0.0), ("B", 6.0), ("B", 0.0), ("B", 6.0)).toDF("g", "v")
+    val got = rows(graft.ops.Sampling.neymanAllocation(df, "g", "v",
+        budget = 9))
+      .map(r => r.getString(0) -> r.getAs[Long]("n_alloc")).toMap
+    assert(got == Map("A" -> 2L, "B" -> 4L),
+      s"capped stratum swallowed the remainder unit: $got")
+  }
+
   test("triangles: one triangle + pendant, then K4 — each found once, " +
     "lcc in ppm floors") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
@@ -1783,6 +1798,23 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.Multimodal.phashDedup(d, maxHamming = 4, bits = 100)
     }
+  }
+
+  test("phashDedup: docs shorter than nWords chars still pair — empty " +
+    "subindex words densify to 0, they do not NULL the doc out") {
+    // "hi" is 2 chars: at bits=256 its 16 blocks land in only 2 of the 16
+    // subindex words. The other 14 words are all-zero-bits, NOT absent —
+    // a NULL there silently drops the doc from the membership join and
+    // the MIH probe join, hiding even exact duplicates.
+    val d = Seq((1L, "hi", "en"), (2L, "hi", "en"),
+      (3L, "completely different text about astronomy and moons", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = rows(graft.ops.Multimodal.phashDedup(d, maxHamming = 16,
+      bits = 256))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    assert(got.contains((1L, 2L, 0L)),
+      s"short-doc exact dup dropped (NULL band words?): $got")
   }
 
   test("pcaPower: recovers the dominant axis of an anisotropic cloud") {
