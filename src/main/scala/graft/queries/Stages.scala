@@ -19,15 +19,21 @@ import org.apache.spark.sql.SparkSession
   * measure query cost and stage rows measure stage cost — the round-5
   * measurement-isolation lesson applied to stages.
   *
-  * The streaming micro-batch layouts (evstream/evstream4/evsess/
-  * docstream) are deliberately absent: Bench's untimed stream warm-up at
-  * the bench SF already builds them (they are harness scaffolding, not
-  * operator cost), and Verify builds everything lazily as before.
+  * The event-stream micro-batch layouts (evstream/evstream4/evsess) are
+  * deliberately absent: Bench's untimed stream warm-up at the bench SF
+  * already builds them (they are harness scaffolding, not operator cost),
+  * and Verify builds everything lazily as before. The DOC-stream layout
+  * is the exception and IS registered: it is a full copy of the documents
+  * table shared by four judged drains (dd_stream_dedup/neardup/
+  * decontaminate/upsert), so when a retry or subset run finds it cold the
+  * absorbed build is large enough to trip the regression gate — itemizing
+  * it as `stage:doc_stream` keeps those query rows measuring drain cost.
   */
 object Stages {
 
   val all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     // text/dedup side
+    "stage:doc_stream"   -> ((s, d) => { TextOps.stagedDocStream(s, d); () }),
     "stage:pairs"        -> ((s, d) => { TextOps.stagedPairs(s, d); () }),
     "stage:clusters"     -> ((s, d) => { TextOps.stagedClusters(s, d); () }),
     "stage:minhash"      -> ((s, d) => { TextOps.stagedMinHashSigs(s, d); () }),

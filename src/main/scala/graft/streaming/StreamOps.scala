@@ -19,6 +19,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Memory-sink tables created by drains since this log was last drained.
+    * A memory sink holds the COMPLETE drained result in driver memory and
+    * survives query termination until its temp view is dropped — harmless
+    * in Verify (one process, bounded results) but real residue in a timed
+    * bench fleet, where a dozen drained tables sit on the heap while later
+    * queries are measured. graft.Bench drains this log and drops the views
+    * between timed rows. */
+  private val sinkLog = new scala.collection.mutable.ArrayBuffer[String]()
+  private def logSink(name: String): Unit =
+    sinkLog.synchronized { sinkLog += name }
+  private[graft] def drainSinkLog(): Seq[String] =
+    sinkLog.synchronized { val r = sinkLog.toList; sinkLog.clear(); r }
+
   /** Tumbling event-time window aggregate over a stream, watermarked.
     * Identical result columns to EventWindows.tumbling once the stream is
     * drained (append mode emits a window when the watermark passes it) —
@@ -156,6 +169,7 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
       ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
       val q: StreamingQuery = w.start()
+      logSink(name)
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -239,6 +239,50 @@ object Profile {
       "repetition" -> (() => time("repetitionStats") {
         TextAnalysis.repetitionStats(table(spark, sfDir, "documents"))
       }),
+      // attributes dd_stream_upsert's wall time: full query (stage-warm)
+      // vs the same aggregate drained to a memory sink (no upsert target)
+      // vs the two foreachBatch read-merge-swap upserts alone
+      "upsert_stages" -> (() => {
+        time("dd_stream_upsert(1st/staging)")(
+          graft.SparkEntry.queries("dd_stream_upsert")(spark, sfDir))
+        isolate()
+        time("dd_stream_upsert(warm)")(
+          graft.SparkEntry.queries("dd_stream_upsert")(spark, sfDir))
+        isolate()
+        val stagedPath = graft.queries.tmpStage(sfDir, "docstream")
+        val st = spark.read.parquet(stagedPath)
+        val stream = graft.streaming.StreamOps.readEventStream(
+          spark, stagedPath, st, maxFilesPerTrigger = 2)
+        val agg = stream.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        time("memory_drain_2batch")(
+          graft.streaming.StreamOps.drainToTable(agg, "profile_upsert_mem",
+            mode = "complete", shufflePartitions = Some(4)))
+        isolate()
+        val target = graft.queries.tmpStage(sfDir, "profile_upsert_tgt")
+        val batchAgg = st.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        val t0 = System.nanoTime()
+        graft.etl.Staging.upsert(batchAgg, target, Seq("fp"))
+        graft.etl.Staging.upsert(batchAgg, target, Seq("fp"))
+        println(f"[profile] two_upsert_merges               ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }),
+      // attributes dd_cluster_stats (stage-warm): the quality kernel vs
+      // the stage read + 3-way join + rollup
+      "cluster_stats_stages" -> (() => {
+        val docs = table(spark, sfDir, "documents")
+        // build the stage untimed so the probes below are stage-warm
+        graft.SparkEntry.queries("dd_dup_clusters")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        isolate()
+        time("qualityScore_only")(TextAnalysis.qualityScore(docs))
+        isolate()
+        time("dd_cluster_stats(warm1)")(
+          graft.SparkEntry.queries("dd_cluster_stats")(spark, sfDir))
+        isolate()
+        time("dd_cluster_stats(warm2)")(
+          graft.SparkEntry.queries("dd_cluster_stats")(spark, sfDir))
+      }),
       "cluster_stages" -> (() => {
         val docs = table(spark, sfDir, "documents")
         var pairs: DataFrame = null

@@ -13,6 +13,16 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unload every loaded state-store provider and stop the maintenance
+    * thread. A terminated streaming query's HDFS-backed providers keep
+    * their version maps in executor memory until the maintenance thread's
+    * next interval (60 s default) notices they are inactive — residue a
+    * benchmark fleet cannot wait out between timed rows. Everything
+    * restarts lazily on the next stateful-stream use, and every graft
+    * drain uses a fresh checkpoint, so no state is ever reloaded. */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   /** Register a function builder into an EXISTING session's registry (the
     * spark.sql.extensions config path only applies at session build time). */
   def registerFunction(
