@@ -19,7 +19,7 @@ object Events extends QueryPack {
       s: org.apache.spark.sql.SparkSession,
       dir: String): (String, java.sql.Timestamp) = {
     import org.apache.spark.sql.functions._
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val staged = tmpStage(dir, "evsess")
     val ev = table(s, dir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
@@ -32,23 +32,8 @@ object Events extends QueryPack {
       val minTs = ev.agg(min(col("ts"))).first().getTimestamp(0)
       val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
       def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
-                   mtimeSec: Long): Unit = {
-        import scala.util.Using
-        val tmp = s"$staged/_tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        // Files.list/walk return OPEN directory streams — close them, or
-        // each staging leaks descriptors for the life of the JVM
-        val part = Using.resource(Files.list(Paths.get(tmp)))(
-          _.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get())
-        val dest = Paths.get(s"$staged/$name.parquet")
-        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
-        Using.resource(Files.walk(Paths.get(tmp)))(
-          _.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p)))
-      }
+                   mtimeSec: Long): Unit =
+        writeMicroBatchFile(df, staged, name, mtimeSec)
       val flush = ev.select(col("user_id")).distinct()
         .select(lit(-1L).as("event_id"),
           lit(new java.sql.Timestamp(maxTs.getTime + 3600L * 1000L)).as("ts"),
@@ -109,6 +94,43 @@ object Events extends QueryPack {
         // |event_type| keys per window — 8 state stores are plenty
         shufflePartitions = Some(8))
       drained
+        .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // The APPEND-MODE posture of the same tumbling aggregate — the one an
+    // unbounded 100 TB ingest actually runs: complete mode re-emits the
+    // whole result and holds EVERY window's state forever, append emits
+    // each window exactly once when the watermark passes it and then
+    // EVICTS its state. Judged end to end over the time-ordered
+    // micro-batch staging (b0 first half, b1 second half, b2 flush
+    // sentinels 1 h past the corpus — mtime-ordered so the file source
+    // replays them in order, the arrival shape a watermark assumes): the
+    // 10-min watermark trails each batch's max event time, so every
+    // closed window is emitted before its state is dropped, no real event
+    // is ever late, and the flush batch pushes the final watermark past
+    // the last real window (an append drain without it silently withholds
+    // the tail — the drainToTable docstring's warning, handled rather
+    // than avoided). The flush rows' own window is never passed by the
+    // watermark, so they are structurally absent from the output; the
+    // event_type filter is defensive documentation. Result must be
+    // IDENTICAL to the complete-mode drain and the batch twin.
+    // StreamingSpec pins the eviction itself: per-batch state-store row
+    // counts stay bounded by the watermark horizon while emitted rows
+    // grow with the corpus.
+    "ev_stream_append_eviction" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val (staged, _) = stagedEventBatches(s, dir)
+      val stream = StreamOps.readEventStream(s, staged,
+        s.read.parquet(s"$staged/b0.parquet"))
+      val drained = StreamOps.drainToTable(
+        StreamOps.tumbling(stream, sizeMin = 15, watermark = "10 minutes"),
+        s"ev_stream_append$sf".replace(".", "_"), mode = "append",
+        shufflePartitions = Some(8))
+      drained
+        .filter(col("event_type") =!= "__flush")
         .withColumn("win_start", col("win_start").cast("timestamp_ntz"))
         .orderBy(col("win_start"), col("event_type"))
     }),
@@ -813,6 +835,14 @@ object Events extends QueryPack {
     // Same windows as ev_tumbling_window — the streaming drain must land on
     // the identical result.
     "ev_stream_tumbling" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Append mode must land on the very same table: per-window emission +
+    // eviction is an execution strategy, not a semantics change.
+    "ev_stream_append_eviction" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/900) AS BIGINT)*900*1000000) AS win_start,
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST("value" AS DECIMAL(30,10))), 2) AS DOUBLE) AS total

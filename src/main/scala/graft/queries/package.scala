@@ -77,6 +77,32 @@ package object queries {
     logStage(stageDir, fresh)
   }
 
+  /** Write `df` as ONE parquet file `<staged>/<name>.parquet` with an
+    * explicit modification time — the time-ordered micro-batch staging
+    * convention: Spark's file stream source orders files by (mtime, path),
+    * so strictly increasing mtimes make it replay the files as in-order
+    * micro-batches, the arrival shape a watermarked ingest assumes. Shared
+    * by the sessionize and eviction stream stagings. */
+  private[graft] def writeMicroBatchFile(df: DataFrame, staged: String,
+                                         name: String, mtimeSec: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.util.Using
+    val tmp = s"$staged/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // Files.list/walk return OPEN directory streams — close them, or
+    // each staging leaks descriptors for the life of the JVM
+    val part = Using.resource(Files.list(Paths.get(tmp)))(
+      _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get())
+    val dest = Paths.get(s"$staged/$name.parquet")
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000L))
+    Using.resource(Files.walk(Paths.get(tmp)))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p)))
+  }
+
   /** Delete ONE staged dir so its builder re-pays the build (the bench
     * retry protocol). Any graft_* session-catalog table is dropped too:
     * the bucketed band stage registers one over its files, and a dropped

@@ -144,7 +144,19 @@ object StreamOps {
     * The session conf is restored after the drain (streaming queries pin
     * their partition count at start, batch queries read it live). */
   def drainToTable(df: DataFrame, name: String, mode: String,
-                   shufflePartitions: Option[Int] = None): DataFrame = {
+                   shufflePartitions: Option[Int] = None): DataFrame =
+    drainToTableTracked(df, name, mode, shufflePartitions)._1
+
+  /** drainToTable, additionally returning each committed micro-batch's
+    * TOTAL state-store row count (sum over stateful operators, in commit
+    * order) — the direct evidence for watermark-eviction claims: a
+    * watermarked append-mode aggregate over time-ordered batches must show
+    * this sequence staying bounded by the watermark horizon while the
+    * emitted result keeps growing; complete-mode state instead tracks the
+    * full key space. StreamingSpec pins both postures on it. */
+  def drainToTableTracked(df: DataFrame, name: String, mode: String,
+                          shufflePartitions: Option[Int] = None)
+      : (DataFrame, Seq[Long]) = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     shufflePartitions.foreach(n =>
@@ -161,6 +173,7 @@ object StreamOps {
           java.nio.file.Files.isWritable(shm))
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
       else None
+    var stateRows: Seq[Long] = Nil
     try {
       var w = df.writeStream
         .format("memory")
@@ -171,6 +184,9 @@ object StreamOps {
       val q: StreamingQuery = w.start()
       logSink(name)
       q.awaitTermination()
+      stateRows = q.recentProgress.toSeq
+        .filter(_.numInputRows >= 0) // defensive; keeps commit order
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       ckpt.foreach { root =>
@@ -183,7 +199,7 @@ object StreamOps {
         } catch { case _: Throwable => () }
       }
     }
-    df.sparkSession.table(name)
+    (df.sparkSession.table(name), stateRows)
   }
 
   /** Drain a streaming aggregate in UPDATE mode through a per-micro-batch

@@ -100,6 +100,59 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch divergence:\n stream=$streamed\n batch=$batch")
   }
 
+  test("append-mode watermark EVICTS state (bounded by the horizon) while " +
+    "complete mode holds the full key space — and both equal the batch agg") {
+    // Six time-ordered micro-batches: five data epochs 120 minutes apart
+    // (5 keys each, every key duplicated once within its epoch) and a far-
+    // future flush. With a 30-min watermark over 60-min windows, an epoch
+    // becomes evictable one batch after the next epoch arrives, so append-
+    // mode state never holds more than ~2 epochs (10 rows) even though the
+    // key space grows to 26 groups — the property that lets a fingerprint
+    // ingest gate survive unbounded input. Complete mode over the same
+    // stream must instead end holding every group.
+    val staged = java.nio.file.Files.createTempDirectory("graft_evict").toString
+    def epochBatch(k: Int) =
+      (0 until 10).map { i =>
+        (k * 100L + i, s"t${i % 5}",
+          new Timestamp((k * 120L + i) * 60L * 1000L))
+      }.toDF("doc_id", "text", "ingest_ts")
+    val base = System.currentTimeMillis() / 1000L
+    for (k <- 0 until 5)
+      graft.queries.writeMicroBatchFile(epochBatch(k), staged, s"b$k",
+        base + 2 * k)
+    graft.queries.writeMicroBatchFile(
+      Seq((-1L, "__flush__", new Timestamp(100000L * 60L * 1000L)))
+        .toDF("doc_id", "text", "ingest_ts"),
+      staged, "b5", base + 10)
+    def agg(mode: String, name: String) = {
+      val stream = StreamOps.readEventStream(spark, staged,
+        spark.read.parquet(s"$staged/b0.parquet"))
+      StreamOps.drainToTableTracked(
+        stream.withWatermark("ingest_ts", "30 minutes")
+          .groupBy(window($"ingest_ts", "60 minutes"), md5($"text").as("fp"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"window.start".as("win_start"), $"fp",
+            $"keep_id", $"n_copies"),
+        name, mode, shufflePartitions = Some(2))
+    }
+    val (appendDf, appendState) = agg("append", "evict_append")
+    val appendRows = rows(appendDf.filter($"keep_id" >= 0)
+      .orderBy($"keep_id"))
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    // batch truth: 5 epochs x 5 fps, keep_id = epoch base + i, n_copies 2
+    val want = (for (k <- 0 until 5; i <- 0 until 5) yield (k * 100L + i, 2L))
+      .sorted
+    assert(appendRows == want, s"append drain diverged: $appendRows")
+    assert(appendState.nonEmpty, "no progress captured")
+    assert(appendState.max <= 11,
+      s"append state not bounded by the horizon: $appendState")
+    assert(appendState.last <= 1,
+      s"final watermark did not evict the tail: $appendState")
+    val (_, completeState) = agg("complete", "evict_complete")
+    assert(completeState.max >= 26,
+      s"complete mode should end holding all 26 groups: $completeState")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")
