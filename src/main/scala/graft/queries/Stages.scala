@@ -47,6 +47,8 @@ object Stages {
     "stage:cov"          -> ((s, d) => { Vectors.stagedCov(s, d); () }),
     "stage:opq"          -> ((s, d) => { Vectors.stagedOpq(s, d); () }),
     "stage:pq"           -> ((s, d) => { Vectors.stagedPq(s, d); () }),
+    "stage:respq"        -> ((s, d) => { Vectors.stagedResPq(s, d); () }),
+    "stage:refpq"        -> ((s, d) => { Vectors.stagedRefPq(s, d); () }),
     "stage:knn"          -> ((s, d) => { Vectors.stagedKnn(s, d); () }),
     // ETL layout stages
     "stage:docs_by_lang" -> ((s, d) => { Etl.stagedDocsByLang(s, d); () }),

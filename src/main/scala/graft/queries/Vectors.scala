@@ -227,6 +227,64 @@ object Vectors extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // IVFADC recall audit: recall@5 of the RESIDUAL-encoded IVF-PQ path
+    // (codes quantize x − centroid(x), scoring reconstructs around the
+    // cell centroid) against the exact ranking — measured on the same
+    // 16-byte/vector budget, nprobe and query workload as sim_ivf... so
+    // the residual refinement's effect is a number next to the raw-code
+    // baseline (sim_ivfpq_topk via sim_pq_recall's harness).
+    "sim_ivfpq_res_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pq = stagedPq(s, dir)
+      val st = stagedResPq(s, dir)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.ivfPqResTopKFrom(
+          s.read.parquet(s"$st/rescodebook.parquet"),
+          s.read.parquet(s"$st/rescodes.parquet"),
+          s.read.parquet(s"$pq/cells.parquet"),
+          s.read.parquet(s"$pq/cent.parquet"),
+          q, k = 5, nprobe = 2)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
+    // Trained-sub-quantizer recall audit: recall@5 of flat PQ-ADC over the
+    // Lloyd-refined codebook (2 deterministic rounds) vs the exact
+    // ranking — measured side by side with sim_pq_recall so the training
+    // win at the identical 8-byte budget is a number (0.175 → 0.248 at
+    // sf0.01): the quantizer-quality lever the residual audit shows this
+    // corpus does NOT get from IVFADC residuals.
+    "sim_pq_ref_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val st = stagedRefPq(s, dir)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.pqTopKFrom(
+          s.read.parquet(s"$st/refcodebook.parquet"),
+          s.read.parquet(s"$st/refcodes.parquet"), q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
@@ -404,6 +462,41 @@ object Vectors extends QueryPack {
     staged
   }
 
+  /** IVFADC residual index stage (Jégou et al. 2011 §IV): residuals
+    * x − centroid(cell(x)) over the STAGED IVF assignment (no second
+    * coarse pass), then the standard PQ train/encode over the residual
+    * corpus. Same 16-byte/vector standing index as stage:pq — cells and
+    * centroids are SHARED with it, only the codebook/codes differ. */
+  private[queries] def stagedResPq(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
+    val staged = tmpStage(dir, Similarity.ResPqStageTag)
+    ensureStaged(staged, "rescodes.parquet/_SUCCESS") {
+      val pq = stagedPq(s, dir)
+      val res = Similarity.ivfResiduals(table(s, dir, "embeddings"),
+        s.read.parquet(s"$pq/cells.parquet"),
+        s.read.parquet(s"$pq/cent.parquet"))
+      val (cb, codes) = Similarity.pqIndexFrames(res)
+      cb.write.mode("overwrite").parquet(s"$staged/rescodebook.parquet")
+      codes.write.mode("overwrite").parquet(s"$staged/rescodes.parquet")
+    }
+    staged
+  }
+
+  /** Lloyd-refined PQ index stage: the strided seed codebook plus two
+    * deterministic refinement rounds (Similarity.pqIndexFramesRefined) —
+    * the trained-sub-quantizer index at the same 8-byte budget. */
+  private[queries] def stagedRefPq(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
+    val staged = tmpStage(dir, Similarity.RefPqStageTag)
+    ensureStaged(staged, "refcodes.parquet/_SUCCESS") {
+      val (cb, codes) = Similarity.pqIndexFramesRefined(
+        table(s, dir, "embeddings"))
+      cb.write.mode("overwrite").parquet(s"$staged/refcodebook.parquet")
+      codes.write.mode("overwrite").parquet(s"$staged/refcodes.parquet")
+    }
+    staged
+  }
+
   /** OPQ-lite index stage: the variance-balanced dimension permutation is
     * read off the STAGED covariance diagonal (stage:cov pays the Gram
     * pass), then the standard PQ train/encode runs over the permuted
@@ -514,6 +607,94 @@ object Vectors extends QueryPack {
     * relation so the OPQ oracle can run the identical chain over the
     * permuted view. */
   private lazy val pqCtes: String = pqCtesOn("embeddings")
+
+  /** DuckDB twin of Similarity.pqIndexFramesRefined + the flat-ADC recall
+    * audit: strided seed codebook, `iters` Lloyd rounds (packed-min
+    * reassignment — the encode argmin — then decimal-exact 6-dp means cast
+    * to REAL, empty codewords keeping their previous position), encode,
+    * per-query LUT, flat scoring, recall@5 vs brute. */
+  private lazy val refPqRecallOracle: String = {
+    def sl(v: String, m: String) =
+      s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
+    val rounds = (1 to 2).map { t =>
+      s"""fasg$t AS (
+        |  SELECT v.vec_id, c.m,
+        |    min((CAST(round((c.cn2 - 2 * ${dot(sl("v.embedding", "c.m"), "c.c_sub")}) * 1000000) AS BIGINT)
+        |         + 1000000000000) * 256 + c.code) AS pk
+        |  FROM embeddings v CROSS JOIN fcb${t - 1} c GROUP BY 1, 2),
+        |fxp$t AS (
+        |  SELECT a.m, a.pk % 256 AS code,
+        |    CAST(unnest(range(8)) AS BIGINT) AS dim,
+        |    CAST(unnest(${sl("v.embedding", "a.m")}) AS DOUBLE) AS x
+        |  FROM fasg$t a JOIN embeddings v USING (vec_id)),
+        |fmean$t AS (
+        |  SELECT m, code, dim,
+        |    round(CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) + 0 AS mv
+        |  FROM fxp$t GROUP BY 1, 2, 3),
+        |fml$t AS (SELECT m, code, list(CAST(mv AS REAL) ORDER BY dim) AS c_sub2
+        |  FROM fmean$t GROUP BY 1, 2),
+        |fcb$t AS MATERIALIZED (
+        |  SELECT s.m, s.code, coalesce(l.c_sub2, s.c_sub) AS c_sub,
+        |    ${norm2("coalesce(l.c_sub2, s.c_sub)")} AS cn2
+        |  FROM fcb${t - 1} s LEFT JOIN fml$t l ON s.m = l.m AND s.code = l.code)"""
+        .stripMargin
+    }
+    s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+      |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
+      |bscored AS (
+      |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+      |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
+      |b AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM bscored) t WHERE rank <= 5),
+      |fce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM embeddings),
+      |fsd AS (SELECT embedding AS c_emb,
+      |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+      |  FROM embeddings WHERE vec_id % (SELECT every FROM fce) = 0),
+      |fs AS (SELECT CAST(count(*) AS BIGINT) AS s FROM fsd),
+      |fcb0 AS (SELECT mm.m, code,
+      |    ${sl("c_emb", "mm.m")} AS c_sub,
+      |    ${norm2(sl("c_emb", "mm.m"))} AS cn2
+      |  FROM fsd CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+      |${rounds.mkString(",\n")},
+      |fenc AS (
+      |  SELECT v.vec_id, c.m,
+      |    min((CAST(round((c.cn2 - 2 * ${dot(sl("v.embedding", "c.m"), "c.c_sub")}) * 1000000) AS BIGINT)
+      |         + 1000000000000) * 256 + c.code) AS pk
+      |  FROM embeddings v CROSS JOIN fcb2 c GROUP BY 1, 2),
+      |fpacked AS (SELECT vec_id,
+      |    CAST(sum((pk % 256) * (CAST(1 AS BIGINT) << CAST(8 * m AS INT))) AS BIGINT) AS cp
+      |  FROM fenc GROUP BY 1),
+      |fq AS (SELECT vec_id AS q_id, embedding AS q_emb, sqrt(${norm2("embedding")}) AS q_nrm
+      |  FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
+      |flut AS (
+      |  SELECT q_id, q_nrm, list(dv ORDER BY idx) AS lut FROM (
+      |    SELECT q.q_id, q.q_nrm, c.m * sc.s + c.code AS idx,
+      |      ${dot(sl("q.q_emb", "c.m"), "c.c_sub")} AS dv
+      |    FROM fq q CROSS JOIN fcb2 c CROSS JOIN fs sc) t
+      |  GROUP BY q_id, q_nrm),
+      |frn AS (SELECT list(cn2 ORDER BY m * s + code) AS rn2 FROM fcb2 CROSS JOIN fs),
+      |fscored AS (
+      |  SELECT l.q_id, p.vec_id,
+      |    round(
+      |      list_reduce(list_transform(range(0, 8),
+      |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)
+      |      / l.q_nrm
+      |      / sqrt(list_reduce(list_transform(range(0, 8),
+      |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
+      |  FROM fpacked p CROSS JOIN flut l CROSS JOIN frn r CROSS JOIN fs sc
+      |  WHERE p.vec_id <> l.q_id),
+      |f5 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM fscored) t WHERE rank <= 5),
+      |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN f5 USING (q_id, vec_id) GROUP BY 1),
+      |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+      |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
+      |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
+  }
 
   /** The IVF-PQ scoring CTEs (centroids, corpus/probe assignment, ADC
     * scoring over probed cells) shared by sim_ivfpq_topk and
@@ -974,6 +1155,104 @@ object Vectors extends QueryPack {
         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |    FROM iscored) t WHERE rank <= 5),
         |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN l USING (q_id, vec_id) GROUP BY 1),
+        |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+        |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
+        |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
+
+    "sim_pq_ref_recall" -> refPqRecallOracle,
+
+    // The full IVFADC chain re-derived: coarse centroids + assignment,
+    // exact REAL residuals, residual codebook (IVF seeding over residual
+    // rows), packed-min encode, then scoring decomposed as
+    // (q·c + Σ LUT) / ‖q‖ / sqrt(‖c‖² + Σ (2⟨c,r̂⟩+‖r̂‖²)) — every fold
+    // ascending-m, every rounded value through `+ 0`.
+    "sim_ivfpq_res_recall" ->
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
+        |bscored AS (
+        |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
+        |b AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) t WHERE rank <= 5),
+        |ice AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+        |icent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ice) = 0),
+        |ica AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT v.vec_id, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN icent c) t WHERE rn = 1),
+        |res AS MATERIALIZED (
+        |  SELECT v.vec_id,
+        |    list_transform(list_zip(v.embedding, c.c_emb), p -> p[1] - p[2]) AS r
+        |  FROM embeddings v JOIN ica a ON v.vec_id = a.vec_id
+        |    JOIN icent c ON a.c_id = c.c_id),
+        |rce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM embeddings),
+        |rcd AS (SELECT r AS c_emb, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        |  FROM res WHERE vec_id % (SELECT every FROM rce) = 0),
+        |rs AS (SELECT CAST(count(*) AS BIGINT) AS s FROM rcd),
+        |rcb AS (SELECT mm.m, code,
+        |    list_slice(c_emb, CAST(mm.m*8+1 AS INT), CAST(mm.m*8+8 AS INT)) AS c_sub
+        |  FROM rcd CROSS JOIN (SELECT unnest(range(0, 8)) AS m) mm),
+        |rcb2 AS (SELECT m, code, c_sub, ${norm2("c_sub")} AS cn2 FROM rcb),
+        |renc AS (
+        |  SELECT v.vec_id, c.m,
+        |    min((CAST(round((c.cn2 - 2 * ${dot("list_slice(v.r, CAST(c.m*8+1 AS INT), CAST(c.m*8+8 AS INT))", "c.c_sub")}) * 1000000) AS BIGINT)
+        |         + 1000000000000) * 256 + c.code) AS pk
+        |  FROM res v CROSS JOIN rcb2 c
+        |  GROUP BY 1, 2),
+        |rpacked AS (SELECT vec_id,
+        |    CAST(sum((pk % 256) * (CAST(1 AS BIGINT) << CAST(8 * m AS INT))) AS BIGINT) AS cp
+        |  FROM renc GROUP BY 1),
+        |rq AS (SELECT vec_id AS q_id, embedding AS q_emb, sqrt(${norm2("embedding")}) AS q_nrm
+        |  FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
+        |rlut AS (
+        |  SELECT q_id, q_nrm, list(dv ORDER BY idx) AS lut FROM (
+        |    SELECT q.q_id, q.q_nrm, c.m * sc.s + c.code AS idx,
+        |      ${dot("list_slice(q.q_emb, CAST(c.m*8+1 AS INT), CAST(c.m*8+8 AS INT))", "c.c_sub")} AS dv
+        |    FROM rq q CROSS JOIN rcb2 c CROSS JOIN rs sc) t
+        |  GROUP BY q_id, q_nrm),
+        |ccl AS (
+        |  SELECT c_id, cn2c, list(cx ORDER BY idx) AS cxl FROM (
+        |    SELECT c.c_id, ${norm2("c.c_emb")} AS cn2c, bb.m * sc.s + bb.code AS idx,
+        |      2.0 * ${dot("list_slice(c.c_emb, CAST(bb.m*8+1 AS INT), CAST(bb.m*8+8 AS INT))", "bb.c_sub")} + bb.cn2 AS cx
+        |    FROM icent c CROSS JOIN rcb2 bb CROSS JOIN rs sc) t
+        |  GROUP BY c_id, cn2c),
+        |iqp AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT v.vec_id AS q_id, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
+        |iqc AS (
+        |  SELECT q.q_id, c.c_id, ${dot("q.q_emb", "c.c_emb")} AS qc
+        |  FROM rq q JOIN iqp ON q.q_id = iqp.q_id JOIN icent c ON iqp.c_id = c.c_id),
+        |rscored AS (
+        |  SELECT l.q_id, p.vec_id,
+        |    round(
+        |      (qc.qc + list_reduce(list_transform(range(0, 8),
+        |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b))
+        |      / l.q_nrm
+        |      / sqrt(cc.cn2c + list_reduce(list_transform(range(0, 8),
+        |        m -> cc.cxl[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
+        |  FROM iqp
+        |    JOIN ica USING (c_id)
+        |    JOIN rpacked p ON ica.vec_id = p.vec_id
+        |    JOIN rlut l ON iqp.q_id = l.q_id
+        |    JOIN iqc qc ON iqp.q_id = qc.q_id AND iqp.c_id = qc.c_id
+        |    JOIN ccl cc ON iqp.c_id = cc.c_id
+        |    CROSS JOIN rs sc
+        |  WHERE p.vec_id <> l.q_id),
+        |l2 AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM rscored) t WHERE rank <= 5),
+        |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN l2 USING (q_id, vec_id) GROUP BY 1),
         |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
         |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall

@@ -1817,6 +1817,41 @@ class OpsSpec extends SparkSpec {
       s"short-doc exact dup dropped (NULL band words?): $got")
   }
 
+  test("pqIndexFramesRefined: Lloyd rounds keep codes dense and do not " +
+    "raise quantization distortion vs the strided seed codebook") {
+    import org.apache.spark.sql.DataFrame
+    val e = graft.queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cb0, codes0) = graft.ops.Similarity.pqIndexFrames(e)
+    val (cb2, codes2) = graft.ops.Similarity.pqIndexFramesRefined(e, iters = 2)
+    // the ADC LUT is positional: refinement must preserve the (m, code)
+    // key set exactly (empty codewords keep their previous position)
+    val k0 = rows(cb0.select($"m", $"code")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val k2 = rows(cb2.select($"m", $"code")).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k0 == k2, "refinement changed the codebook key set")
+    // total quantization distortion sum ||x_sub - c_sub||^2 over all
+    // (vector, subspace): k-means iterations cannot increase it (up to the
+    // 6-dp mean rounding — hence the epsilon)
+    def distortion(cb: DataFrame, codes: DataFrame): Double =
+      e.join(codes, "vec_id")
+        .select(col("embedding"), col("cp"),
+          explode(sequence(lit(0L), lit(7L))).as("m"))
+        .select(col("m"),
+          expr("slice(embedding, CAST(m*8+1 AS INT), 8)").as("v_sub"),
+          expr("shiftright(cp, CAST(8*m AS INT)) % 256").as("code"))
+        .join(cb, Seq("m", "code"))
+        .select(expr(
+          """aggregate(zip_with(v_sub, c_sub,
+            |  (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) *
+            |            (CAST(a AS DOUBLE) - CAST(b AS DOUBLE))),
+            |  CAST(0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("d2"))
+        .agg(org.apache.spark.sql.functions.sum($"d2")).head().getDouble(0)
+    val d0 = distortion(cb0, codes0)
+    val d2 = distortion(cb2, codes2)
+    assert(d2 <= d0 * 1.001 + 1e-6,
+      s"refined distortion $d2 exceeds seed distortion $d0")
+    assert(d2 < d0, s"refinement changed nothing: $d2 vs $d0")
+  }
+
   test("pcaPower: recovers the dominant axis of an anisotropic cloud") {
     // 64-dim vectors: dim 0 carries variance ~100x any other dim, so the
     // top component must align with axis 0 and evr must dominate.
