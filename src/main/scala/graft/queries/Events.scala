@@ -48,6 +48,28 @@ object Events extends QueryPack {
     (staged, maxTs)
   }
 
+  /** Events staged as a FIXED 4-file parquet directory — the micro-batch
+    * source shared by every complete-mode event-stream drain (the
+    * docstream convention applied to events). The file count is pinned:
+    * with maxFilesPerTrigger=1 each file is a micro-batch, and a
+    * complete-mode drain pays a full result rewrite + state-store commit
+    * per batch. Writing the scan's NATIVE layout instead (the pre-round-11
+    * shape) made the batch count an accident of the upstream file count —
+    * 1 batch at the driver's single-file sf0.1 (no cross-batch merging
+    * exercised at all) and ~32 at the 30× corpus (the f30 audit measured
+    * 12–19 s rows that were ~80% fixed per-batch machinery). 4 batches
+    * prove cross-batch convergence identically at every scale. */
+  private def stagedEventStream4(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val staged = tmpStage(dir, "evstream4")
+    ensureStaged(staged, "_SUCCESS") {
+      table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(4).write.mode("overwrite").parquet(staged)
+    }
+    staged
+  }
+
   val queries: Map[String, QFn] = Map(
     "ev_tumbling_window" -> ((s, dir) =>
       EventWindows.tumbling(table(s, dir, "events"), sizeMin = 15)),
@@ -75,18 +97,7 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evstream4")
-      // testdata is immutable and the dir is keyed by SF — a completed
-      // previous staging (marked by _SUCCESS) can be reused verbatim.
-      // FOUR files, not the scan's native partitioning: with
-      // maxFilesPerTrigger=1 each file is a micro-batch, and a complete-
-      // mode drain pays a full result rewrite + state-store commit per
-      // batch — 4 batches prove cross-batch window merging exactly as
-      // well as 32 at an eighth of the fixed micro-batch machinery.
-      ensureStaged(staged, "_SUCCESS") {
-        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-          .coalesce(4).write.mode("overwrite").parquet(staged)
-      }
+      val staged = stagedEventStream4(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val drained = StreamOps.drainToTable(
         StreamOps.tumbling(stream, sizeMin = 15),
@@ -410,11 +421,7 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evstream")
-      ensureStaged(staged, "_SUCCESS") {
-        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-          .write.mode("overwrite").parquet(staged)
-      }
+      val staged = stagedEventStream4(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val agg = stream
         .select(floor(col("value") / lit(0.5)).cast("long").as("bin"))
@@ -432,11 +439,7 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evstream")
-      ensureStaged(staged, "_SUCCESS") {
-        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-          .write.mode("overwrite").parquet(staged)
-      }
+      val staged = stagedEventStream4(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val agg = stream
         .select(explode(graft.ops.Sketch.cmsCells(col("event_type"), 4, 64))
@@ -458,11 +461,7 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evstream")
-      ensureStaged(staged, "_SUCCESS") {
-        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-          .write.mode("overwrite").parquet(staged)
-      }
+      val staged = stagedEventStream4(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val dayUs = 24L * 3600L * 1000000L
       val tsUs = unix_micros(col("ts"))
@@ -583,11 +582,7 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evstream")
-      ensureStaged(staged, "_SUCCESS") {
-        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-          .write.mode("overwrite").parquet(staged)
-      }
+      val staged = stagedEventStream4(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val (bucket, rho) = graft.ops.Sketch.hllBucketRho(col("user_id"), 64)
       val agg = stream.select(bucket.as("bucket"), rho.as("rho"))
@@ -720,11 +715,7 @@ object Events extends QueryPack {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamOps
       val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val staged = tmpStage(dir, "evstream4")
-      ensureStaged(staged, "_SUCCESS") {
-        table(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
-          .coalesce(4).write.mode("overwrite").parquet(staged)
-      }
+      val staged = stagedEventStream4(s, dir)
       val stream = StreamOps.readEventStream(s, staged, s.read.parquet(staged))
       val hourly = stream
         .select(col("event_type"),
