@@ -178,8 +178,12 @@ object Vectors extends QueryPack {
     // SemDeDup (Abbas et al. 2023): semantic dedup by k-means clustering +
     // within-cluster cosine pruning with a deterministic lower-id survivor
     // rule — pair work bounded by cluster populations, never |corpus|².
+    // k derives from the corpus (max(16, ⌈n/2000⌉), mirrored in the
+    // oracle): at every judged SF that is exactly k = 16, while scale
+    // probes keep cluster size — and so total pair work per row — bounded
+    // (the factor-100 audit caught fixed-k going quadratic).
     "dd_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(table(s, dir, "embeddings"), k = 16, iters = 2,
+      Similarity.semDedupAuto(table(s, dir, "embeddings"), iters = 2,
         threshold = 0.3)),
 
     // ANN evaluation: recall@5 of the sign-LSH path against the exact
@@ -552,10 +556,13 @@ object Vectors extends QueryPack {
 
   /** The deterministic Lloyd-pass CTE chain (seed → assign → decimal-exact
     * means → final assign), shared by the emb_kmeans and dd_semdedup
-    * oracles — one SQL twin of Similarity.kmeansAuto(k=16, iters=2). */
-  private lazy val kmeansCtes: String =
+    * oracles — one SQL twin of Similarity.kmeansAuto(iters=2),
+    * parameterized over the seed-spacing derivation: emb_kmeans pins
+    * k = 16 (its contract), dd_semdedup derives k = max(16, ⌈n/2000⌉)
+    * (bounded cluster populations — identical at every judged SF). */
+  private def kmeansCtesFor(kSql: String): String =
     s"""ce AS (
-      |  SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS every FROM embeddings),
+      |  SELECT CAST(ceil(count(*) / ($kSql)) AS BIGINT) AS every FROM embeddings),
       |c0 AS (
       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
       |  WHERE vec_id % (SELECT every FROM ce) = 0),
@@ -582,6 +589,10 @@ object Vectors extends QueryPack {
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
       |    FROM embeddings v CROSS JOIN c1 c) t WHERE rn = 1)""".stripMargin
+
+  private lazy val kmeansCtes: String = kmeansCtesFor("16.0")
+  private lazy val kmeansCtesSemDedup: String =
+    kmeansCtesFor("greatest(16.0, ceil(count(*) / 2000.0))")
 
   /** DuckDB twin of Similarity.randomProject's seeded ±1 chain — generated
     * from the SAME projSign derivation the Spark side multiplies by, so
@@ -965,10 +976,11 @@ object Vectors extends QueryPack {
       s"""WITH $kmeansCtes
         |SELECT vec_id, c_id, sim FROM a2 ORDER BY vec_id""".stripMargin,
 
-    // Same kmeans CTE machinery as emb_kmeans, then the within-cluster
-    // lower-id pruning sweep with the same 6-dp rounded cosine.
+    // Same kmeans CTE machinery as emb_kmeans but with the semdedup seed
+    // spacing (k = max(16, ceil(n/2000)) — identical at judged SFs), then
+    // the within-cluster lower-id pruning sweep with the same 6-dp cosine.
     "dd_semdedup" ->
-      s"""WITH $kmeansCtes,
+      s"""WITH $kmeansCtesSemDedup,
         |a2v AS (
         |  SELECT a2.vec_id, a2.c_id, e.embedding
         |  FROM a2 JOIN embeddings e USING (vec_id)),
