@@ -98,6 +98,23 @@ object Graph {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
+    val corners = triangleTriples(fwd, deg)
+      .select(explode(array(col("a"), col("b"), col("c")))
+      .as("node")).groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("degree") > 1,
+          expr("(coalesce(n_tri, 0) * 2000000) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("lcc_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The Schank–Wagner triple enumeration behind [[triangles]] (see its
+    * scaladoc): every triangle of the undirected pair list `fwd` appears
+    * EXACTLY once as an (a, b, c) row. `deg` is the symmetrized degree
+    * table — passed in so callers share one computation. */
+  private def triangleTriples(fwd: DataFrame, deg: DataFrame): DataFrame = {
     // orient by (degree, id): lower endpoint -> higher endpoint
     val dd = fwd
       .join(deg.select(col("node").as("sn"), col("degree").as("dsrc")),
@@ -122,15 +139,102 @@ object Graph {
       (col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c"))))
     val closing = oriented.select(col("lo").as("b2"), col("hi").as("c2"))
-    val tri = wedge.join(closing,
-      col("b") === col("b2") && col("c") === col("c2"))
-    val corners = tri.select(explode(array(col("a"), col("b"), col("c")))
-      .as("node")).groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    deg.join(corners, Seq("node"), "left")
-      .select(col("node").as("doc_id"), col("degree"),
-        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+    wedge.join(closing,
+        col("b") === col("b2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** [[triangles]] with TRUE-TWIN COLLAPSE — bit-identical output, built
+    * for the graph a dedup pair table actually is at crawl scale. Exact
+    * duplicates (and boilerplate families) produce TWIN nodes: identical
+    * texts have identical similarity to every third document, so each
+    * duplicate group is a clique whose members share one external
+    * neighborhood. On such a graph the direct wedge census pays r² per
+    * r-clone group in every term — the factor-100 audit measured the pair
+    * graph's edges growing at output exponent 1.94 once exact-dup
+    * quadruples appeared, and the direct census exhausted 76 GB of shuffle
+    * spill. This is the canonicalize-then-expand genus applied to graphs:
+    *
+    *  1. CANONICALIZE — true-twin classes by exact CLOSED-neighborhood
+    *     key (sorted neighbor array + self, an exact array groupBy — no
+    *     lossy hashing): u, v land in one class iff they are adjacent and
+    *     share all other neighbors. Any graph is safe input: nodes that
+    *     merely look similar keep distinct keys and stay singletons, so
+    *     on a twin-free graph the quotient IS the graph.
+    *  2. CENSUS on the quotient (same Schank–Wagner triple enumeration),
+    *     weighted by class sizes.
+    *  3. EXPAND per member, in closed form. For v in class g (size r,
+    *     neighbor classes N(g) with sizes r_h):
+    *       degree(v)  = (r−1) + Σ r_h
+    *       tri(v)     = C(r−1,2)                  (both others are clones)
+    *                  + (r−1)·Σ r_h               (one clone, one neighbor)
+    *                  + Σ C(r_h,2)                (two in one neighbor class
+    *                                               — a class is a clique)
+    *                  + Σ_{g∈{a,b,c}} r_h·r_k     (two in distinct classes:
+    *                                               the weighted quotient
+    *                                               triangles through g)
+    *     Every term is exact integer arithmetic; equality with the direct
+    *     census is pinned in OpsSpec on twin-rich graphs.
+    *
+    * Scale shape: one extra groupBy over the adjacency (O(E) rows) buys a
+    * census on a quotient whose edge count shrinks r̄²-fold on duplicate-
+    * dense corpora — the wedge join's E^1.5 drops by r̄³. The twin key is
+    * the node's own adjacency list: no text, no external dedup needed. */
+  def trianglesQuotient(pairs: DataFrame, srcCol: String = "doc_a",
+                        dstCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fwd = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // exact closed-neighborhood key; materialized — members feeds the
+    // quotient-edge join (twice), the group table, and the final expand
+    val members = Dedup.materialize(edges
+      .groupBy(col("src").as("node"))
+      .agg(collect_list(col("dst")).as("nl"))
+      .select(col("node"),
+        array_sort(concat(col("nl"), array(col("node")))).as("nb"))
+      .select(col("node"),
+        min(col("node")).over(Window.partitionBy(col("nb"))).as("uid"),
+        count(lit(1)).over(Window.partitionBy(col("nb"))).as("r")))
+    val groups = members.select(col("uid"), col("r")).distinct()
+    val qfwd = Dedup.materialize(fwd
+      .join(members.select(col("node").as("src"), col("uid").as("ua")), "src")
+      .join(members.select(col("node").as("dst"), col("uid").as("ub")), "dst")
+      .filter(col("ua") =!= col("ub"))
+      .select(least(col("ua"), col("ub")).as("src"),
+        greatest(col("ua"), col("ub")).as("dst"))
+      .distinct())
+    val qedges = qfwd.union(qfwd.select(col("dst").as("src"), col("src").as("dst")))
+    val qdeg = qedges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+    // per-class neighbor aggregates: Σ r_h and Σ C(r_h, 2)
+    val nbrAgg = qedges
+      .join(groups.select(col("uid").as("dst"), col("r").as("rh")), "dst")
+      .groupBy(col("src").as("uid"))
+      .agg(sum(col("rh")).as("s_nbr"),
+        sum(expr("rh * (rh - 1) DIV 2")).as("c2_nbr"))
+    // weighted quotient triangles: corner g of {g,h,k} collects r_h·r_k
+    val tw = triangleTriples(qfwd, qdeg)
+      .join(groups.select(col("uid").as("a"), col("r").as("ra")), "a")
+      .join(groups.select(col("uid").as("b"), col("r").as("rb")), "b")
+      .join(groups.select(col("uid").as("c"), col("r").as("rc")), "c")
+      .select(explode(array(
+        struct(col("a").as("uid"), (col("rb") * col("rc")).as("w")),
+        struct(col("b").as("uid"), (col("ra") * col("rc")).as("w")),
+        struct(col("c").as("uid"), (col("ra") * col("rb")).as("w")))).as("x"))
+      .select(col("x.uid").as("uid"), col("x.w").as("w"))
+      .groupBy(col("uid")).agg(sum(col("w")).as("tw"))
+    members
+      .join(nbrAgg, Seq("uid"), "left")
+      .join(tw, Seq("uid"), "left")
+      .select(col("node").as("doc_id"),
+        (col("r") - 1 + coalesce(col("s_nbr"), lit(0L))).as("degree"),
+        (expr("(r - 1) * (r - 2) DIV 2") +
+          (col("r") - 1) * coalesce(col("s_nbr"), lit(0L)) +
+          coalesce(col("c2_nbr"), lit(0L)) +
+          coalesce(col("tw"), lit(0L))).as("n_triangles"))
+      .select(col("doc_id"), col("degree"), col("n_triangles"),
         when(col("degree") > 1,
-          expr("(coalesce(n_tri, 0) * 2000000) DIV (degree * (degree - 1))"))
+          expr("(n_triangles * 2000000) DIV (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("lcc_ppm"))
       .orderBy(col("doc_id"))
   }

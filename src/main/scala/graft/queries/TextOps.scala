@@ -1114,11 +1114,15 @@ object TextOps extends QueryPack {
           "zz absent phrase"))),
 
     // Triangle census of the near-dup pair graph: per-node triangle count
-    // + local clustering in ppm via the degree-ordered wedge join — is a
-    // dense neighborhood one template (near-clique) or a hub stitching
-    // unrelated docs?
+    // + local clustering in ppm — the TWIN-COLLAPSE census (exact
+    // closed-neighborhood classes, weighted quotient wedge join,
+    // closed-form expansion; bit-identical to Graph.triangles, pinned in
+    // OpsSpec). On a duplicate-dense crawl graph the quotient shrinks the
+    // wedge join r̄³-fold: the factor-100 audit's direct census exhausted
+    // 76 GB of spill on the 104M-edge pair graph; the quotient census is
+    // what ships. Same oracle (the direct SQL census).
     "gr3_triangles" -> ((s, dir) =>
-      graft.ops.Graph.triangles(stagedPairs(s, dir))),
+      graft.ops.Graph.trianglesQuotient(stagedPairs(s, dir))),
 
     // Vocabulary richness: TTR + hapax share in integer ppm, the in-row
     // sorted-run kernel (zero shuffles).

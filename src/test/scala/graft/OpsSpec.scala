@@ -1480,6 +1480,44 @@ class OpsSpec extends SparkSpec {
       assert(g4(v) == ((3L, 3L, 1000000L)), s"node $v")
   }
 
+  test("trianglesQuotient: bit-identical to the direct census on twin-rich " +
+    "and twin-free graphs — every expansion term exercised") {
+    def table(df: org.apache.spark.sql.DataFrame) =
+      rows(df).map(r => (r.getLong(0), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("lcc_ppm")))
+    // twin-rich: clone triple {1,2,3} (clique, shared externals), clone
+    // pair {4,5} (clique) completely joined to the triple, singleton 6 on
+    // 4 AND 5 (so 6 is NOT a twin of the triple: different neighborhood),
+    // pendant 7 on 6, plus an untouched far triangle {20,21,22}. Exercises
+    // C(r-1,2), (r-1)·S, C2 over neighbor classes, weighted quotient
+    // triangles, and the singleton fall-through at once.
+    val twinRich = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L),
+      (1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L), (3L, 4L), (3L, 5L),
+      (4L, 6L), (5L, 6L),
+      (6L, 7L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("doc_a", "doc_b")
+    assert(table(graft.ops.Graph.trianglesQuotient(twinRich)) ==
+      table(graft.ops.Graph.triangles(twinRich)))
+    // twin-free control: quotient == graph, both paths identical
+    val twinFree = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    assert(table(graft.ops.Graph.trianglesQuotient(twinFree)) ==
+      table(graft.ops.Graph.triangles(twinFree)))
+    // a clone PAIR with no external neighbors (isolated K2) and an
+    // isolated K3 of mutual twins: the pure clique terms
+    val cliques = Seq((30L, 31L), (40L, 41L), (40L, 42L), (41L, 42L))
+      .toDF("doc_a", "doc_b")
+    assert(table(graft.ops.Graph.trianglesQuotient(cliques)) ==
+      table(graft.ops.Graph.triangles(cliques)))
+    // the real judged input at sf0.001: the staged near-dup pair graph
+    val staged = graft.queries.TextOps.queries("dd_ngram_jaccard")(
+      spark, "/root/testdata/sf0.001").select($"doc_a", $"doc_b")
+    assert(table(graft.ops.Graph.trianglesQuotient(staged)) ==
+      table(graft.ops.Graph.triangles(staged)))
+  }
+
   test("phraseSearch: overlapping matches counted, mixed phrase lengths, " +
     "absent phrase reports zeros") {
     val d = Seq((1L, "a a a b"), (2L, "c a a")).toDF("doc_id", "text")
