@@ -26,13 +26,14 @@ object Dedup {
     * minHashSignatures/seededHash (minhash tag). Cross-process staleness is
     * additionally impossible: Verify/Bench wipe all stage dirs at startup
     * (queries.wipeStages), so a judged run always recomputes at least once. */
-  val ClusterStageTag = "ddclusters_v1"
+  val ClusterStageTag = "ddclusters_v2"
   val MinHashStageTag = "mhsig_v1"
-  /** Fingerprints the ngramJaccard(threshold=0.5) pair output the cluster/
-    * graph family shares (dd_ngram_jaccard, stagedClusters' builder,
-    * gr1_pagerank) — bump with any change to ngramJaccard or its token
+  /** Fingerprints the ngramJaccardCanonical(threshold=0.5) factorization
+    * (canonical pairs + membership) the cluster/graph family shares
+    * (dd_ngram_jaccard, stagedClusters' builder, gr1/gr2/gr3) — bump with
+    * any change to ngramJaccard, the canonicalization key, or the token
     * normalization. */
-  val PairStageTag = "ddpairs05_v1"
+  val PairStageTag = "ddpairs05_v2"
   /** Fingerprints gramHashes (seed, normalization, explode shape) at the
     * n=4 the decontamination queries use. */
   val GramStageTag = "ddgrams4_v1"
@@ -681,6 +682,45 @@ object Dedup {
     * session has a checkpoint dir — see materialize).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = ccLabels(pairs, maxIter)
+    val w = Window.partitionBy(col("cluster_id"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[duplicateClusters]] over the [[ngramJaccardCanonical]] factorization
+    * — bit-identical output without ever materializing the member-level
+    * pair graph. The expanded graph's components are the quotient graph's
+    * components with each representative's exact-dup group attached, plus
+    * the isolated multi-member groups (an exact-dup clique with no
+    * near-dup neighbors is its own component). Labels agree exactly: the
+    * component minimum over members equals the minimum over reps, because
+    * every rep IS its group's minimum. n_members is recounted over member
+    * docs. The CC fixpoint — the O(E log n) part — runs on the quotient,
+    * whose edge count shrinks r̄²-fold on duplicate-dense corpora. */
+  def duplicateClustersFromCanonical(canon: DataFrame, members: DataFrame,
+                                     maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = ccLabels(canon, maxIter)
+    val att = members
+      .join(labels.select(col("id").as("rep"), col("label")), Seq("rep"), "left")
+      // participating docs = members of groups in ≥1 canonical pair, plus
+      // members of multi-doc groups (their intra J=1 clique edges put them
+      // in the expanded graph even with no external neighbor)
+      .filter(col("label").isNotNull || col("r") >= 2)
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+    att.withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The large-star/small-star contraction behind [[duplicateClusters]]
+    * (see its scaladoc): labels every node of the `(doc_a, doc_b)` pair
+    * graph with its component's minimum id. Returns (id, label). */
+  private[graft] def ccLabels(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .filter(col("src") =!= col("dst"))
     // min over the full neighborhood ∪ self, per node
@@ -731,12 +771,7 @@ object Dedup {
     // themselves via least(min(dst), src).
     val nbrs = edges.union(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-    val labels = nbrMin(nbrs)
-      .select(col("u").as("id"), col("m").as("label"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .orderBy(col("doc_id"))
+    nbrMin(nbrs).select(col("u").as("id"), col("m").as("label"))
   }
 
   /** Survivor selection — the step after clustering that actually dedups a
@@ -1246,6 +1281,12 @@ object Dedup {
     * Result contract (matches the DuckDB oracle): all pairs in the same
     * (lang, token-count bucket) block with set-Jaccard ≥ threshold.
     *
+    * Since round 12 this is a thin composition: CANONICALIZE exact-dup
+    * token-set groups ([[ngramJaccardCanonical]]), run candidate
+    * generation on one representative per group, EXPAND back to member
+    * pairs ([[expandCanonicalPairs]]) — bit-identical output, with the
+    * quadratic-in-co-membership stages fed only distinct token sets.
+    *
     * Candidate generation is SIZE-ADAPTIVE per block:
     *
     *  - a block with ≤ `gridMax` docs uses the direct pair grid (self-join
@@ -1289,19 +1330,112 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
                    bucketTokens: Int = 10, chunks: Int = 4,
                    gridMax: Int = 256): DataFrame = {
-    import graft.functions.VectorExpressions.{sortedDistinctStrings, sortedIntersectCount}
+    val (canon, members) =
+      ngramJaccardCanonical(docs, threshold, bucketTokens, chunks, gridMax)
+    expandCanonicalPairs(canon, members)
+      // recompute barrier before the range sort — see verifyJaccardPairs
+      .repartition(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[ngramJaccard]] in CANONICALIZE-THEN-EXPAND form — the factored
+    * representation a crawl-scale corpus needs. Exact-duplicate documents
+    * (same lang, same token-count bucket, same normalized distinct-token
+    * SET) are TWINS under the Jaccard contract: J is a set function, so
+    * within a group every pair has J = 1 and every member has the same J
+    * to any third document. The pair table over such a corpus is therefore
+    * fully determined by (a) the pair table over one representative per
+    * group and (b) the group membership — and the expensive candidate
+    * generation (grid/prefix self-joins whose work grows with the SQUARE
+    * of block co-membership) only ever needs to see the representatives.
+    * The factor-100 audit measured the member-level pair build at decade
+    * exponent 2.48 exactly because replica-identical docs flood every
+    * block; on the canonical corpus each flood collapses to one row.
+    *
+    * Returns (canonical pairs, membership):
+    *  - canonical pairs: ngramJaccard output restricted to group
+    *    representatives (doc_a < doc_b, jaccard ≥ threshold);
+    *  - membership: (doc_id, rep, r) for EVERY input document, where rep
+    *    is the smallest doc_id sharing its (lang, bucket, token-set) group
+    *    and r the group size. Docs with a null lang or an empty token set
+    *    get singleton groups (they can never pair — a null lang never
+    *    equi-joins, an empty set has J = 0/0 → null — so grouping them
+    *    would fabricate intra-group J=1 pairs the contract doesn't emit).
+    *
+    * [[expandCanonicalPairs]] reconstructs the member-level table
+    * bit-identically (pinned in OpsSpec); consumers that are themselves
+    * twin-aware (clustering, graph censuses) should consume THIS form and
+    * never materialize the expansion. */
+  def ngramJaccardCanonical(docs: DataFrame, threshold: Double = 0.5,
+                            bucketTokens: Int = 10, chunks: Int = 4,
+                            gridMax: Int = 256): (DataFrame, DataFrame) = {
+    import graft.functions.VectorExpressions.sortedDistinctStrings
+    import org.apache.spark.sql.expressions.Window
     // The prefix bound assumes overlap ≥ 1 (only valid for t > 0): at
     // t = 0 disjoint same-block pairs qualify but share no prefix token,
     // so the filter would silently drop them — fail loudly instead.
     require(threshold > 0 && threshold <= 1,
       s"ngramJaccard threshold must be in (0, 1], got $threshold")
     val toksC = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
-    // Consumed by the df aggregation, the prefix build, and both verify
-    // sides — materialized so the tokenize+sort pass runs once, and so the
-    // verify join reads a compact table instead of re-scanning text.
-    val prep = materialize(docs.select(
-      col("doc_id"), col("lang"), toksC.as("toks"),
-      tokenBucket(bucketTokens).as("bucket")))
+    // Group fingerprint: md5 of the space-joined sorted token set —
+    // injective because tokens are split on spaces and so contain none.
+    // Unpairable docs (null lang / empty or null token set) get a
+    // per-doc key so they stay singletons.
+    val fpC = when(col("lang").isNotNull && size(col("toks")) > 0,
+        md5(concat_ws(" ", col("toks"))))
+      .otherwise(concat(lit("solo:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("lang"), col("bucket"), col("fp"))
+    // One tokenize+sort pass; the group window shuffles it once on the
+    // group key. Materialized: the membership projection, the canonical
+    // filter, and (through it) the census/grid/prefix/verify consumers all
+    // re-read this table.
+    val keyed = materialize(docs
+      .select(col("doc_id"), col("lang"), toksC.as("toks"),
+        tokenBucket(bucketTokens).as("bucket"))
+      .withColumn("fp", fpC)
+      .select(col("doc_id"), col("lang"), col("toks"), col("bucket"),
+        min(col("doc_id")).over(w).as("rep"),
+        count(lit(1)).over(w).as("r")))
+    val members = keyed.select(col("doc_id"), col("rep"), col("r"))
+    val canonPrep = keyed.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("lang"), col("toks"), col("bucket"))
+    (jaccardPairsOnPrep(canonPrep, threshold, chunks, gridMax), members)
+  }
+
+  /** Reconstructs the member-level [[ngramJaccard]] pair table from the
+    * [[ngramJaccardCanonical]] factorization — OUTPUT-BOUNDED work only
+    * (two membership equi-joins plus the intra-group grid), no candidate
+    * generation. Intra-group pairs carry jaccard = 1.0 exactly (identical
+    * token sets; the verify tail's round(1.0, 6) is the same double);
+    * cross-group pairs inherit the representatives' jaccard because every
+    * member's token set IS its rep's. Unordered — callers sort. */
+  def expandCanonicalPairs(canon: DataFrame, members: DataFrame): DataFrame = {
+    val m = members.select(col("doc_id"), col("rep"))
+    // Only multi-member groups produce intra pairs; the r ≥ 2 cut keeps
+    // the self-join input at the duplicate mass, not the corpus.
+    val multi = members.filter(col("r") >= 2).select(col("doc_id"), col("rep"))
+    val intra = multi.as("x").join(multi.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val cross = canon
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard"))
+      .join(m.select(col("rep").as("ra"), col("doc_id").as("ma")), "ra")
+      .join(m.select(col("rep").as("rb"), col("doc_id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    // Disjoint by construction: intra pairs share a group, cross pairs
+    // never do — plain union, no dedup.
+    intra.unionByName(cross)
+  }
+
+  /** Candidate generation + exact verify over an already-prepared
+    * (doc_id, lang, toks, bucket) table (see [[ngramJaccard]]'s scaladoc
+    * for the grid/prefix split). `prep` must be materialization-backed:
+    * the census, both grid aliases, the prefix build, and both verify
+    * sides re-read it. */
+  private def jaccardPairsOnPrep(prep: DataFrame, threshold: Double,
+                                 chunks: Int, gridMax: Int): DataFrame = {
     val tSlack = threshold - 1e-6
     // Block census: one row per (lang, bucket) — bounded by languages ×
     // length buckets, broadcastable at any corpus size. The broadcast tag

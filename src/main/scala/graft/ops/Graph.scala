@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * before this formulation). All operands stay positive, where Spark's
   * `DIV` and DuckDB's `//` agree exactly; total mass 1e12 bounds every
   * intermediate far below 2^63.
+  *
+  * INPUT PRECONDITION (all entry points): the pair list is SIMPLE — each
+  * unordered edge appears exactly once, in one orientation, no self
+  * loops. Duplicate or both-orientation rows inflate degrees in
+  * [[triangles]]/[[pageRank]] but are distinct-ed away in the quotient
+  * edge builds, so the two censuses would silently diverge on a
+  * non-simple list. Every in-repo producer (ngramJaccard's verified pair
+  * table, kNN edge lists) satisfies this by construction.
   */
 object Graph {
 
@@ -181,21 +189,35 @@ object Graph {
     * dense corpora — the wedge join's E^1.5 drops by r̄³. The twin key is
     * the node's own adjacency list: no text, no external dedup needed. */
   def trianglesQuotient(pairs: DataFrame, srcCol: String = "doc_a",
-                        dstCol: String = "doc_b"): DataFrame = {
+                        dstCol: String = "doc_b",
+                        degreeCap: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fwd = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    // exact closed-neighborhood key; materialized — members feeds the
-    // quotient-edge join (twice), the group table, and the final expand
-    val members = Dedup.materialize(edges
+    // Hub hardening: a degree-d node's closed-neighborhood key is a
+    // (d+1)-element array row — a 10⁶-degree boilerplate hub would pin a
+    // 10⁶-element array in one aggregation buffer. Nodes above degreeCap
+    // skip the key build and stay singleton classes (always valid — the
+    // expansion formulas hold for ANY partition into clique-classes with
+    // uniform external adjacency, maximal or not; output is unchanged,
+    // only the amount of collapse). Keyspaces can't collide: every
+    // from-an-edge node has degree ≥ 1, so real keys have ≥ 2 elements.
+    val degT = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+    val lowKeys = edges
+      .join(degT.filter(col("dg") <= degreeCap)
+        .select(col("node").as("src")), "src")
       .groupBy(col("src").as("node"))
       .agg(collect_list(col("dst")).as("nl"))
       .select(col("node"),
         array_sort(concat(col("nl"), array(col("node")))).as("nb"))
       .select(col("node"),
         min(col("node")).over(Window.partitionBy(col("nb"))).as("uid"),
-        count(lit(1)).over(Window.partitionBy(col("nb"))).as("r")))
-    val groups = members.select(col("uid"), col("r")).distinct()
+        count(lit(1)).over(Window.partitionBy(col("nb"))).as("r"))
+    val hubKeys = degT.filter(col("dg") > degreeCap)
+      .select(col("node"), col("node").as("uid"), lit(1L).as("r"))
+    // exact closed-neighborhood classes; materialized — members feeds the
+    // quotient-edge join (twice), the group table, and the final expand
+    val members = Dedup.materialize(lowKeys.unionByName(hubKeys))
     val qfwd = Dedup.materialize(fwd
       .join(members.select(col("node").as("src"), col("uid").as("ua")), "src")
       .join(members.select(col("node").as("dst"), col("uid").as("ub")), "dst")
@@ -203,6 +225,119 @@ object Graph {
       .select(least(col("ua"), col("ub")).as("src"),
         greatest(col("ua"), col("ub")).as("dst"))
       .distinct())
+    twinCensusTail(qfwd, members)
+  }
+
+  /** [[triangles]] computed directly from a PRE-FACTORED twin-class
+    * representation — the form a canonicalized dedup pipeline already has
+    * in hand (graft.ops.Dedup.ngramJaccardCanonical): `qpairs` is the
+    * member-level graph's quotient pair list (doc_a, doc_b between
+    * distinct class representatives, each unordered class pair once) and
+    * `membership` is (doc_id, rep, r). Precondition (met by exact-dup
+    * token-set classes): each class's members are pairwise adjacent in
+    * the expanded graph and share one external neighborhood. Bit-identical
+    * to running [[triangles]] on the expanded member pair list, without
+    * ever building it. */
+  def trianglesFromTwinClasses(qpairs: DataFrame,
+                               membership: DataFrame): DataFrame = {
+    val qfwd = Dedup.materialize(
+      qpairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    twinCensusTail(qfwd, Dedup.materialize(participating(qfwd, membership)))
+  }
+
+  /** [[pageRank]] over the same pre-factored twin-class form as
+    * [[trianglesFromTwinClasses]] — bit-identical integer micro-mass per
+    * member, iterating over QUOTIENT edges only. Twins provably carry
+    * identical mass at every iteration (same init, same degree, same
+    * neighbor multiset), so one quotient row per class suffices: the
+    * member-level inbound sum Σ m_u DIV outdeg(u) factors into
+    * (r_g − 1)·c_g + Σ_{h∈N(g)} r_h·c_h with c = m DIV outdeg — every
+    * operation still integer, so no new rounding surface. */
+  def pageRankFromTwinClasses(qpairs: DataFrame, membership: DataFrame,
+                              iters: Int = 3,
+                              dampingPct: Int = 85): DataFrame = {
+    val qfwd = Dedup.materialize(
+      qpairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val members = Dedup.materialize(participating(qfwd, membership))
+    val groups = members.select(col("uid"), col("r")).distinct()
+    val qedges = qfwd.union(qfwd.select(col("dst").as("src"), col("src").as("dst")))
+    val degs = classDegrees(qedges, groups)
+    val n = degs.agg(sum(col("r")).as("n_nodes"))
+    val base = expr(s"($MassScale * ${100 - dampingPct} DIV 100) DIV n_nodes")
+    val init = degs.crossJoin(broadcast(n))
+      .select(col("uid"), col("r"), col("outdeg"), col("n_nodes"),
+        expr(s"$MassScale DIV n_nodes").as("m"))
+    val after = (1 to iters).foldLeft(init) { (cur, _) =>
+      val c = cur.select(col("uid").as("cu"), col("r").as("cr"),
+        expr("m DIV outdeg").as("cm"))
+      val nbrSum = qedges.join(c, qedges("src") === col("cu"))
+        .groupBy(col("dst").as("uid"))
+        .agg(sum(col("cr") * col("cm")).as("sc"))
+      // left joins: an isolated multi-member class receives only its
+      // intra-clique term; a singleton class in pairs only its neighbors'
+      cur.join(c, cur("uid") === col("cu"))
+        .join(nbrSum, Seq("uid"), "left")
+        .select(col("uid"), col("r"), col("outdeg"), col("n_nodes"),
+          (base + expr(
+            s"(((r - 1) * cm + coalesce(sc, 0)) * $dampingPct) DIV 100"))
+            .as("m"))
+    }
+    after.join(members.select(col("uid"), col("node").as("doc_id")), "uid")
+      .select(col("doc_id"), col("outdeg").as("degree"),
+        col("m").as("pr_micro"),
+        (col("m").cast("double") / MassScale.toDouble).as("pagerank"))
+      .orderBy(col("pr_micro").desc, col("doc_id"))
+  }
+
+  /** Degree histogram of the expanded member graph, in closed form from
+    * the twin-class factorization: every member of class g has degree
+    * (r_g − 1) + Σ_{h∈N(g)} r_h, so each class contributes r nodes at one
+    * degree — no member-level edge list, output bounded by |distinct
+    * degrees|. Matches the member-level groupBy census bit-for-bit. */
+  def degreeHistFromTwinClasses(qpairs: DataFrame,
+                                membership: DataFrame): DataFrame = {
+    val qfwd = qpairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val members = participating(qfwd, membership)
+    val groups = members.select(col("uid"), col("r")).distinct()
+    val qedges = qfwd.union(qfwd.select(col("dst").as("src"), col("src").as("dst")))
+    classDegrees(qedges, groups)
+      .groupBy(col("outdeg").as("degree"))
+      .agg(sum(col("r")).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  /** (node, uid, r) rows of `membership` (doc_id, rep, r) restricted to
+    * classes present in the expanded graph: classes on a quotient edge,
+    * plus multi-member classes (whose internal clique edges alone put
+    * their members in the graph). */
+  private def participating(qfwd: DataFrame,
+                            membership: DataFrame): DataFrame = {
+    val cls = membership.select(col("doc_id").as("node"),
+      col("rep").as("uid"), col("r"))
+    val inPairs = qfwd.select(col("src").as("uid"))
+      .union(qfwd.select(col("dst").as("uid"))).distinct()
+    cls.join(inPairs.withColumn("inp", lit(1)), Seq("uid"), "left")
+      .filter(col("r") >= 2 || col("inp").isNotNull)
+      .select(col("node"), col("uid"), col("r"))
+  }
+
+  /** Per-class expanded degree (uid, r, outdeg): every member of class g
+    * has (r_g − 1) clique neighbors plus all members of adjacent classes. */
+  private def classDegrees(qedges: DataFrame, groups: DataFrame): DataFrame = {
+    val sNbr = qedges
+      .join(groups.select(col("uid").as("dst"), col("r").as("rh")), "dst")
+      .groupBy(col("src").as("uid")).agg(sum(col("rh")).as("s_nbr"))
+    groups.join(sNbr, Seq("uid"), "left")
+      .select(col("uid"), col("r"),
+        (col("r") - 1 + coalesce(col("s_nbr"), lit(0L))).as("outdeg"))
+  }
+
+  /** Steps 2–3 of the twin-collapse census (see [[trianglesQuotient]]):
+    * weighted Schank–Wagner on the quotient `qfwd`, closed-form expansion
+    * per member row of `members` (node, uid, r). Both inputs must be
+    * materialization-backed — each is consumed by several joins. */
+  private def twinCensusTail(qfwd: DataFrame, members: DataFrame): DataFrame = {
+    val groups = members.select(col("uid"), col("r")).distinct()
     val qedges = qfwd.union(qfwd.select(col("dst").as("src"), col("src").as("dst")))
     val qdeg = qedges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))

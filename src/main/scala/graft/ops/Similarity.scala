@@ -615,6 +615,84 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** STREAMING two-stage ANN ingest, stage 1 — the serving twin of
+    * [[ivfPqTopKFrom]] for query vectors arriving as an unbounded stream
+    * against a STANDING staged index: each arriving vector is routed and
+    * shortlisted at ingest time, per micro-batch, instead of by a nightly
+    * batch-vs-corpus job (the dd_stream_neardup posture applied to ANN).
+    *
+    * Everything per-vector is MAP-ONLY over one-row broadcast index
+    * metadata (stream-static joins, no shuffle of the stream before the
+    * rollup): probe cells are ranked IN-ROW against the collected centroid
+    * array (same round-6 cosine + c_id tie-break as the batch window —
+    * `+ 0.0` mirrors the window sort's -0.0 normalization), the ADC LUT is
+    * built IN-ROW from the collected codebook (same dotf over the same
+    * slices as pqLut), candidates come from ONE stream-static equi-join
+    * against the standing (vec_id, c_id, code) index, and the single
+    * stateful operator is the per-query shortlist rollup — state is one
+    * row per ACTIVE QUERY holding ≤ shortlistK + probed-cell candidates,
+    * INDEPENDENT of corpus size (the corpus never enters state; it rides
+    * the static side). Drained output equals the batch shortlist of
+    * ivfPqTopKFrom(k = shortlistK) row for row, so stage 2 (exact re-rank
+    * over true vectors) and the oracle are shared with sim_ivfpq_rerank.
+    *
+    * Returns (q_id, shortlist: array<struct<sim, vec_id>>) — a streaming
+    * frame; drain complete-mode, then explode + rerankExact. */
+  def ivfPqStreamShortlist(stream: DataFrame, codebook: DataFrame,
+                           codes: DataFrame, cells: DataFrame,
+                           centTable: DataFrame, shortlistK: Int = 50,
+                           nprobe: Int = 2, subspaces: Int = 8): DataFrame = {
+    val (cb, s, subDim) = codebookMeta(codebook)
+    // one-row broadcast metadata: centroid array (c_id-sorted) and the
+    // codebook as an idx-sorted struct array (idx = m·S + code, the pqLut
+    // positional layout)
+    val centArr = broadcast(centTable
+      .select(struct(col("c_id"), col("c_emb"), col("c_nrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents")))
+    val cbArr = broadcast(cb
+      .select(struct((col("m") * s + col("code")).as("idx"), col("m"),
+        col("c_sub")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("cbl")))
+    val byCsimDesc = (l: Column, r: Column) =>
+      when(l.getField("c_sim") > r.getField("c_sim"), -1)
+        .when(l.getField("c_sim") < r.getField("c_sim"), 1)
+        .when(l.getField("c_id") < r.getField("c_id"), -1)
+        .when(l.getField("c_id") > r.getField("c_id"), 1)
+        .otherwise(0)
+    val probes = stream
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm"))
+      .crossJoin(centArr).crossJoin(cbArr)
+      .select(col("q_id"), col("q_nrm"),
+        transform(col("cbl"), e => dotf(
+          slice(col("q_emb"), (e.getField("m") * subDim + 1).cast("int"),
+            lit(subDim)), e.getField("c_sub"))).as("lut"),
+        explode(slice(array_sort(
+          transform(col("cents"), c => struct(
+            (round(dotf(col("q_emb"), c.getField("c_emb")) / col("q_nrm")
+              / c.getField("c_nrm"), 6) + lit(0.0)).as("c_sim"),
+            c.getField("c_id").as("c_id"))),
+          byCsimDesc), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("q_nrm"), col("lut"), col("p.c_id").as("c_id"))
+    val index = cells.join(codes, Seq("vec_id"))
+    val bySimDesc = (l: Column, r: Column) =>
+      when(l.getField("sim") > r.getField("sim"), -1)
+        .when(l.getField("sim") < r.getField("sim"), 1)
+        .when(l.getField("vec_id") < r.getField("vec_id"), -1)
+        .when(l.getField("vec_id") > r.getField("vec_id"), 1)
+        .otherwise(0)
+    probes.join(index, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(pqRn2(cb, s))
+      .select(col("q_id"), col("vec_id"),
+        rz(pqFold("lut", s, subspaces) / col("q_nrm")
+          / sqrt(pqFold("rn2", s, subspaces)), 6).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(collect_list(struct(col("sim"), col("vec_id"))).as("cl"))
+      .select(col("q_id"),
+        slice(array_sort(col("cl"), bySimDesc), 1, shortlistK).as("shortlist"))
+  }
+
   /** Derived PQ codebook (m, code, c_sub, cn2) — subspaces × S broadcast
     * rows; seeds are every ⌈n/codebookK⌉-th vector (the IVF seeding
     * convention), codes densely indexed in vec_id order. */
@@ -936,7 +1014,13 @@ object Similarity {
     * (exp 1.6) between f30 and f100; with k = max(16, ⌈n/target⌉) total
     * pair work is n·target — linear. The 16 floor keeps every judged SF
     * (n ≤ 20 000) bit-identical to the fixed-k contract; only scale
-    * probes see a larger k. The count() is parquet metadata. */
+    * probes see a larger k.
+    *
+    * PRECONDITION: `corpus` should be a directly parquet-backed frame —
+    * the count() here runs EAGERLY at plan-construction time, which is
+    * footer metadata for a raw scan but a full job for a derived/filtered
+    * frame. Callers holding a transformed corpus should count (or
+    * estimate) once themselves and call [[semDedup]] with an explicit k. */
   def semDedupAuto(corpus: DataFrame, iters: Int = 2,
                    threshold: Double = 0.3,
                    targetCluster: Int = 2000): DataFrame =

@@ -34,6 +34,7 @@ object Stages {
   val all: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     // text/dedup side
     "stage:doc_stream"   -> ((s, d) => { TextOps.stagedDocStream(s, d); () }),
+    "stage:doc_evict"    -> ((s, d) => { TextOps.stagedDocTimedBatches(s, d); () }),
     "stage:pairs"        -> ((s, d) => { TextOps.stagedPairs(s, d); () }),
     "stage:clusters"     -> ((s, d) => { TextOps.stagedClusters(s, d); () }),
     "stage:minhash"      -> ((s, d) => { TextOps.stagedMinHashSigs(s, d); () }),
@@ -50,6 +51,7 @@ object Stages {
     "stage:respq"        -> ((s, d) => { Vectors.stagedResPq(s, d); () }),
     "stage:refpq"        -> ((s, d) => { Vectors.stagedRefPq(s, d); () }),
     "stage:knn"          -> ((s, d) => { Vectors.stagedKnn(s, d); () }),
+    "stage:emb_stream"   -> ((s, d) => { Vectors.stagedEmbStream(s, d); () }),
     // ETL layout stages
     "stage:docs_by_lang" -> ((s, d) => { Etl.stagedDocsByLang(s, d); () }),
     "stage:schema_evo"   -> ((s, d) => { Etl.stagedSchemaEvo(s, d); () })

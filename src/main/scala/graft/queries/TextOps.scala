@@ -23,26 +23,47 @@ object TextOps extends QueryPack {
                              dir: String): org.apache.spark.sql.DataFrame = {
     val staged = tmpStage(dir, graft.ops.Dedup.ClusterStageTag)
     ensureStaged(staged, "_SUCCESS") {
-      Dedup.duplicateClusters(stagedPairs(s, dir))
+      val (canon, members) = stagedCanonPairs(s, dir)
+      Dedup.duplicateClustersFromCanonical(canon, members)
         .write.mode("overwrite").parquet(staged)
     }
     s.read.parquet(staged)
   }
 
-  /** Near-dup pair stage — the verified ngramJaccard(0.5) pair table
-    * (doc_a, doc_b, jaccard) that three consumers previously each
-    * recomputed from raw documents: the dd_ngram_jaccard query itself, the
-    * stagedClusters CC builder, and gr1_pagerank (whose 5 s was ~4 s of
-    * pair rebuild). Same convention as stagedClusters; the stage tag lives
-    * next to the pair code (Dedup.PairStageTag). */
+  /** Near-dup pair stage in CANONICAL form — (canonical rep pairs,
+    * exact-dup membership), the ngramJaccardCanonical(0.5) factorization
+    * all six pair consumers share. Staging the factorization instead of
+    * the expanded member-pair table is the round-12 scale fix: on a
+    * duplicate-dense corpus the expanded table grows with the SQUARE of
+    * group sizes (the f100 audit measured the old stage at decade
+    * exponent 2.48 / 405.8 s), while the canonical build only ever feeds
+    * distinct token sets to candidate generation; expansion is
+    * output-bounded and deferred to the queries whose judged contract
+    * actually demands member pairs. Tag: Dedup.PairStageTag (bumped to
+    * _v2 with the layout). */
+  private[queries] def stagedCanonPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val staged = tmpStage(dir, graft.ops.Dedup.PairStageTag)
+    ensureStaged(staged, "members.parquet/_SUCCESS") {
+      val (canon, members) = Dedup.ngramJaccardCanonical(
+        table(s, dir, "documents"), threshold = 0.5)
+      canon.write.mode("overwrite").parquet(s"$staged/canon.parquet")
+      // members last: its _SUCCESS is the stage marker, so a crash between
+      // the two writes re-runs both
+      members.write.mode("overwrite").parquet(s"$staged/members.parquet")
+    }
+    (s.read.parquet(s"$staged/canon.parquet"),
+      s.read.parquet(s"$staged/members.parquet"))
+  }
+
+  /** The member-level pair table, lazily expanded from [[stagedCanonPairs]]
+    * — kept for consumers whose CONTRACT is member pairs
+    * (dd_ngram_jaccard). Graph/cluster consumers take the factorization
+    * directly and never pay the expansion. */
   private[queries] def stagedPairs(s: org.apache.spark.sql.SparkSession,
                           dir: String): org.apache.spark.sql.DataFrame = {
-    val staged = tmpStage(dir, graft.ops.Dedup.PairStageTag)
-    ensureStaged(staged, "_SUCCESS") {
-      Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5)
-        .write.mode("overwrite").parquet(staged)
-    }
-    s.read.parquet(staged)
+    val (canon, members) = stagedCanonPairs(s, dir)
+    Dedup.expandCanonicalPairs(canon, members)
   }
 
   /** BPE train stage — the 5-round merge loop runs once per SF; the
@@ -1089,8 +1110,14 @@ object TextOps extends QueryPack {
     // Iterative graph scoring beyond connected components: 3 PageRank
     // rounds over the near-dup pair graph rank the hub documents of
     // boilerplate neighborhoods (natural cluster representatives).
-    "gr1_pagerank" -> ((s, dir) =>
-      graft.ops.Graph.pageRank(stagedPairs(s, dir))),
+    // Rides the canonical factorization: each iteration joins QUOTIENT
+    // edges only (exact-dup twins provably carry identical mass), the
+    // member-level 2|E|-row contribution join never exists. Same oracle
+    // (the member-level unrolled-CTE PageRank).
+    "gr1_pagerank" -> ((s, dir) => {
+      val (canon, members) = stagedCanonPairs(s, dir)
+      graft.ops.Graph.pageRankFromTwinClasses(canon, members)
+    }),
     // Corpus search, snippet half: every occurrence of a query term with
     // its ±2-token context — the evidence view next to ix1's stats.
     "ix2_kwic" -> ((s, dir) =>
@@ -1114,15 +1141,20 @@ object TextOps extends QueryPack {
           "zz absent phrase"))),
 
     // Triangle census of the near-dup pair graph: per-node triangle count
-    // + local clustering in ppm — the TWIN-COLLAPSE census (exact
-    // closed-neighborhood classes, weighted quotient wedge join,
-    // closed-form expansion; bit-identical to Graph.triangles, pinned in
-    // OpsSpec). On a duplicate-dense crawl graph the quotient shrinks the
-    // wedge join r̄³-fold: the factor-100 audit's direct census exhausted
-    // 76 GB of spill on the 104M-edge pair graph; the quotient census is
-    // what ships. Same oracle (the direct SQL census).
-    "gr3_triangles" -> ((s, dir) =>
-      graft.ops.Graph.trianglesQuotient(stagedPairs(s, dir))),
+    // + local clustering in ppm — the TWIN-COLLAPSE census (weighted
+    // quotient wedge join + closed-form expansion; bit-identical to
+    // Graph.triangles, pinned in OpsSpec). Since round 12 it takes the
+    // staged canonical factorization directly: the twin classes ARE the
+    // exact-dup token-set groups the pair stage already computed, so
+    // neither the member-level edge list nor a per-node adjacency key is
+    // ever built. On a duplicate-dense crawl graph the quotient shrinks
+    // the wedge join r̄³-fold: the factor-100 audit's direct census
+    // exhausted 76 GB of spill on the 104M-edge pair graph. Same oracle
+    // (the direct SQL census).
+    "gr3_triangles" -> ((s, dir) => {
+      val (canon, members) = stagedCanonPairs(s, dir)
+      graft.ops.Graph.trianglesFromTwinClasses(canon, members)
+    }),
 
     // Vocabulary richness: TTR + hapax share in integer ppm, the in-row
     // sorted-run kernel (zero shuffles).
@@ -1214,19 +1246,14 @@ object TextOps extends QueryPack {
 
     // Degree distribution of the near-dup pair graph — the structural
     // audit read next to gr1's PageRank: how many documents sit in
-    // how-connected neighborhoods (a fat tail = boilerplate hubs). Rides
-    // the staged pair table; two bounded rollups (node degree, then the
-    // degree histogram — rows bounded by max degree, not corpus size).
-    // Isolated documents have no pair row and no degree-0 bar, by design.
+    // how-connected neighborhoods (a fat tail = boilerplate hubs). Closed
+    // form over the canonical factorization: every member of class g has
+    // degree (r_g − 1) + Σ r_h, so the census never touches a member-level
+    // edge row. Isolated documents have no pair row and no degree-0 bar,
+    // by design. Same oracle (the member-level groupBy census).
     "gr2_degree_hist" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val pairs = stagedPairs(s, dir)
-      val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val edges = fwd.union(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("degree"))
+      val (canon, members) = stagedCanonPairs(s, dir)
+      graft.ops.Graph.degreeHistFromTwinClasses(canon, members)
     }),
 
     // Content-defined chunking dedup (LBFS/FastCDC family): boundaries

@@ -289,6 +289,82 @@ object Vectors extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // The trained sub-quantizers COMPOSED into the scale path: IVF-PQ
+    // shortlist (nprobe=2, 50 wide) over the Lloyd-refined codebook +
+    // codes, re-ranked with true vectors, recall@5 vs exact — measured on
+    // the identical 16-byte/vector budget and query workload as
+    // sim_ivfpq_rerank. MEASURED at sf0.01: 0.267 — equal to the raw-seed
+    // re-ranked baseline, and equal to the nprobe=2 ROUTING CEILING (the
+    // fraction of true top-5 lying inside the probed cells, verified
+    // independently: 0.267). Reading: the refined shortlist + exact
+    // re-rank already recovers EVERY reachable neighbor, so quantizer
+    // quality is no longer the binding constraint on this path — the
+    // flat-ADC gain (0.175 → 0.248) is absorbed by the re-rank, and
+    // further recall must come from nprobe/cell coverage, not codes.
+    // Cells/centroids are shared with stage:pq — only codebook/codes swap.
+    "sim_ivfpq_ref_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pq = stagedPq(s, dir)
+      val ref = stagedRefPq(s, dir)
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val shortlist = Similarity.ivfPqTopKFrom(
+          s.read.parquet(s"$ref/refcodebook.parquet"),
+          s.read.parquet(s"$ref/refcodes.parquet"),
+          s.read.parquet(s"$pq/cells.parquet"),
+          s.read.parquet(s"$pq/cent.parquet"),
+          q, k = 50, nprobe = 2)
+        .select(col("q_id"), col("vec_id"))
+      val approx = Similarity.rerankExact(shortlist, e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(approx, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+            .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
+    // Streaming two-stage ANN ingest — the serving twin of
+    // dd_stream_neardup: query vectors ARRIVE (one file per micro-batch),
+    // are PQ-LUT-encoded and cell-routed map-only in-row, shortlisted via
+    // one stream-static join against the standing staged (vec_id, c_id,
+    // code) index, and the lone stateful operator is the per-query
+    // shortlist rollup — state is one row per arrived query, independent
+    // of corpus size (pinned in StreamingSpec). The drained shortlist
+    // equals batch ivfPqTopKFrom(k=50) row for row, and the exact re-rank
+    // runs over it unchanged — so the whole query equals sim_ivfpq_rerank
+    // (same oracle SQL, the dd_bloom_confirmed proven-equal convention).
+    "sim_stream_ann" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pq = stagedPq(s, dir)
+      val stride = Similarity.queryStride(e.count())
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = stagedEmbStream(s, dir)
+      val stream = StreamOps.readEventStream(s, staged,
+          s.read.parquet(staged))
+        .filter(col("vec_id") % stride === 0)
+      val sl = Similarity.ivfPqStreamShortlist(stream,
+        s.read.parquet(s"$pq/codebook.parquet"),
+        s.read.parquet(s"$pq/codes.parquet"),
+        s.read.parquet(s"$pq/cells.parquet"),
+        s.read.parquet(s"$pq/cent.parquet"),
+        shortlistK = 50, nprobe = 2)
+      val drained = StreamOps.drainToTable(sl,
+        s"sim_stream_ann$sf".replace(".", "_"), mode = "complete",
+        shufflePartitions = Some(8))
+      val shortRows = drained
+        .select(col("q_id"), explode(col("shortlist")).as("sle"))
+        .select(col("q_id"), col("sle.vec_id").as("vec_id"))
+      Similarity.rerankExact(shortRows, e, q, k = 5)
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
@@ -429,6 +505,21 @@ object Vectors extends QueryPack {
       Multimodal.phashDedup(table(s, dir, "documents"), maxHamming = 48,
         bits = 256))
   )
+
+  /** Embeddings staged as a 4-file parquet directory — the micro-batch
+    * source for the streaming ANN ingest (the stagedDocStream convention:
+    * 4 files = 4 batches; more files pay per-batch state-store maintenance
+    * for no coverage). */
+  private[queries] def stagedEmbStream(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String = {
+    val staged = tmpStage(dir, "embstream")
+    ensureStaged(staged, "_SUCCESS") {
+      table(s, dir, "embeddings")
+        .coalesce(4)
+        .write.mode("overwrite").parquet(staged)
+    }
+    staged
+  }
 
   /** Covariance-cell stage: the corpus-sized Gram pass runs once per SF;
     * the covariance query and the PCA power iteration both ride it (the
@@ -624,7 +715,25 @@ object Vectors extends QueryPack {
     * reassignment — the encode argmin — then decimal-exact 6-dp means cast
     * to REAL, empty codewords keeping their previous position), encode,
     * per-query LUT, flat scoring, recall@5 vs brute. */
-  private lazy val refPqRecallOracle: String = {
+  /** Brute-force top-5 CTEs (qe/bq/bscored/b) — the recall-audit baseline
+    * shared by the refined-codebook oracles. */
+  private lazy val bruteCtes: String =
+    s"""qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+      |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
+      |bscored AS (
+      |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+      |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
+      |b AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM bscored) t WHERE rank <= 5)""".stripMargin
+
+  /** Lloyd-refined PQ index CTEs — seed codebook (fcb0), two refinement
+    * rounds (fcb1/fcb2), encode (fpacked), query LUTs (fq/flut/frn/fs) —
+    * the SQL twin of Similarity.pqIndexFramesRefined. Assumes `qe` is
+    * already in the WITH list. Shared by sim_pq_ref_recall and
+    * sim_ivfpq_ref_recall so the refinement arithmetic cannot drift. */
+  private lazy val refPqCtes: String = {
     def sl(v: String, m: String) =
       s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
     val rounds = (1 to 2).map { t =>
@@ -650,16 +759,7 @@ object Vectors extends QueryPack {
         |  FROM fcb${t - 1} s LEFT JOIN fml$t l ON s.m = l.m AND s.code = l.code)"""
         .stripMargin
     }
-    s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
-      |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
-      |bscored AS (
-      |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
-      |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id != bq.q_id),
-      |b AS (
-      |  SELECT q_id, vec_id FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-      |    FROM bscored) t WHERE rank <= 5),
-      |fce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM embeddings),
+    s"""fce AS (SELECT greatest(1, CAST(ceil(count(*) / 16.0) AS BIGINT)) AS every FROM embeddings),
       |fsd AS (SELECT embedding AS c_emb,
       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
       |  FROM embeddings WHERE vec_id % (SELECT every FROM fce) = 0),
@@ -685,7 +785,12 @@ object Vectors extends QueryPack {
       |      ${dot(sl("q.q_emb", "c.m"), "c.c_sub")} AS dv
       |    FROM fq q CROSS JOIN fcb2 c CROSS JOIN fs sc) t
       |  GROUP BY q_id, q_nrm),
-      |frn AS (SELECT list(cn2 ORDER BY m * s + code) AS rn2 FROM fcb2 CROSS JOIN fs),
+      |frn AS (SELECT list(cn2 ORDER BY m * s + code) AS rn2 FROM fcb2 CROSS JOIN fs)""".stripMargin
+  }
+
+  private lazy val refPqRecallOracle: String = {
+    s"""WITH $bruteCtes,
+      |$refPqCtes,
       |fscored AS (
       |  SELECT l.q_id, p.vec_id,
       |    round(
@@ -711,7 +816,10 @@ object Vectors extends QueryPack {
     * scoring over probed cells) shared by sim_ivfpq_topk and
     * sim_ivfpq_rerank — one text so the two oracles cannot drift. Assumes
     * $pqCtes is already in the WITH list (uses qe/pqpacked/pqlut/pqrn/pqs). */
-  private lazy val ivfPqCtes: String =
+  /** The IVF route CTEs alone (centroids, corpus/probe assignment) —
+    * index-payload-agnostic, so the raw-code and refined-code oracles
+    * share one routing text. Assumes `qe` is in the WITH list. */
+  private lazy val ivfRouteCtes: String =
     s"""ice AS (
       |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
       |icent AS (
@@ -728,8 +836,14 @@ object Vectors extends QueryPack {
       |    SELECT v.vec_id AS q_id, c.c_id,
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-      |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
-      |iscored AS (
+      |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2)""".stripMargin
+
+  /** ADC scoring over the probed cells, parameterized by the index CTE
+    * names — `$name` scores whichever (packed, lut, rn, s) quadruple it is
+    * pointed at, so raw and refined indexes ride one scoring text. */
+  private def ivfAdcScored(name: String, packed: String, lut: String,
+                           rn: String, sTab: String): String =
+    s"""$name AS (
       |  SELECT l.q_id, p.vec_id,
       |    round(
       |      list_reduce(list_transform(range(0, 8),
@@ -739,10 +853,65 @@ object Vectors extends QueryPack {
       |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
       |  FROM iqp
       |    JOIN ica USING (c_id)
-      |    JOIN pqpacked p ON ica.vec_id = p.vec_id
-      |    JOIN pqlut l ON iqp.q_id = l.q_id
-      |    CROSS JOIN pqrn r CROSS JOIN pqs sc
+      |    JOIN $packed p ON ica.vec_id = p.vec_id
+      |    JOIN $lut l ON iqp.q_id = l.q_id
+      |    CROSS JOIN $rn r CROSS JOIN $sTab sc
       |  WHERE p.vec_id <> l.q_id)""".stripMargin
+
+  private lazy val ivfPqCtes: String =
+    s"""$ivfRouteCtes,
+      |${ivfAdcScored("iscored", "pqpacked", "pqlut", "pqrn", "pqs")}""".stripMargin
+
+  /** The two-stage serving oracle (IVF-PQ 50-wide shortlist → exact
+    * re-rank) — shared VERBATIM by sim_ivfpq_rerank and sim_stream_ann:
+    * the streaming ingest is proven equal to the batch path, so one text
+    * keeps the contract single-sourced. */
+  private lazy val ivfPqRerankOracle: String =
+    s"""WITH $pqCtes,
+      |$ivfPqCtes,
+      |isl AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+      |    FROM iscored) t WHERE r <= 50),
+      |irx AS (
+      |  SELECT isl.q_id, isl.vec_id,
+      |    ${cos("q.q_emb", "e.embedding")} AS sim
+      |  FROM isl JOIN pqq q USING (q_id)
+      |           JOIN embeddings e ON isl.vec_id = e.vec_id)
+      |SELECT q_id, vec_id, sim, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+      |  FROM irx) t
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** sim_ivfpq_ref_recall: the refined index routed through IVF, 50-wide
+    * shortlist, exact re-rank, recall@5 vs brute — the SQL twin of the
+    * Spark composition (refCtes supplies fpacked/flut/frn/fs). */
+  private lazy val ivfPqRefRecallOracle: String =
+    s"""WITH $bruteCtes,
+      |$refPqCtes,
+      |$ivfRouteCtes,
+      |${ivfAdcScored("riscored", "fpacked", "flut", "frn", "fs")},
+      |risl AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+      |    FROM riscored) t WHERE r <= 50),
+      |rirx AS (
+      |  SELECT risl.q_id, risl.vec_id,
+      |    ${cos("q.q_emb", "e.embedding")} AS sim
+      |  FROM risl JOIN fq q USING (q_id)
+      |            JOIN embeddings e ON risl.vec_id = e.vec_id),
+      |rf5 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM rirx) t WHERE rank <= 5),
+      |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN rf5 USING (q_id, vec_id) GROUP BY 1),
+      |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+      |SELECT kq.q_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
+      |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin
   /** The MIH perceptual-hash oracle, width-parameterized exactly like
     * Multimodal.phashDedup: `bits` block-mean bits in bits/16 subindex
     * words, radius-1 probe enumeration per word, bit_count(xor) verify.
@@ -1010,24 +1179,7 @@ object Vectors extends QueryPack {
     // The iscored CTE re-ranked at shortlist width 50 with exact cosine —
     // the sublinear serving path end-to-end (nprobe cells, packed codes,
     // then true vectors for 50 rows per query).
-    "sim_ivfpq_rerank" ->
-      s"""WITH $pqCtes,
-        |$ivfPqCtes,
-        |isl AS (
-        |  SELECT q_id, vec_id FROM (
-        |    SELECT q_id, vec_id,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
-        |    FROM iscored) t WHERE r <= 50),
-        |irx AS (
-        |  SELECT isl.q_id, isl.vec_id,
-        |    ${cos("q.q_emb", "e.embedding")} AS sim
-        |  FROM isl JOIN pqq q USING (q_id)
-        |           JOIN embeddings e ON isl.vec_id = e.vec_id)
-        |SELECT q_id, vec_id, sim, rank FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-        |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
-        |  FROM irx) t
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "sim_ivfpq_rerank" -> ivfPqRerankOracle,
 
     // The pqscored CTE re-ranked at shortlist width 50, then exact cosine
     // over the fetched true vectors (pqq carries q_emb; 6-dp rz parity).
@@ -1173,6 +1325,11 @@ object Vectors extends QueryPack {
         |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
 
     "sim_pq_ref_recall" -> refPqRecallOracle,
+    "sim_ivfpq_ref_recall" -> ivfPqRefRecallOracle,
+    // proven-equal convention: the streaming ingest drain + re-rank equals
+    // the batch two-stage serving path row for row, so it shares
+    // sim_ivfpq_rerank's oracle text verbatim
+    "sim_stream_ann" -> ivfPqRerankOracle,
 
     // The full IVFADC chain re-derived: coarse centroids + assignment,
     // exact REAL residuals, residual codebook (IVF seeding over residual

@@ -153,7 +153,14 @@ object StreamOps {
     * watermarked append-mode aggregate over time-ordered batches must show
     * this sequence staying bounded by the watermark horizon while the
     * emitted result keeps growing; complete-mode state instead tracks the
-    * full key space. StreamingSpec pins both postures on it. */
+    * full key space. StreamingSpec pins both postures on it.
+    *
+    * Progress is collected through a StreamingQueryListener scoped to this
+    * query's run id — NOT `q.recentProgress`, whose ring buffer is capped
+    * by spark.sql.streaming.numRecentProgressUpdates (default 100) and
+    * silently drops the EARLIEST batches of a longer drain, exactly the
+    * rows an eviction-boundedness claim needs. Listener delivery is async;
+    * the post-termination wait below syncs on the terminal batch id. */
   def drainToTableTracked(df: DataFrame, name: String, mode: String,
                           shufflePartitions: Option[Int] = None)
       : (DataFrame, Seq[Long]) = {
@@ -174,6 +181,20 @@ object StreamOps {
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
       else None
     var stateRows: Seq[Long] = Nil
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    @volatile var runId: java.util.UUID = null
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.runId == runId)
+          perBatch.put(e.progress.batchId,
+            e.progress.stateOperators.map(_.numRowsTotal).sum)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     try {
       var w = df.writeStream
         .format("memory")
@@ -182,12 +203,19 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
       ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
       val q: StreamingQuery = w.start()
+      runId = q.runId
       logSink(name)
       q.awaitTermination()
-      stateRows = q.recentProgress.toSeq
-        .filter(_.numInputRows >= 0) // defensive; keeps commit order
-        .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+      // listener events arrive on the async bus thread — wait (bounded)
+      // until the terminal batch's progress has been delivered
+      val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (lastBatch >= 0 && !perBatch.containsKey(lastBatch) &&
+             System.nanoTime < deadline) Thread.sleep(10)
+      import scala.jdk.CollectionConverters._
+      stateRows = perBatch.asScala.toSeq.sortBy(_._1).map(_._2)
     } finally {
+      spark.streams.removeListener(listener)
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       ckpt.foreach { root =>
         import scala.util.Using

@@ -1516,6 +1516,101 @@ class OpsSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001").select($"doc_a", $"doc_b")
     assert(table(graft.ops.Graph.trianglesQuotient(staged)) ==
       table(graft.ops.Graph.triangles(staged)))
+    // hub hardening: degreeCap=1 forces EVERY node through the singleton
+    // path (quotient == graph), degreeCap=2 a mixed partition — the
+    // expansion formulas must hold for any partition, not just maximal
+    assert(table(graft.ops.Graph.trianglesQuotient(twinRich, degreeCap = 1)) ==
+      table(graft.ops.Graph.triangles(twinRich)))
+    assert(table(graft.ops.Graph.trianglesQuotient(twinRich, degreeCap = 2)) ==
+      table(graft.ops.Graph.triangles(twinRich)))
+  }
+
+  // ---- canonicalize-then-expand pair factorization (round 12) ----
+
+  /** Exact-dup-rich corpus pinning every canonicalization subtlety:
+    * permuted duplicate (same token SET, same bucket → grouped), padded
+    * duplicate (same token set, different raw token count → DIFFERENT
+    * bucket → never grouped, never paired), cross-lang identical text
+    * (lang is part of the group key), an isolated multi-member group in
+    * another language, and an empty doc (singleton by construction). */
+  private lazy val dupCorpus = {
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    Seq(
+      (1L, t1, "en"),
+      (2L, t1, "en"),                                          // exact dup
+      (3L, "bank river the near dog lazy the over jumps fox brown quick the",
+        "en"),                                                 // permuted dup
+      (4L, t1 + " the the the the the the the", "en"),         // padded: bucket 2
+      (5L, "the quick brown fox jumps over the lazy dog near the river shore",
+        "en"),                                                 // near dup
+      (6L, "el rapido zorro marron salta sobre el perro perezoso junto al rio",
+        "es"),
+      (7L, "el rapido zorro marron salta sobre el perro perezoso junto al rio",
+        "es"),                                                 // isolated dup pair
+      (8L, t1, "es"),                                          // same text, other lang
+      (9L, "", "en")                                           // empty
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("ngramJaccardCanonical: groups by (lang, bucket, token set); " +
+    "expansion reproduces the member-level contract exactly") {
+    val (canon, members) = Dedup.ngramJaccardCanonical(dupCorpus, 0.5)
+    val m = rows(members).map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == ((1L, 3L)) && m(2L) == ((1L, 3L)) && m(3L) == ((1L, 3L)),
+      s"permuted dup must join the exact-dup group: $m")
+    assert(m(4L) == ((4L, 1L)), "padded dup crosses a bucket edge — singleton")
+    assert(m(8L) == ((8L, 1L)), "same text in another lang — singleton")
+    assert(m(6L) == ((6L, 2L)) && m(7L) == ((6L, 2L)))
+    assert(m(9L) == ((9L, 1L)), "empty doc must stay a singleton")
+    // canonical pairs: only the rep-level near-dup edge
+    assert(rows(canon).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      == Seq((1L, 5L, 0.833333)))
+    // full member-level expansion (ngramJaccard rides it end to end)
+    val got = rows(Dedup.ngramJaccard(dupCorpus, threshold = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got == Seq(
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 5L, 0.833333),
+      (2L, 3L, 1.0), (2L, 5L, 0.833333), (3L, 5L, 0.833333),
+      (6L, 7L, 1.0)))
+  }
+
+  test("canonical factorization: clusters / pagerank / degree hist / " +
+    "triangles from twin classes ≡ the member-level computations") {
+    val (canon, members) = Dedup.ngramJaccardCanonical(dupCorpus, 0.5)
+    val expanded = Dedup.expandCanonicalPairs(canon, members)
+      .select($"doc_a", $"doc_b")
+    // clusters: {1,2,3,5} labeled 1 (n=4), isolated dup pair {6,7}
+    // labeled 6 (n=2) — the isolated-multi-group branch
+    def cl(df: org.apache.spark.sql.DataFrame) =
+      rows(df).map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fromCanon = cl(Dedup.duplicateClustersFromCanonical(canon, members))
+    assert(fromCanon == cl(Dedup.duplicateClusters(expanded)))
+    assert(fromCanon.contains((6L, 6L, 2L)) && fromCanon.contains((7L, 6L, 2L)),
+      s"isolated exact-dup clique must cluster without a canonical pair: $fromCanon")
+    // integer PageRank: quotient iteration must match member-level exactly
+    def pr(df: org.apache.spark.sql.DataFrame) =
+      rows(df).map(r => (r.getLong(0), r.getAs[Long]("degree"),
+        r.getAs[Long]("pr_micro"), r.getAs[Double]("pagerank")))
+    assert(pr(graft.ops.Graph.pageRankFromTwinClasses(canon, members)) ==
+      pr(graft.ops.Graph.pageRank(expanded)))
+    // degree histogram, closed form vs member census
+    val memberHist = {
+      val fwd = expanded.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      fwd.union(fwd.select($"dst".as("src"), $"src".as("dst")))
+        .groupBy($"src").agg(count(lit(1)).as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy($"degree")
+    }
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      rows(df).map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist(graft.ops.Graph.degreeHistFromTwinClasses(canon, members)) ==
+      hist(memberHist))
+    // triangle census from the pre-factored classes vs the direct census
+    def tri(df: org.apache.spark.sql.DataFrame) =
+      rows(df).map(r => (r.getLong(0), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("lcc_ppm")))
+    assert(tri(graft.ops.Graph.trianglesFromTwinClasses(canon, members)) ==
+      tri(graft.ops.Graph.triangles(expanded)))
   }
 
   test("phraseSearch: overlapping matches counted, mixed phrase lengths, " +

@@ -153,6 +153,45 @@ class StreamingSpec extends SparkSpec {
       s"complete mode should end holding all 26 groups: $completeState")
   }
 
+  test("sim_stream_ann: streaming ANN ingest equals the batch two-stage " +
+    "serving path; state holds one row per arrived query, never the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Vectors.queries("sim_stream_ann")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.Vectors.queries("sim_ivfpq_rerank")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "streaming ANN served nothing at sf0.001")
+    assert(streamed == batch,
+      s"stream/batch serving divergence:\n stream=${streamed.take(5)}…" +
+        s"\n batch=${batch.take(5)}…")
+    // State boundedness (the 100 TB claim): drain the shortlist TRACKED —
+    // every micro-batch's state-store row count is at most the number of
+    // arrived queries (complete-mode groups), while the corpus riding the
+    // stream-static side is an order of magnitude larger and never enters
+    // state.
+    import graft.ops.Similarity
+    val e = graft.queries.table(spark, dir, "embeddings")
+    val n = e.count()
+    val stride = Similarity.queryStride(n)
+    val nQ = e.filter($"vec_id" % stride === 0).count()
+    assert(n >= nQ * 5, s"corpus ($n) must dwarf the query side ($nQ)")
+    val staged = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    e.coalesce(4).write.mode("overwrite").parquet(staged)
+    val stream = StreamOps.readEventStream(spark, staged,
+        spark.read.parquet(staged))
+      .filter($"vec_id" % stride === 0)
+    val (cb, codes) = Similarity.pqIndexFrames(e)
+    val (cells, cent) = Similarity.ivfIndexFrames(e)
+    val sl = Similarity.ivfPqStreamShortlist(stream, cb, codes, cells, cent)
+    val (drained, state) = StreamOps.drainToTableTracked(sl,
+      "ann_state_pin", "complete", shufflePartitions = Some(2))
+    assert(state.nonEmpty, "no progress captured")
+    assert(state.max <= nQ,
+      s"ANN ingest state exceeded the arrived-query count ($nQ): $state")
+    assert(drained.count() == nQ,
+      "every arrived query must hold exactly one shortlist row")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")
