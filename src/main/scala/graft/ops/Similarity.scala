@@ -615,6 +615,23 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Per-query centroid ranking (q_id, c_id, c_rank ≤ maxProbe) — the IVF
+    * routing table exposed for coverage audits: which cells WOULD be
+    * probed at each nprobe setting. Same round-6 cosine + c_id tie-break
+    * as every IVF probe in this file. */
+  def queryCellRanks(centTable: DataFrame, queries: DataFrame,
+                     maxProbe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("c_id"))
+    scoredAgainst(broadcast(centTable))(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")),
+      "q_emb", "q_nrm")
+      .withColumn("c_rank", row_number().over(wp).cast("long"))
+      .filter(col("c_rank") <= maxProbe)
+      .select(col("q_id"), col("c_id"), col("c_rank"))
+  }
+
   /** STREAMING two-stage ANN ingest, stage 1 — the serving twin of
     * [[ivfPqTopKFrom]] for query vectors arriving as an unbounded stream
     * against a STANDING staged index: each arriving vector is routed and

@@ -329,6 +329,39 @@ object Vectors extends QueryPack {
         .orderBy(col("q_id"))
     }),
 
+    // nprobe coverage audit — the MEASURED side of the one knob the
+    // sim_ivfpq_ref_recall result says still binds recall: for each
+    // nprobe ∈ {1,2,4,8}, what fraction of the true top-5 lies inside the
+    // first-nprobe probed cells (the hard recall ceiling of ANY re-ranked
+    // IVF path at that setting — code quality cannot recover a neighbor
+    // whose cell is never probed). 4 output rows regardless of corpus
+    // size; the brute ranking is the same bounded-query harness every
+    // recall audit rides.
+    "sim_ivf_nprobe_audit" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pq = stagedPq(s, dir)
+      val cells = s.read.parquet(s"$pq/cells.parquet")
+      val cent = s.read.parquet(s"$pq/cent.parquet")
+      val brute = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val probes = Similarity.queryCellRanks(cent, q, maxProbe = 8)
+      val hitRank = brute.join(cells, Seq("vec_id"))
+        .join(probes, Seq("q_id", "c_id"), "left")
+        .select(col("q_id"), col("vec_id"),
+          coalesce(col("c_rank"), lit(999L)).as("cr"))
+      hitRank
+        .select(col("cr"), explode(lit(Array(1L, 2L, 4L, 8L))).as("nprobe"))
+        .groupBy(col("nprobe"))
+        .agg(sum(when(col("cr") <= col("nprobe"), 1L).otherwise(0L))
+            .as("n_reachable"),
+          count(lit(1)).as("n_true"))
+        .select(col("nprobe"), col("n_reachable"), col("n_true"),
+          round(col("n_reachable").cast("double") / col("n_true"), 6)
+            .as("coverage"))
+        .orderBy(col("nprobe"))
+    }),
+
     // Streaming two-stage ANN ingest — the serving twin of
     // dd_stream_neardup: query vectors ARRIVE (one file per micro-batch),
     // are PQ-LUT-encoded and cell-routed map-only in-row, shortlisted via
@@ -1330,6 +1363,26 @@ object Vectors extends QueryPack {
     // the batch two-stage serving path row for row, so it shares
     // sim_ivfpq_rerank's oracle text verbatim
     "sim_stream_ann" -> ivfPqRerankOracle,
+
+    "sim_ivf_nprobe_audit" ->
+      s"""WITH $bruteCtes,
+        |$ivfRouteCtes,
+        |iqp8 AS (
+        |  SELECT q_id, c_id, rn AS c_rank FROM (
+        |    SELECT v.vec_id AS q_id, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 8),
+        |hr AS (
+        |  SELECT b.q_id, b.vec_id, coalesce(i.c_rank, 999) AS cr
+        |  FROM b JOIN ica ON b.vec_id = ica.vec_id
+        |         LEFT JOIN iqp8 i ON i.q_id = b.q_id AND i.c_id = ica.c_id),
+        |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe)
+        |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+        |  CAST(sum(CASE WHEN hr.cr <= np.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_reachable,
+        |  CAST(count(*) AS BIGINT) AS n_true,
+        |  round(CAST(sum(CASE WHEN hr.cr <= np.nprobe THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM hr CROSS JOIN np GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The full IVFADC chain re-derived: coarse centroids + assignment,
     // exact REAL residuals, residual codebook (IVF seeding over residual

@@ -32,6 +32,16 @@ object StreamOps {
   private[graft] def drainSinkLog(): Seq[String] =
     sinkLog.synchronized { val r = sinkLog.toList; sinkLog.clear(); r }
 
+  /** Per-drain state-store row sequences (drain name → per-batch totals),
+    * recorded by every drainToTable call — the observability hook the
+    * scale audits read (graft.tools.StateProbe) to evidence state
+    * boundedness at f30/f100 without changing any query's code path. */
+  private val stateLog = new scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
+  private[graft] def stateLogSnapshot: Map[String, Seq[Long]] =
+    stateLog.synchronized { stateLog.toMap }
+  private[graft] def clearStateLog(): Unit =
+    stateLog.synchronized { stateLog.clear() }
+
   /** Tumbling event-time window aggregate over a stream, watermarked.
     * Identical result columns to EventWindows.tumbling once the stream is
     * drained (append mode emits a window when the watermark passes it) —
@@ -144,8 +154,11 @@ object StreamOps {
     * The session conf is restored after the drain (streaming queries pin
     * their partition count at start, batch queries read it live). */
   def drainToTable(df: DataFrame, name: String, mode: String,
-                   shufflePartitions: Option[Int] = None): DataFrame =
-    drainToTableTracked(df, name, mode, shufflePartitions)._1
+                   shufflePartitions: Option[Int] = None): DataFrame = {
+    val (out, state) = drainToTableTracked(df, name, mode, shufflePartitions)
+    stateLog.synchronized { stateLog(name) = state }
+    out
+  }
 
   /** drainToTable, additionally returning each committed micro-batch's
     * TOTAL state-store row count (sum over stateful operators, in commit
