@@ -103,6 +103,48 @@ class PropertySpec extends SparkSpec {
     assert(mh.contains((1L, 2L)), "MinHash no longer recovers the boundary pair")
   }
 
+  test("ngramJaccard ≡ brute-force same-block set-Jaccard on randomized " +
+    "dup-rich corpora (canonicalize-then-expand is contract-invisible)") {
+    import graft.ops.Dedup
+    // 6-token vocabulary → exact-duplicate token SETS arise constantly
+    // (the regime the round-12 canonicalization exists for); raw lengths
+    // 1..14 straddle the bucketTokens=10 edge; two langs exercise the
+    // lang half of the block key. The reference is computed by a plain
+    // crossJoin + array_intersect — no shared code with the candidate
+    // generation machinery under test.
+    val tokG = Gen.oneOf("ga", "gb", "gc", "gd", "ge", "gf")
+    val docG = for {
+      n <- Gen.chooseNum(1, 14)
+      ts <- Gen.listOfN(n, tokG)
+      lang <- Gen.oneOf("en", "es")
+    } yield (ts.mkString(" "), lang)
+    val corpus = samples(docG, 60).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val got = rows(Dedup.ngramJaccard(corpus, threshold = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val prep = corpus.select($"doc_id", $"lang",
+      array_sort(array_distinct(split(F.normalizeText(lower($"text")), " ")))
+        .as("toks"),
+      floor(size(split($"text", "\\s+")).cast("double") / 10.0).cast("long")
+        .as("bucket"))
+    val inter = size(array_intersect($"a.toks", $"b.toks"))
+    val want = prep.as("a").crossJoin(prep.as("b"))
+      .filter($"a.lang" === $"b.lang" && $"a.bucket" === $"b.bucket" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        round(inter.cast("double") /
+          (size($"a.toks") + size($"b.toks") - inter).cast("double"), 6)
+          .as("j"))
+      .filter($"j" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+    val wantRows = rows(want)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "generator produced no qualifying pairs — weaken it")
+    assert(got == wantRows,
+      s"pair-set divergence: got ${got.size}, want ${wantRows.size}")
+  }
+
   test("minHashVerified: est_jaccard is signature agreement; exact dups score 1.0") {
     import graft.ops.Dedup
     val docs = Seq(
