@@ -267,7 +267,13 @@ object Graph {
     val init = degs.crossJoin(broadcast(n))
       .select(col("uid"), col("r"), col("outdeg"), col("n_nodes"),
         expr(s"$MassScale DIV n_nodes").as("m"))
-    val after = (1 to iters).foldLeft(init) { (cur, _) =>
+    val after = (1 to iters).foldLeft(init) { (cur0, _) =>
+      // lineage barrier per round (a ≤|classes|-row localCheckpoint): the
+      // intra term and the neighbor sum both read `cur`, and without the
+      // barrier that self-consumption re-executes the previous rounds'
+      // joins once per consumer per round — the duplicateClusters
+      // discipline applied to the score table.
+      val cur = Dedup.materialize(cur0)
       val c = cur.select(col("uid").as("cu"), col("r").as("cr"),
         expr("m DIV outdeg").as("cm"))
       val nbrSum = qedges.join(c, qedges("src") === col("cu"))
