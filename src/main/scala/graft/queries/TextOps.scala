@@ -611,6 +611,16 @@ object TextOps extends QueryPack {
       // rides the shared pair stage; re-sorted because parquet round-trip
       // drops the range-partitioned order
       stagedPairs(s, dir).orderBy("doc_a", "doc_b")),
+    // The canonical factorization AS a judged artifact: exact-dup
+    // token-set membership (doc_id, rep = group min, r = group size) —
+    // the table every pair/cluster/graph consumer rides, and the first
+    // thing a 100 TB dedup pipeline materializes (collapse exact dups
+    // BEFORE any quadratic-in-co-membership work). Group key is
+    // (lang, raw-token bucket, md5 of the sorted distinct token set);
+    // null-lang / null-text docs stay singletons by construction.
+    "dd_canon_groups" -> ((s, dir) =>
+      stagedCanonPairs(s, dir)._2
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     "dd_minhash_lsh"   -> ((s, dir) =>
       Dedup.minHashPairsFromSignatures(stagedMinHashSigs(s, dir))),
     "dd_minhash_verified" -> ((s, dir) =>
@@ -1531,6 +1541,27 @@ object TextOps extends QueryPack {
         |  CASE WHEN lang = 'en' THEN 2500
         |       WHEN lang = 'zh' THEN 6000 ELSE 8000 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same tokenize/bucket CTE text as dd_ngram_jaccard; the CASE mirrors
+    // ngramJaccardCanonical's singleton guard (null lang / null toks);
+    // note an EMPTY text tokenizes to [''] (len 1) in both engines and
+    // legitimately groups with other empty texts — J([''],['']) = 1
+    "dd_canon_groups" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS toks,
+        |    CAST(len(string_split_regex(text, '\s+')) // 10 AS BIGINT) AS bucket
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, lang, bucket,
+        |    CASE WHEN lang IS NOT NULL AND len(toks) > 0
+        |         THEN md5(array_to_string(toks, ' '))
+        |         ELSE 'solo:' || CAST(doc_id AS VARCHAR) END AS fp
+        |  FROM t)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY lang, bucket, fp) AS rep,
+        |  count(*) OVER (PARTITION BY lang, bucket, fp) AS r
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
       """WITH t AS (
