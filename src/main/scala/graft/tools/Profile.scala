@@ -103,7 +103,12 @@ object Profile {
         q(spark, sfDir).explain("formatted")
       }),
       "jaccard_stages" -> (() => {
-        // mirrors Dedup.ngramJaccard's internal pipeline stage by stage
+        // mirrors the PREFIX-BRANCH half of Dedup.ngramJaccard's candidate
+        // pipeline stage by stage. Since round 12 the production path runs
+        // this over CANONICAL representatives only (ngramJaccardCanonical
+        // collapses exact-dup token sets first); this profile deliberately
+        // keeps the raw-corpus form so the canonicalization win is
+        // measurable against it.
         import graft.functions.VectorExpressions.{sortedDistinctStrings, sortedIntersectCount}
         import graft.etl.{functions => F}
         val docs = table(spark, sfDir, "documents")
