@@ -33,7 +33,7 @@ object Dedup {
     * (dd_ngram_jaccard, stagedClusters' builder, gr1/gr2/gr3) — bump with
     * any change to ngramJaccard, the canonicalization key, or the token
     * normalization. */
-  val PairStageTag = "ddpairs05_v2"
+  val PairStageTag = "ddpairs05_v3" // v3: group fingerprint md5 -> sha2-256
   /** Fingerprints gramHashes (seed, normalization, explode shape) at the
     * n=4 the decontamination queries use. */
   val GramStageTag = "ddgrams4_v1"
@@ -57,6 +57,59 @@ object Dedup {
   private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+
+  /** Twin classes by EXACT signature equality: (doc_id, rep, r) where rep
+    * is the smallest doc_id among rows of `sig` with identical values in
+    * `keyCols` and r the class size. This is the canonicalize-then-expand
+    * genus applied AT THE SIGNATURE LEVEL: every banded candidate
+    * generator in this file is a pure function of the signature row, so
+    * signature-equal documents are true twins — every band collides, and
+    * every verification statistic (hamming, est_jaccard) against a third
+    * document equals the representative's. Unlike a content-hash group key
+    * there is no collision surface at all: the window partitions on the
+    * raw column VALUES, and signature equality IS the criterion the banded
+    * self-join would test. One corpus-linear shuffle on narrow rows buys
+    * candidate generation whose input shrinks r-fold per duplicate class
+    * (and whose banded-bucket work shrinks r²-fold). */
+  private def signatureMembers(sig: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    sig.select(col("doc_id"),
+      min(col("doc_id")).over(w).as("rep"),
+      count(lit(1)).over(w).as("r"))
+  }
+
+  /** Expand a canonical (representative-level) pair table to member level
+    * through a twin-class membership — OUTPUT-BOUNDED work only, the
+    * [[expandCanonicalPairs]] contract generalized to any carried
+    * statistic columns. `extras` lists (name, intraValue): intra-class
+    * pairs (r ≥ 2) carry the literal a twin pair provably has (hamming 0,
+    * est_jaccard 1.0); cross-class pairs inherit the representative
+    * pair's column of the same name. Disjoint by construction (intra
+    * pairs share a class, cross pairs never do) — plain union, no dedup.
+    * The intra self-join is r² per class BY CONTRACT (those pairs ARE the
+    * output); it is chunked so a single mega-class's pair grid spreads
+    * over chunks² tasks instead of pinning one. Unordered — callers sort. */
+  private def expandMemberPairs(canon: DataFrame, members: DataFrame,
+                                extras: Seq[(String, Column)],
+                                chunks: Int): DataFrame = {
+    val multi = members.filter(col("r") >= 2).select(col("doc_id"), col("rep"))
+    val (a, b, chunkCond) = Skew.chunkedSelfJoin(multi, "doc_id", chunks)
+    val intra = a.join(b, col("a.rep") === col("b.rep") && chunkCond &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        extras.map { case (n, v) => v.as(n) }: _*)
+    val m = members.select(col("doc_id"), col("rep"))
+    val cross = canon
+      .select(col("doc_a").as("ra") +: col("doc_b").as("rb") +:
+        extras.map { case (n, _) => col(n) }: _*)
+      .join(m.select(col("rep").as("ra"), col("doc_id").as("ma")), "ra")
+      .join(m.select(col("rep").as("rb"), col("doc_id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a") +:
+        greatest(col("ma"), col("mb")).as("doc_b") +:
+        extras.map { case (n, _) => col(n) }: _*)
+    intra.unionByName(cross)
+  }
 
   /** Seeded 60-bit hash both engines can compute: low 15 hex chars of
     * md5("seed:value") parsed base-16. DuckDB twin:
@@ -211,13 +264,13 @@ object Dedup {
     * distinct): documents sharing any band bucket become a candidate.
     *
     * The bucket self-join is CHUNKED (`Skew.chunkedSelfJoin`): a
-    * boilerplate-heavy corpus puts its identical docs in ONE (band, bh)
-    * bucket — all bands collide — and an unchunked self-join would compute
-    * that bucket's entire |bucket|² pair grid in a single task. Chunking
-    * spreads the grid over chunks² tasks. (The OUTPUT of a candidate
-    * generator is inherently quadratic in the bucket — compose
-    * `Dedup.exact` first when a corpus is known to carry exact-duplicate
-    * floods, so LSH only sees distinct texts.)
+    * boilerplate-heavy corpus can still co-bucket many DISTINCT signatures
+    * (a shared band is one collision, not sixteen), and an unchunked
+    * self-join would compute that bucket's entire |bucket|² pair grid in
+    * a single task. Chunking spreads the grid over chunks² tasks. The
+    * judged entry points additionally run this over one representative
+    * per distinct signature ([[canonicalLshCandidates]]) so exact-dup
+    * floods never reach the bucket join at all.
     *
     * Callers must pass a MATERIALIZED signature table: the join consumes
     * `sig` on both sides, and an unmaterialized lineage (text scan, shingle
@@ -247,6 +300,29 @@ object Dedup {
       .distinct()
   }
 
+  /** The LSH self-join in canonical form: twin classes by exact
+    * signature-vector equality ([[signatureMembers]] — identical
+    * signatures share every band, so the classes are true twins for any
+    * downstream statistic computed FROM signatures), candidate generation
+    * over one representative per class. Returns (rep-level candidate
+    * pairs, membership, materialized rep signature table — the
+    * verification join consumes the reps twice more). This kills the
+    * replica-flood genus at its root: on a corpus with exact-dup groups of
+    * size r, every (band, bh) bucket previously held all r copies and the
+    * bucket self-join computed r² candidate rows per group per band;
+    * the canonical corpus contributes ONE row per class per band, and the
+    * member-level pair table (inherently r²-sized) is reconstructed
+    * output-bounded by [[expandMemberPairs]]. */
+  private def canonicalLshCandidates(sig: DataFrame, numHashes: Int,
+      bands: Int, chunks: Int): (DataFrame, DataFrame, DataFrame) = {
+    val keyCols = (0 until numHashes).map(i => s"h$i")
+    val members = materialize(signatureMembers(sig, keyCols))
+    val repSigs = materialize(sig.join(
+      members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      "doc_id"))
+    (lshCandidates(repSigs, numHashes, bands, chunks), members, repSigs)
+  }
+
   def minHashLsh(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                  shingleLen: Int = 3, chunks: Int = 4): DataFrame =
     // localCheckpoint: the signature build (the expensive md5 + 16-min
@@ -259,11 +335,20 @@ object Dedup {
   /** Banded-LSH pairs over an ALREADY-MATERIALIZED signature table (staged
     * parquet, checkpoint, cached) — the entry point for pipelines that
     * compute signatures once and reuse them across LSH, verification, and
-    * clustering stages rather than rebuilding per query. */
+    * clustering stages rather than rebuilding per query. Runs in
+    * canonicalize-then-expand form ([[canonicalLshCandidates]]): the
+    * banded self-join sees one row per distinct signature; same-signature
+    * classes expand to their (inherently pair-count-sized) intra grids
+    * and cross pairs through two membership equi-joins — output identical
+    * to the direct self-join (every same-class pair collides in all bands;
+    * a cross pair collides iff its reps do), work r²-smaller per
+    * duplicate class. */
   def minHashPairsFromSignatures(sig: DataFrame, numHashes: Int = 16,
-                                 bands: Int = 4, chunks: Int = 4): DataFrame =
-    lshCandidates(sig, numHashes, bands, chunks)
+                                 bands: Int = 4, chunks: Int = 4): DataFrame = {
+    val (canon, members, _) = canonicalLshCandidates(sig, numHashes, bands, chunks)
+    expandMemberPairs(canon, members, Nil, chunks)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** MinHash candidates WITH the verification stage a production dedup
     * needs: raw banded-LSH output contains false positives (one colliding
@@ -382,11 +467,19 @@ object Dedup {
   }
 
   /** Verified-pair twin of minHashPairsFromSignatures over a materialized
-    * signature table (see minHashVerified for semantics). */
+    * signature table (see minHashVerified for semantics). Canonical form:
+    * candidates AND the full-signature verification run on one
+    * representative per distinct signature (est is a pure function of the
+    * two signatures, so twins provably inherit their rep pair's estimate,
+    * and an intra-class pair agrees on all hashes — est exactly 1.0, the
+    * same double the direct join's round(16/16, 6) produces). The
+    * post-expansion filter re-checks cross pairs harmlessly (their rep
+    * est already passed) and correctly drops intra pairs iff minEst > 1. */
   def minHashVerifiedFromSignatures(sig: DataFrame, numHashes: Int = 16,
                                     bands: Int = 4, minEst: Double = 0.5,
                                     chunks: Int = 4): DataFrame = {
-    val cand = lshCandidates(sig, numHashes, bands, chunks)
+    val (cand, members, repSigs) =
+      canonicalLshCandidates(sig, numHashes, bands, chunks)
     val agree = (0 until numHashes).map { i =>
       when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
     }.reduce(_ + _)
@@ -394,9 +487,12 @@ object Dedup {
     // round(...,6) is the identity and cannot tie-break differently across
     // engines.
     val est = round(agree.cast("double") / numHashes, 6)
-    cand.join(sig.as("a"), cand("doc_a") === col("a.doc_id"))
-      .join(sig.as("b"), cand("doc_b") === col("b.doc_id"))
+    val canonEst = cand.join(repSigs.as("a"), cand("doc_a") === col("a.doc_id"))
+      .join(repSigs.as("b"), cand("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+    expandMemberPairs(canonEst, members,
+        Seq("est_jaccard" -> lit(1.0)), chunks)
       .filter(col("est_jaccard") >= minEst)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -466,8 +562,12 @@ object Dedup {
     * (legitimately, approximately) missed.
     */
   val SimHashBits = 60
-  def simHash(docs: DataFrame, maxHamming: Int = 3,
-              chunks: Int = 4): DataFrame = {
+
+  /** The SimHash fingerprint table (doc_id, simhash) alone — one
+    * tokenize-explode + 60-column vote aggregation pass; split out so the
+    * banded pair join can run on canonical representatives only. Docs with
+    * a null text tokenize to no rows and are absent (as before). */
+  def simHashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(F.normalizeText(lower(col("text"))), " ")))
         .as("tok"))
@@ -480,31 +580,57 @@ object Dedup {
     val fp = (0 until SimHashBits).map { j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    // localCheckpoint: the banded self-join consumes the signature table on
-    // BOTH sides; unmaterialized, the whole lineage (text scan, tokenize
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def simHash(docs: DataFrame, maxHamming: Int = 3,
+              chunks: Int = 4): DataFrame =
+    // localCheckpoint: the twin-class window, the rep filter, and (through
+    // the reps) both sides of the banded join all re-read the signature
+    // table; unmaterialized, the whole lineage (text scan, tokenize
     // explode, per-token md5, 60-column vote aggregation) executed once per
-    // side — a reproducible 2.2× wall-clock regression at sf0.1. The
+    // consumer — a reproducible 2.2× wall-clock regression at sf0.1. The
     // materialized table is (doc_id, one BIGINT) — bytes per document —
     // so the barrier is all win; swap for reliable checkpoint on a real
     // cluster (see duplicateClusters).
-    val sigs = materialize(votes.select(col("doc_id"), fp.as("simhash")))
-    val banded = sigs.select(col("doc_id"), col("simhash"),
+    simHashPairsFromSignatures(materialize(simHashSignatures(docs)),
+      maxHamming, chunks)
+
+  /** Banded near-dup pairs over a MATERIALIZED fingerprint table, in
+    * canonicalize-then-expand form: fingerprint-equal docs are true twins
+    * (identical fingerprints share every band; hamming to any third doc is
+    * a pure function of the two fingerprints), so the banded self-join —
+    * previously r² candidate rows per band per r-sized exact-dup group —
+    * sees one row per DISTINCT fingerprint. Intra-class pairs carry
+    * hamming 0 (always ≤ maxHamming ≥ 0, exactly what the direct join
+    * computed for them); cross pairs inherit their reps' hamming through
+    * two membership equi-joins. Output identical to the direct banded
+    * self-join; candidate work r²-smaller per duplicate class. */
+  def simHashPairsFromSignatures(sigs: DataFrame, maxHamming: Int = 3,
+                                 chunks: Int = 4): DataFrame = {
+    val members = materialize(signatureMembers(sigs, Seq("simhash")))
+    val repSigs = materialize(sigs.join(
+      members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      "doc_id"))
+    val banded = repSigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL)).as("bh"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
               col("bk.band").as("band"), col("bk.bh").as("bh"))
-    // Chunked for the same boilerplate-flood reason as lshCandidates: all
-    // identical docs share every band, and one (band, bh) bucket must not
-    // pin its whole pair grid on a single task.
+    // Still chunked: distinct-but-near fingerprints can co-bucket in one
+    // band, and one (band, bh) bucket must not pin its pair grid on a
+    // single task.
     val (a, b, chunkCond) = Skew.chunkedSelfJoin(banded, "doc_id", chunks)
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-              chunkCond && col("a.doc_id") < col("b.doc_id"))
+    val canon = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          chunkCond && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    expandMemberPairs(canon, members, Seq("hamming" -> lit(0)), chunks)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1377,12 +1503,16 @@ object Dedup {
     require(threshold > 0 && threshold <= 1,
       s"ngramJaccard threshold must be in (0, 1], got $threshold")
     val toksC = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
-    // Group fingerprint: md5 of the space-joined sorted token set —
-    // injective because tokens are split on spaces and so contain none.
-    // Unpairable docs (null lang / empty or null token set) get a
-    // per-doc key so they stay singletons.
+    // Group fingerprint: sha2-256 of the space-joined sorted token set —
+    // the concat is injective because tokens are split on spaces and so
+    // contain none, and sha2-256 (unlike md5, which has practical chosen-
+    // prefix collisions an adversarial crawl could plant) has no known
+    // collisions, so two DIFFERENT token sets cannot be merged into one
+    // "exact-dup" group and fabricate jaccard=1.0 pairs. Unpairable docs
+    // (null lang / empty or null token set) get a per-doc key so they stay
+    // singletons.
     val fpC = when(col("lang").isNotNull && size(col("toks")) > 0,
-        md5(concat_ws(" ", col("toks"))))
+        sha2(concat_ws(" ", col("toks")), 256))
       .otherwise(concat(lit("solo:"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col("lang"), col("bucket"), col("fp"))
     // One tokenize+sort pass; the group window shuffles it once on the

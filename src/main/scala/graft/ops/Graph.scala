@@ -33,6 +33,14 @@ object Graph {
   /** Micro-mass scale: 1.0 of rank mass = 1e12 units. */
   val MassScale = 1000000000000L
 
+  /** Fingerprints the staged quotient-graph layout (qfwd + participating
+    * membership as derived by [[trianglesFromTwinClasses]]/
+    * [[pageRankFromTwinClasses]] from the canonical pair factorization) —
+    * the graft.queries convention: the tag lives next to the code it
+    * fingerprints. Bump with any change to [[participating]] or the
+    * quotient edge derivation. */
+  val QuotientStageTag = "grquotient_v1"
+
   /** Fixed-point PageRank after a FIXED number of iterations over an
     * undirected edge list `(src, dst)` (each undirected pair listed once;
     * symmetrization happens here). On a duplicate-pair graph this ranks
@@ -240,10 +248,31 @@ object Graph {
     * ever building it. */
   def trianglesFromTwinClasses(qpairs: DataFrame,
                                membership: DataFrame): DataFrame = {
+    val (qfwd, members) = quotientFrames(qpairs, membership)
+    trianglesFromQuotient(qfwd, members)
+  }
+
+  /** The (quotient edge list, participating membership) pair the three
+    * twin-class consumers share — derived once from the canonical pair
+    * factorization, then typically STAGED to parquet
+    * (graft.queries.TextOps.stagedQuotient) so each consumer prices warm:
+    * `qfwd` is (src, dst) between distinct class representatives (each
+    * unordered class pair once), `members` is (node, uid, r) restricted to
+    * classes present in the expanded graph. Both are materialized — each
+    * feeds several joins in every consumer. */
+  def quotientFrames(qpairs: DataFrame,
+                     membership: DataFrame): (DataFrame, DataFrame) = {
     val qfwd = Dedup.materialize(
       qpairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    twinCensusTail(qfwd, Dedup.materialize(participating(qfwd, membership)))
+    (qfwd, Dedup.materialize(participating(qfwd, membership)))
   }
+
+  /** [[triangles]] over a pre-derived (and typically pre-staged) quotient
+    * — see [[quotientFrames]] for the input contract. Both inputs must be
+    * materialization-backed (parquet/checkpoint): each is consumed by
+    * several joins. */
+  def trianglesFromQuotient(qfwd: DataFrame, members: DataFrame): DataFrame =
+    twinCensusTail(qfwd, members)
 
   /** [[pageRank]] over the same pre-factored twin-class form as
     * [[trianglesFromTwinClasses]] — bit-identical integer micro-mass per
@@ -256,9 +285,15 @@ object Graph {
   def pageRankFromTwinClasses(qpairs: DataFrame, membership: DataFrame,
                               iters: Int = 3,
                               dampingPct: Int = 85): DataFrame = {
-    val qfwd = Dedup.materialize(
-      qpairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val members = Dedup.materialize(participating(qfwd, membership))
+    val (qfwd, members) = quotientFrames(qpairs, membership)
+    pageRankFromQuotient(qfwd, members, iters, dampingPct)
+  }
+
+  /** [[pageRank]] over a pre-derived quotient (the [[quotientFrames]]
+    * contract; both inputs materialization-backed). */
+  def pageRankFromQuotient(qfwd: DataFrame, members: DataFrame,
+                           iters: Int = 3,
+                           dampingPct: Int = 85): DataFrame = {
     val groups = members.select(col("uid"), col("r")).distinct()
     val qedges = qfwd.union(qfwd.select(col("dst").as("src"), col("src").as("dst")))
     val degs = classDegrees(qedges, groups)
@@ -303,7 +338,13 @@ object Graph {
   def degreeHistFromTwinClasses(qpairs: DataFrame,
                                 membership: DataFrame): DataFrame = {
     val qfwd = qpairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val members = participating(qfwd, membership)
+    degreeHistFromQuotient(qfwd, participating(qfwd, membership))
+  }
+
+  /** Degree histogram over a pre-derived quotient (the [[quotientFrames]]
+    * contract; closed-form — no materialization requirement, each input
+    * is consumed once). */
+  def degreeHistFromQuotient(qfwd: DataFrame, members: DataFrame): DataFrame = {
     val groups = members.select(col("uid"), col("r")).distinct()
     val qedges = qfwd.union(qfwd.select(col("dst").as("src"), col("src").as("dst")))
     classDegrees(qedges, groups)

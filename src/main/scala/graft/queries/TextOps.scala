@@ -56,6 +56,29 @@ object TextOps extends QueryPack {
       s.read.parquet(s"$staged/members.parquet"))
   }
 
+  /** Quotient-graph stage shared by the three graph consumers
+    * (gr1_pagerank, gr2_degree_hist, gr3_triangles): the quotient edge
+    * list + participating membership derived once from the canonical pair
+    * factorization (Graph.quotientFrames) and staged to parquet — before
+    * this stage each consumer re-ran the membership restriction and the
+    * two rep-joins per query (the stagedBpe train-once/apply-many
+    * convention applied to the graph substrate). Tag:
+    * Graph.QuotientStageTag. */
+  private[queries] def stagedQuotient(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val staged = tmpStage(dir, graft.ops.Graph.QuotientStageTag)
+    ensureStaged(staged, "members.parquet/_SUCCESS") {
+      val (canon, membership) = stagedCanonPairs(s, dir)
+      val (qfwd, members) = graft.ops.Graph.quotientFrames(canon, membership)
+      qfwd.write.mode("overwrite").parquet(s"$staged/qfwd.parquet")
+      // members last: its _SUCCESS is the stage marker (the
+      // stagedCanonPairs crash-safety convention)
+      members.write.mode("overwrite").parquet(s"$staged/members.parquet")
+    }
+    (s.read.parquet(s"$staged/qfwd.parquet"),
+      s.read.parquet(s"$staged/members.parquet"))
+  }
+
   /** The member-level pair table, lazily expanded from [[stagedCanonPairs]]
     * — kept for consumers whose CONTRACT is member pairs
     * (dd_ngram_jaccard). Graph/cluster consumers take the factorization
@@ -616,7 +639,7 @@ object TextOps extends QueryPack {
     // the table every pair/cluster/graph consumer rides, and the first
     // thing a 100 TB dedup pipeline materializes (collapse exact dups
     // BEFORE any quadratic-in-co-membership work). Group key is
-    // (lang, raw-token bucket, md5 of the sorted distinct token set);
+    // (lang, raw-token bucket, sha2-256 of the sorted distinct token set);
     // null-lang / null-text docs stay singletons by construction.
     "dd_canon_groups" -> ((s, dir) =>
       stagedCanonPairs(s, dir)._2
@@ -1125,8 +1148,8 @@ object TextOps extends QueryPack {
     // member-level 2|E|-row contribution join never exists. Same oracle
     // (the member-level unrolled-CTE PageRank).
     "gr1_pagerank" -> ((s, dir) => {
-      val (canon, members) = stagedCanonPairs(s, dir)
-      graft.ops.Graph.pageRankFromTwinClasses(canon, members)
+      val (qfwd, members) = stagedQuotient(s, dir)
+      graft.ops.Graph.pageRankFromQuotient(qfwd, members)
     }),
     // Corpus search, snippet half: every occurrence of a query term with
     // its ±2-token context — the evidence view next to ix1's stats.
@@ -1162,8 +1185,8 @@ object TextOps extends QueryPack {
     // exhausted 76 GB of spill on the 104M-edge pair graph. Same oracle
     // (the direct SQL census).
     "gr3_triangles" -> ((s, dir) => {
-      val (canon, members) = stagedCanonPairs(s, dir)
-      graft.ops.Graph.trianglesFromTwinClasses(canon, members)
+      val (qfwd, members) = stagedQuotient(s, dir)
+      graft.ops.Graph.trianglesFromQuotient(qfwd, members)
     }),
 
     // Vocabulary richness: TTR + hapax share in integer ppm, the in-row
@@ -1262,8 +1285,8 @@ object TextOps extends QueryPack {
     // edge row. Isolated documents have no pair row and no degree-0 bar,
     // by design. Same oracle (the member-level groupBy census).
     "gr2_degree_hist" -> ((s, dir) => {
-      val (canon, members) = stagedCanonPairs(s, dir)
-      graft.ops.Graph.degreeHistFromTwinClasses(canon, members)
+      val (qfwd, members) = stagedQuotient(s, dir)
+      graft.ops.Graph.degreeHistFromQuotient(qfwd, members)
     }),
 
     // Content-defined chunking dedup (LBFS/FastCDC family): boundaries
@@ -1555,7 +1578,7 @@ object TextOps extends QueryPack {
         |k AS (
         |  SELECT doc_id, lang, bucket,
         |    CASE WHEN lang IS NOT NULL AND len(toks) > 0
-        |         THEN md5(array_to_string(toks, ' '))
+        |         THEN sha256(array_to_string(toks, ' '))
         |         ELSE 'solo:' || CAST(doc_id AS VARCHAR) END AS fp
         |  FROM t)
         |SELECT doc_id,

@@ -194,16 +194,21 @@ object StreamOps {
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
       else None
     var stateRows: Seq[Long] = Nil
-    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    @volatile var runId: java.util.UUID = null
+    // Buffered UNCONDITIONALLY, keyed by (runId, batchId), and filtered to
+    // this query's runId only after termination: the listener bus is async,
+    // so batch 0's progress can be delivered before `w.start()` has even
+    // returned the query handle — a delivery-time filter against a
+    // late-assigned runId would drop exactly the earliest batch's state
+    // row, the one an eviction-boundedness claim needs.
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[(java.util.UUID, Long), Long]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.runId == runId)
-          perBatch.put(e.progress.batchId,
-            e.progress.stateOperators.map(_.numRowsTotal).sum)
+        perBatch.put((e.progress.runId, e.progress.batchId),
+          e.progress.stateOperators.map(_.numRowsTotal).sum)
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
@@ -216,17 +221,18 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
       ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
       val q: StreamingQuery = w.start()
-      runId = q.runId
       logSink(name)
       q.awaitTermination()
       // listener events arrive on the async bus thread — wait (bounded)
       // until the terminal batch's progress has been delivered
       val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
-      while (lastBatch >= 0 && !perBatch.containsKey(lastBatch) &&
+      while (lastBatch >= 0 && !perBatch.containsKey((q.runId, lastBatch)) &&
              System.nanoTime < deadline) Thread.sleep(10)
       import scala.jdk.CollectionConverters._
-      stateRows = perBatch.asScala.toSeq.sortBy(_._1).map(_._2)
+      stateRows = perBatch.asScala.toSeq
+        .collect { case ((rid, batch), n) if rid == q.runId => (batch, n) }
+        .sortBy(_._1).map(_._2)
     } finally {
       spark.streams.removeListener(listener)
       spark.conf.set("spark.sql.shuffle.partitions", prev)

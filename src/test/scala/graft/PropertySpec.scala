@@ -531,6 +531,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simHash ≡ direct banded self-join on randomized dup-rich corpora " +
+    "(signature-level canonicalize-then-expand is contract-invisible)") {
+    import graft.ops.Dedup
+    // Tiny vocabulary + short docs → exact-duplicate TOKEN SETS (hence
+    // fingerprints) arise constantly: the twin-collapse regime. The
+    // reference recomputes candidates by a plain fingerprint crossJoin
+    // restricted to band collisions — no shared code with the canonical
+    // path's window/expand machinery.
+    val tokG = Gen.oneOf("sa", "sb", "sc", "sd")
+    val docG = for {
+      n <- Gen.chooseNum(1, 6)
+      ts <- Gen.listOfN(n, tokG)
+    } yield ts.mkString(" ")
+    val corpus = samples(docG, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val maxH = 20 // loose: exercise cross-class pairs, not just twins
+    val got = rows(Dedup.simHash(corpus, maxHamming = maxH))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val sigs = Dedup.simHashSignatures(corpus).localCheckpoint()
+    val bandHit = (0 until 4).map { b =>
+      shiftright($"a.simhash", b * 15).bitwiseAND(lit(0x7FFFL)) ===
+        shiftright($"b.simhash", b * 15).bitwiseAND(lit(0x7FFFL))
+    }.reduce(_ || _)
+    val want = rows(sigs.as("a").crossJoin(sigs.as("b"))
+        .filter($"a.doc_id" < $"b.doc_id" && bandHit)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+        .filter($"hamming" <= maxH)
+        .orderBy($"doc_a", $"doc_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty, "generator produced no qualifying pairs — weaken it")
+    assert(got.exists(_._3 == 0) && got.exists(_._3 > 0),
+      "corpus must exercise both intra (hamming 0) and cross pairs")
+    assert(got == want,
+      s"pair-set divergence: got ${got.size}, want ${want.size}")
+  }
+
+  test("minHash LSH + verified ≡ direct banded self-join on randomized " +
+    "dup-rich corpora (signature-vector twins are contract-invisible)") {
+    import graft.ops.Dedup
+    val tokG = Gen.oneOf("ma", "mb", "mc", "md", "me")
+    val docG = for {
+      n <- Gen.chooseNum(1, 8)
+      ts <- Gen.listOfN(n, tokG)
+    } yield ts.mkString(" ")
+    val corpus = samples(docG, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val sig = Dedup.minHashSignatures(corpus).localCheckpoint()
+    // reference: band-collision crossJoin over full signatures
+    val bandHit = (0 until 4).map { b =>
+      (0 until 4).map(r => col(s"a.h${b * 4 + r}") === col(s"b.h${b * 4 + r}"))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val agree = (0 until 16).map { i =>
+      when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0)
+    }.reduce(_ + _)
+    val cand = sig.as("a").crossJoin(sig.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" && bandHit)
+    val wantLsh = rows(cand
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .orderBy($"doc_a", $"doc_b"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gotLsh = rows(Dedup.minHashPairsFromSignatures(sig))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotLsh.nonEmpty && gotLsh == wantLsh,
+      s"LSH pair-set divergence: got ${gotLsh.size}, want ${wantLsh.size}")
+    val wantVer = rows(cand
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          round(agree.cast("double") / 16, 6).as("est_jaccard"))
+        .filter($"est_jaccard" >= 0.25)
+        .orderBy($"doc_a", $"doc_b"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotVer = rows(Dedup.minHashVerifiedFromSignatures(sig, minEst = 0.25))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(gotVer.exists(_._3 == 1.0) && gotVer.exists(_._3 < 1.0),
+      "corpus must exercise both intra (est 1.0) and cross pairs")
+    assert(gotVer == wantVer,
+      s"verified pair-set divergence: got ${gotVer.size}, want ${wantVer.size}")
+  }
+
   test("queryStride bounds the judged ANN workload at every corpus size") {
     // The service contract: ~64 query vectors regardless of corpus size —
     // a workload proportional to n turns every exhaustive-scan path into

@@ -66,13 +66,17 @@ def main():
             rec["f30_sec"][q] = t30
             tag = next((r["stage"].get(q) for r in f30runs
                         if q in r.get("stage", {})), None)
-            if tag:
+            if tag is not None:
                 rec.setdefault("stage", {})[q] = tag
-            if t01:
+            # `is not None`, not truthiness: a sub-millisecond run rounds to
+            # a legitimate 0.0 that must still land in the record. Ratios
+            # and logs need strictly positive operands on BOTH sides.
+            if t01 is not None:
                 rec["sf0.1_sec"][q] = t01
-                rec["growth_x"][q] = round(t30 / t01, 2)
-                rec["growth_exponent"][q] = round(
-                    math.log(t30 / t01) / math.log(30), 2)
+                if t01 > 0 and t30 > 0:
+                    rec["growth_x"][q] = round(t30 / t01, 2)
+                    rec["growth_exponent"][q] = round(
+                        math.log(t30 / t01) / math.log(30), 2)
         if note:
             rec["note_r12"] = note
         json.dump(rec, open("BENCH_F30.json", "w"), indent=1, sort_keys=True)
@@ -86,10 +90,11 @@ def main():
             if t100 is None:
                 continue
             entry = {"f100_sec": t100}
-            if t30:
+            if t30 is not None:
                 entry["f30_sec"] = t30
-                entry["decade_exponent"] = round(
-                    math.log(t100 / t30) / math.log(100 / 30), 2)
+                if t30 > 0 and t100 > 0:
+                    entry["decade_exponent"] = round(
+                        math.log(t100 / t30) / math.log(100 / 30), 2)
             rec["decade"][q] = entry
         if note:
             rec["note_r12"] = note
