@@ -646,10 +646,15 @@ object Similarity {
     * built IN-ROW from the collected codebook (same dotf over the same
     * slices as pqLut), candidates come from ONE stream-static equi-join
     * against the standing (vec_id, c_id, code) index, and the single
-    * stateful operator is the per-query shortlist rollup — state is one
-    * row per ACTIVE QUERY holding ≤ shortlistK + probed-cell candidates,
-    * INDEPENDENT of corpus size (the corpus never enters state; it rides
-    * the static side). Drained output equals the batch shortlist of
+    * stateful operator is the per-query shortlist rollup. State ROW count
+    * is one per arrived query — independent of corpus size (the corpus
+    * rides the static side and never enters state as keys) — but state
+    * BYTES per row are the collect_list buffer of that query's probed-cell
+    * candidates (~nprobe·n/√cells ≈ O(√n) entries) until the post-agg
+    * slice. Acceptable for a bounded audit workload; an unbounded serving
+    * stream wants [[ivfPqStreamShortlistEpoch]], whose watermark
+    * additionally caps each buffer's LIFETIME at the epoch horizon.
+    * Drained output equals the batch shortlist of
     * ivfPqTopKFrom(k = shortlistK) row for row, so stage 2 (exact re-rank
     * over true vectors) and the oracle are shared with sim_ivfpq_rerank.
     *
@@ -659,6 +664,68 @@ object Similarity {
                            codes: DataFrame, cells: DataFrame,
                            centTable: DataFrame, shortlistK: Int = 50,
                            nprobe: Int = 2, subspaces: Int = 8): DataFrame = {
+    val scored = ivfPqStreamScored(stream, codebook, codes, cells, centTable,
+      nprobe, subspaces, carry = Nil)
+    scored.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("sim"), col("vec_id"))).as("cl"))
+      .select(col("q_id"),
+        slice(array_sort(col("cl"), bySimDesc), 1, shortlistK).as("shortlist"))
+  }
+
+  /** [[ivfPqStreamShortlist]] in APPEND/WATERMARK (eviction) posture — the
+    * serving form for an UNBOUNDED query stream (the dd_stream_dedup_evict
+    * pattern applied to ANN): the per-query rollup keys on (ingestion
+    * epoch, q_id), so each epoch's shortlists are emitted exactly once
+    * when the watermark passes the epoch's end and their state rows (and
+    * collect_list buffers) are EVICTED. State is bounded by the epoch
+    * horizon — queries whose epoch the watermark has not yet closed —
+    * never by total arrived queries; an ingest that runs for a year holds
+    * hours of state. Per-epoch contract: each query vector arrives once,
+    * all its candidates are generated map-side within its own micro-batch
+    * (the stream-static join), so the emitted (win_start, q_id, shortlist)
+    * row equals the complete-mode twin's row for that query.
+    *
+    * PRECONDITION: `stream` must already carry a WATERMARKED `ingest_ts`
+    * column — apply withWatermark at the source, BEFORE any filter that
+    * drops the flush sentinel, so the sentinel still advances event time
+    * (the stagedDocTimedBatches convention). Returns
+    * (win_start, q_id, shortlist); drain append-mode. */
+  def ivfPqStreamShortlistEpoch(stream: DataFrame, codebook: DataFrame,
+                                codes: DataFrame, cells: DataFrame,
+                                centTable: DataFrame, shortlistK: Int = 50,
+                                nprobe: Int = 2, subspaces: Int = 8,
+                                epoch: String = "60 minutes"): DataFrame = {
+    val scored = ivfPqStreamScored(stream, codebook, codes, cells, centTable,
+      nprobe, subspaces, carry = Seq("ingest_ts"))
+    scored
+      .groupBy(window(col("ingest_ts"), epoch), col("q_id"))
+      .agg(collect_list(struct(col("sim"), col("vec_id"))).as("cl"))
+      .select(col("window.start").as("win_start"), col("q_id"),
+        slice(array_sort(col("cl"), bySimDesc), 1, shortlistK).as("shortlist"))
+  }
+
+  /** Candidate-shortlist sort order shared by the two streaming rollups:
+    * sim descending, vec_id ascending tie-break — the batch window's
+    * (sim DESC, vec_id) rendered as an array_sort comparator. */
+  private val bySimDesc = (l: Column, r: Column) =>
+    when(l.getField("sim") > r.getField("sim"), -1)
+      .when(l.getField("sim") < r.getField("sim"), 1)
+      .when(l.getField("vec_id") < r.getField("vec_id"), -1)
+      .when(l.getField("vec_id") > r.getField("vec_id"), 1)
+      .otherwise(0)
+
+  /** The map-only routing + ADC scoring shared by both streaming rollups
+    * (see [[ivfPqStreamShortlist]] for the shape): per arriving vector,
+    * probe cells ranked in-row, LUT built in-row, candidates from one
+    * stream-static equi-join, one rz-rounded sim per candidate. `carry`
+    * lists stream columns (e.g. the event-time ingest_ts) to propagate
+    * through to the output. */
+  private def ivfPqStreamScored(stream: DataFrame, codebook: DataFrame,
+                                codes: DataFrame, cells: DataFrame,
+                                centTable: DataFrame, nprobe: Int,
+                                subspaces: Int,
+                                carry: Seq[String]): DataFrame = {
+    val carryCols = carry.map(col)
     val (cb, s, subDim) = codebookMeta(codebook)
     // one-row broadcast metadata: centroid array (c_id-sorted) and the
     // codebook as an idx-sorted struct array (idx = m·S + code, the pqLut
@@ -677,37 +744,29 @@ object Similarity {
         .when(l.getField("c_id") > r.getField("c_id"), 1)
         .otherwise(0)
     val probes = stream
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm"))
+      .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+        sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm") +:
+        carryCols: _*)
       .crossJoin(centArr).crossJoin(cbArr)
-      .select(col("q_id"), col("q_nrm"),
+      .select(col("q_id") +: col("q_nrm") +:
         transform(col("cbl"), e => dotf(
           slice(col("q_emb"), (e.getField("m") * subDim + 1).cast("int"),
-            lit(subDim)), e.getField("c_sub"))).as("lut"),
+            lit(subDim)), e.getField("c_sub"))).as("lut") +:
         explode(slice(array_sort(
           transform(col("cents"), c => struct(
             (round(dotf(col("q_emb"), c.getField("c_emb")) / col("q_nrm")
               / c.getField("c_nrm"), 6) + lit(0.0)).as("c_sim"),
             c.getField("c_id").as("c_id"))),
-          byCsimDesc), 1, nprobe)).as("p"))
-      .select(col("q_id"), col("q_nrm"), col("lut"), col("p.c_id").as("c_id"))
+          byCsimDesc), 1, nprobe)).as("p") +: carryCols: _*)
+      .select(col("q_id") +: col("q_nrm") +: col("lut") +:
+        col("p.c_id").as("c_id") +: carryCols: _*)
     val index = cells.join(codes, Seq("vec_id"))
-    val bySimDesc = (l: Column, r: Column) =>
-      when(l.getField("sim") > r.getField("sim"), -1)
-        .when(l.getField("sim") < r.getField("sim"), 1)
-        .when(l.getField("vec_id") < r.getField("vec_id"), -1)
-        .when(l.getField("vec_id") > r.getField("vec_id"), 1)
-        .otherwise(0)
     probes.join(index, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .crossJoin(pqRn2(cb, s))
-      .select(col("q_id"), col("vec_id"),
+      .select(col("q_id") +: col("vec_id") +:
         rz(pqFold("lut", s, subspaces) / col("q_nrm")
-          / sqrt(pqFold("rn2", s, subspaces)), 6).as("sim"))
-      .groupBy(col("q_id"))
-      .agg(collect_list(struct(col("sim"), col("vec_id"))).as("cl"))
-      .select(col("q_id"),
-        slice(array_sort(col("cl"), bySimDesc), 1, shortlistK).as("shortlist"))
+          / sqrt(pqFold("rn2", s, subspaces)), 6).as("sim") +: carryCols: _*)
   }
 
   /** Derived PQ codebook (m, code, c_sub, cn2) — subspaces × S broadcast

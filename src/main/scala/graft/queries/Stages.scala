@@ -37,6 +37,7 @@ object Stages {
     "stage:doc_evict"    -> ((s, d) => { TextOps.stagedDocTimedBatches(s, d); () }),
     "stage:pairs"        -> ((s, d) => { TextOps.stagedPairs(s, d); () }),
     "stage:clusters"     -> ((s, d) => { TextOps.stagedClusters(s, d); () }),
+    "stage:quotient"     -> ((s, d) => { TextOps.stagedQuotient(s, d); () }),
     "stage:minhash"      -> ((s, d) => { TextOps.stagedMinHashSigs(s, d); () }),
     "stage:corpus_bands" -> ((s, d) => { TextOps.stagedCorpusBands(s, d); () }),
     "stage:grams"        -> ((s, d) => { TextOps.stagedGramHashes(s, d); () }),
@@ -52,6 +53,7 @@ object Stages {
     "stage:refpq"        -> ((s, d) => { Vectors.stagedRefPq(s, d); () }),
     "stage:knn"          -> ((s, d) => { Vectors.stagedKnn(s, d); () }),
     "stage:emb_stream"   -> ((s, d) => { Vectors.stagedEmbStream(s, d); () }),
+    "stage:emb_evict"    -> ((s, d) => { Vectors.stagedEmbTimedBatches(s, d); () }),
     // ETL layout stages
     "stage:docs_by_lang" -> ((s, d) => { Etl.stagedDocsByLang(s, d); () }),
     "stage:schema_evo"   -> ((s, d) => { Etl.stagedSchemaEvo(s, d); () })

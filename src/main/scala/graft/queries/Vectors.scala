@@ -398,6 +398,113 @@ object Vectors extends QueryPack {
       Similarity.rerankExact(shortRows, e, q, k = 5)
     }),
 
+    // The EVICTION posture of the ANN serving stream — sim_stream_ann's
+    // complete-mode rollup holds every query ever arrived; an unbounded
+    // serving stream needs the dd_stream_dedup_evict shape instead:
+    // queries arrive on a synthetic ingest clock (time-ordered
+    // micro-batches + flush sentinel), shortlists roll up per (ingestion
+    // epoch, query) under a 45-minute watermark, each epoch is EMITTED
+    // once when the watermark passes and its state (rows AND collect_list
+    // candidate buffers) evicted — state is bounded by the epoch horizon,
+    // never total arrived queries (StreamingSpec pins the per-batch state
+    // sequence). The watermark is applied at the SOURCE, before the
+    // stride filter, so the flush sentinel advances event time and the
+    // last real epoch closes. Each query's candidates are map-side within
+    // its own micro-batch, so the drained rows equal the complete-mode
+    // twin's — and the whole query equals batch sim_ivfpq_rerank (same
+    // oracle SQL, the dd_bloom_confirmed proven-equal convention).
+    "sim_stream_ann_evict" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pq = stagedPq(s, dir)
+      val stride = Similarity.queryStride(e.count())
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = stagedEmbTimedBatches(s, dir)
+      val stream = StreamOps.readEventStream(s, staged,
+          s.read.parquet(s"$staged/b0.parquet"))
+        .withWatermark("ingest_ts", "45 minutes")
+        .filter(col("vec_id") % stride === 0)
+      val sl = Similarity.ivfPqStreamShortlistEpoch(stream,
+        s.read.parquet(s"$pq/codebook.parquet"),
+        s.read.parquet(s"$pq/codes.parquet"),
+        s.read.parquet(s"$pq/cells.parquet"),
+        s.read.parquet(s"$pq/cent.parquet"),
+        shortlistK = 50, nprobe = 2)
+      val drained = StreamOps.drainToTable(sl,
+        s"sim_stream_ann_evict$sf".replace(".", "_"), mode = "append",
+        shufflePartitions = Some(8))
+      // q_id >= 0 drops the flush sentinel defensively (its window is
+      // structurally never emitted — the dd_stream_dedup_evict keep_id
+      // convention)
+      val shortRows = drained.filter(col("q_id") >= 0)
+        .select(col("q_id"), explode(col("shortlist")).as("sle"))
+        .select(col("q_id"), col("sle.vec_id").as("vec_id"))
+      Similarity.rerankExact(shortRows, e, q, k = 5)
+    }),
+
+    // The recall/cost FRONTIER the nprobe knob trades along — the
+    // coverage audit (sim_ivf_nprobe_audit) measures the routing ceiling;
+    // this measures what each setting actually buys END-TO-END (IVF-PQ
+    // 50-wide shortlist + exact re-rank, the serving path) and what it
+    // costs (probed-corpus fraction = the share of index rows the ADC
+    // join touches). One row per nprobe ∈ {1,2,4,8}, any corpus size.
+    // MEASURED at sf0.01: recall 0.165/0.267/0.333/0.502 at probed
+    // fraction 0.047/0.092/0.185/0.363, vs coverage ceilings
+    // 0.165/0.267/0.362/0.622. Reading: at nprobe ≤ 2 the re-rank sits
+    // EXACTLY on the routing ceiling (every reachable neighbor
+    // recovered); at nprobe ≥ 4 the 50-wide shortlist becomes the
+    // binding constraint (0.333 < 0.362, 0.502 < 0.622 — more candidates
+    // compete for the same 50 ADC slots, and quantization error pushes
+    // some true neighbors out before the exact re-rank can see them).
+    // Serving default stays nprobe=2 — the largest setting still ON the
+    // ceiling, at 9% of the corpus scanned; a recall-bound deployment
+    // must raise shortlistK alongside nprobe, not nprobe alone.
+    "sim_ivfpq_frontier" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pq = stagedPq(s, dir)
+      val cb = s.read.parquet(s"$pq/codebook.parquet")
+      val codes = s.read.parquet(s"$pq/codes.parquet")
+      val cells = s.read.parquet(s"$pq/cells.parquet")
+      val cent = s.read.parquet(s"$pq/cent.parquet")
+      // materialized: the brute baseline is consumed by all four hit
+      // counts (and is the expensive corpus-scan half of the audit)
+      val brute = graft.ops.Dedup.materialize(
+        Similarity.bruteForceTopK(e, q, k = 5)
+          .select(col("q_id"), col("vec_id")))
+      val nTrue = brute.agg(count(lit(1)).as("n_true"))
+      val nQ = q.agg(count(lit(1)).as("n_q"))
+      val nC = e.agg(count(lit(1)).as("n_corpus"))
+      val cellSizes = cells.groupBy(col("c_id")).agg(count(lit(1)).as("csz"))
+      val probed = Similarity.queryCellRanks(cent, q, maxProbe = 8)
+        .join(cellSizes, Seq("c_id"))
+        .select(col("c_rank"), col("csz"),
+          explode(lit(Array(1L, 2L, 4L, 8L))).as("nprobe"))
+        .groupBy(col("nprobe"))
+        .agg(sum(when(col("c_rank") <= col("nprobe"), col("csz"))
+          .otherwise(0L)).as("probed_rows"))
+      val hitRows = Seq(1, 2, 4, 8).map { np =>
+        val shortlist = Similarity.ivfPqTopKFrom(cb, codes, cells, cent,
+            q, k = 50, nprobe = np)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity.rerankExact(shortlist, e, q, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        brute.join(approx, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np.toLong).as("nprobe"), col("n_hits"))
+      }.reduce(_ unionByName _)
+      hitRows.join(probed, Seq("nprobe"))
+        .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nQ))
+        .crossJoin(broadcast(nC))
+        .select(col("nprobe"), col("n_true"), col("n_hits"),
+          rd(col("n_hits").cast("double") / col("n_true"), 6).as("recall"),
+          col("probed_rows"),
+          rd(col("probed_rows").cast("double")
+            / (col("n_q") * col("n_corpus")), 6).as("probed_frac"))
+        .orderBy(col("nprobe"))
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
@@ -550,6 +657,56 @@ object Vectors extends QueryPack {
       table(s, dir, "embeddings")
         .coalesce(4)
         .write.mode("overwrite").parquet(staged)
+    }
+    staged
+  }
+
+  /** Embeddings staged as TIME-ORDERED micro-batch files with a synthetic
+    * ingest clock (the stagedDocTimedBatches convention: one vector per
+    * minute from the 2020-01-01 epoch, two data batches split at the id
+    * midpoint, then a flush sentinel whose timestamp pushes the watermark
+    * past every real epoch) — the arrival shape the watermarked ANN
+    * serving stream (sim_stream_ann_evict) assumes.
+    *
+    * The sentinel carries vec_id = −queryStride and the first corpus
+    * vector's (real) embedding: the consumer's stride filter is pushed
+    * BELOW the EventTimeWatermark node by PushDownPredicates (it does not
+    * reference the event-time column), so a sentinel that failed the
+    * filter would never reach the watermark exec and the final epochs
+    * would stay unemitted — measured as the last 75 minutes of queries
+    * missing from the drain. −stride ≡ 0 (mod stride) survives any
+    * pushed-down stride filter; the sentinel's own window is structurally
+    * never emitted (the watermark stops 45 min short of the maximum event
+    * time, which is the sentinel itself), and consumers defensively drop
+    * q_id < 0. */
+  private[graft] def stagedEmbTimedBatches(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val staged = tmpStage(dir, "embevict")
+    val freshStage = !Files.exists(Paths.get(s"$staged/_STAGED"))
+    graft.queries.logStage(staged, freshStage)
+    if (freshStage) {
+      val raw = table(s, dir, "embeddings")
+      val stride = graft.ops.Similarity.queryStride(raw.count())
+      val e = raw
+        .select(col("vec_id"), col("embedding"), col("label"),
+          expr("timestamp_micros(1577836800000000 + vec_id * 60000000)")
+            .as("ingest_ts"))
+      val Array(minId, maxId) = e
+        .agg(min(col("vec_id")), max(col("vec_id"))).first() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+      val mid = (minId + maxId) / 2
+      val flushUs = 1577836800000000L + maxId * 60000000L + 7200000000L
+      val flush = raw.filter(col("vec_id") === minId)
+        .select(lit(-stride).as("vec_id"), col("embedding"),
+          lit(null).cast("int").as("label"),
+          expr(s"timestamp_micros(${flushUs}L)").as("ingest_ts"))
+      val base = System.currentTimeMillis() / 1000L
+      writeMicroBatchFile(e.filter(col("vec_id") <= mid), staged, "b0", base)
+      writeMicroBatchFile(e.filter(col("vec_id") > mid), staged, "b1", base + 2)
+      writeMicroBatchFile(flush, staged, "b2", base + 4)
+      Files.createFile(Paths.get(s"$staged/_STAGED"))
     }
     staged
   }
@@ -875,7 +1032,8 @@ object Vectors extends QueryPack {
     * names — `$name` scores whichever (packed, lut, rn, s) quadruple it is
     * pointed at, so raw and refined indexes ride one scoring text. */
   private def ivfAdcScored(name: String, packed: String, lut: String,
-                           rn: String, sTab: String): String =
+                           rn: String, sTab: String, probe: String = "iqp",
+                           extraWhere: String = ""): String =
     s"""$name AS (
       |  SELECT l.q_id, p.vec_id,
       |    round(
@@ -884,12 +1042,12 @@ object Vectors extends QueryPack {
       |      / l.q_nrm
       |      / sqrt(list_reduce(list_transform(range(0, 8),
       |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
-      |  FROM iqp
+      |  FROM $probe
       |    JOIN ica USING (c_id)
       |    JOIN $packed p ON ica.vec_id = p.vec_id
-      |    JOIN $lut l ON iqp.q_id = l.q_id
+      |    JOIN $lut l ON $probe.q_id = l.q_id
       |    CROSS JOIN $rn r CROSS JOIN $sTab sc
-      |  WHERE p.vec_id <> l.q_id)""".stripMargin
+      |  WHERE p.vec_id <> l.q_id$extraWhere)""".stripMargin
 
   private lazy val ivfPqCtes: String =
     s"""$ivfRouteCtes,
@@ -917,6 +1075,74 @@ object Vectors extends QueryPack {
       |    ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
       |  FROM irx) t
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Per-query centroid ranking to depth 8 (q_id, c_id, c_rank) — the SQL
+    * twin of Similarity.queryCellRanks(maxProbe = 8), shared by the nprobe
+    * coverage audit and the frontier so the routing text cannot drift.
+    * Assumes qe + icent are in the WITH list. */
+  private lazy val iqp8Cte: String =
+    s"""iqp8 AS (
+      |  SELECT q_id, c_id, rn AS c_rank FROM (
+      |    SELECT v.vec_id AS q_id, c.c_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+      |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 8)""".stripMargin
+
+  /** sim_ivfpq_frontier: per nprobe ∈ {1,2,4,8}, the end-to-end re-ranked
+    * recall@5 of the IVF-PQ serving path AND its probed-corpus fraction —
+    * the measured recall/cost frontier behind the serving default. Reuses
+    * the pq/route CTEs; the ADC scoring runs once per nprobe over the
+    * depth-8 route table filtered to that setting. */
+  private lazy val ivfPqFrontierOracle: String = {
+    val perNp = Seq(1, 2, 4, 8).map { np =>
+      s"""${ivfAdcScored(s"fs$np", "pqpacked", "pqlut", "pqrn", "pqs",
+             probe = "iqp8", extraWhere = s" AND iqp8.c_rank <= $np")},
+        |fsl$np AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+        |    FROM fs$np) t WHERE r <= 50),
+        |frx$np AS (
+        |  SELECT fsl$np.q_id, fsl$np.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
+        |  FROM fsl$np JOIN pqq q USING (q_id)
+        |              JOIN embeddings e ON fsl$np.vec_id = e.vec_id),
+        |fr5$np AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM frx$np) t WHERE rank <= 5),
+        |fh$np AS (SELECT CAST($np AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM fb JOIN fr5$np USING (q_id, vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqCtes,
+      |$ivfRouteCtes,
+      |$iqp8Cte,
+      |fbscored AS (
+      |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
+      |  FROM embeddings e CROSS JOIN pqq q WHERE e.vec_id <> q.q_id),
+      |fb AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM fbscored) t WHERE rank <= 5),
+      |$perNp,
+      |fcsz AS (SELECT c_id, CAST(count(*) AS BIGINT) AS csz FROM ica GROUP BY 1),
+      |fnpv AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
+      |fpr AS (
+      |  SELECT fnpv.nprobe,
+      |    CAST(sum(CASE WHEN q.c_rank <= fnpv.nprobe THEN s.csz ELSE 0 END) AS BIGINT) AS probed_rows
+      |  FROM iqp8 q JOIN fcsz s USING (c_id) CROSS JOIN fnpv GROUP BY 1),
+      |fhh AS (SELECT * FROM fh1 UNION ALL SELECT * FROM fh2
+      |        UNION ALL SELECT * FROM fh4 UNION ALL SELECT * FROM fh8),
+      |fbt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM fb),
+      |ftq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM pqq),
+      |ftn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings)
+      |SELECT fhh.nprobe, fbt.n_true, fhh.n_hits,
+      |  CAST(round(CAST(CAST(fhh.n_hits AS DOUBLE) / fbt.n_true AS DECIMAL(30,10)), 6) AS DOUBLE) AS recall,
+      |  fpr.probed_rows,
+      |  CAST(round(CAST(CAST(fpr.probed_rows AS DOUBLE) / (ftq.n_q * ftn.n_corpus) AS DECIMAL(30,10)), 6) AS DOUBLE) AS probed_frac
+      |FROM fhh JOIN fpr USING (nprobe)
+      |  CROSS JOIN fbt CROSS JOIN ftq CROSS JOIN ftn
+      |ORDER BY nprobe""".stripMargin
+  }
 
   /** sim_ivfpq_ref_recall: the refined index routed through IVF, 50-wide
     * shortlist, exact re-rank, recall@5 vs brute — the SQL twin of the
@@ -1363,16 +1589,16 @@ object Vectors extends QueryPack {
     // the batch two-stage serving path row for row, so it shares
     // sim_ivfpq_rerank's oracle text verbatim
     "sim_stream_ann" -> ivfPqRerankOracle,
+    // proven-equal eviction twin: per-epoch append-mode drain equals the
+    // complete-mode drain equals the batch path (one oracle text)
+    "sim_stream_ann_evict" -> ivfPqRerankOracle,
+
+    "sim_ivfpq_frontier" -> ivfPqFrontierOracle,
 
     "sim_ivf_nprobe_audit" ->
       s"""WITH $bruteCtes,
         |$ivfRouteCtes,
-        |iqp8 AS (
-        |  SELECT q_id, c_id, rn AS c_rank FROM (
-        |    SELECT v.vec_id AS q_id, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN icent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 8),
+        |$iqp8Cte,
         |hr AS (
         |  SELECT b.q_id, b.vec_id, coalesce(i.c_rank, 999) AS cr
         |  FROM b JOIN ica ON b.vec_id = ica.vec_id

@@ -192,6 +192,49 @@ class StreamingSpec extends SparkSpec {
       "every arrived query must hold exactly one shortlist row")
   }
 
+  test("sim_stream_ann_evict: append/watermark ANN serving equals the " +
+    "batch path; state is bounded by the epoch horizon and evicts") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Vectors.queries("sim_stream_ann_evict")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.queries.Vectors.queries("sim_ivfpq_rerank")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "eviction-mode ANN served nothing at sf0.001")
+    assert(streamed == batch,
+      s"evict/batch serving divergence:\n stream=${streamed.take(5)}…" +
+        s"\n batch=${batch.take(5)}…")
+    // State sequence: two data batches split the query stream in half, so
+    // no batch's state may hold anywhere near ALL arrived queries (the
+    // complete-mode posture); the flush batch + the final
+    // watermark-advance batch must evict down to at most the sentinel's
+    // own (never-emitted) group.
+    import graft.ops.Similarity
+    val e = graft.queries.table(spark, dir, "embeddings")
+    val stride = Similarity.queryStride(e.count())
+    val nQ = e.filter($"vec_id" % stride === 0).count()
+    val staged = graft.queries.Vectors.stagedEmbTimedBatches(spark, dir)
+    val stream = StreamOps.readEventStream(spark, staged,
+        spark.read.parquet(s"$staged/b0.parquet"))
+      .withWatermark("ingest_ts", "45 minutes")
+      .filter($"vec_id" % stride === 0)
+    val (cb, codes) = Similarity.pqIndexFrames(e)
+    val (cells, cent) = Similarity.ivfIndexFrames(e)
+    val sl = Similarity.ivfPqStreamShortlistEpoch(stream, cb, codes, cells, cent)
+    val (_, state) = StreamOps.drainToTableTracked(sl,
+      "ann_evict_state_pin", "append", shufflePartitions = Some(2))
+    assert(state.nonEmpty, "no progress captured")
+    assert(state.max < nQ,
+      s"evict state held all $nQ arrived queries — eviction not working: $state")
+    // horizon bound: one batch's arrivals (≤ ⌈nQ/2⌉) plus the previous
+    // batch's un-evicted tail (45 min of watermark lag ÷ stride minutes
+    // per query) plus the sentinel
+    val horizon = (nQ + 1) / 2 + math.ceil(45.0 / stride).toLong + 2
+    assert(state.max <= horizon,
+      s"evict state exceeded the epoch horizon ($horizon): $state")
+    assert(state.last <= 1,
+      s"final watermark did not evict to at most the sentinel group: $state")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")
