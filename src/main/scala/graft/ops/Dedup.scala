@@ -1538,26 +1538,13 @@ object Dedup {
     * generation. Intra-group pairs carry jaccard = 1.0 exactly (identical
     * token sets; the verify tail's round(1.0, 6) is the same double);
     * cross-group pairs inherit the representatives' jaccard because every
-    * member's token set IS its rep's. Unordered — callers sort. */
-  def expandCanonicalPairs(canon: DataFrame, members: DataFrame): DataFrame = {
-    val m = members.select(col("doc_id"), col("rep"))
-    // Only multi-member groups produce intra pairs; the r ≥ 2 cut keeps
-    // the self-join input at the duplicate mass, not the corpus.
-    val multi = members.filter(col("r") >= 2).select(col("doc_id"), col("rep"))
-    val intra = multi.as("x").join(multi.as("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    val cross = canon
-      .select(col("doc_a").as("ra"), col("doc_b").as("rb"), col("jaccard"))
-      .join(m.select(col("rep").as("ra"), col("doc_id").as("ma")), "ra")
-      .join(m.select(col("rep").as("rb"), col("doc_id").as("mb")), "rb")
-      .select(least(col("ma"), col("mb")).as("doc_a"),
-        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
-    // Disjoint by construction: intra pairs share a group, cross pairs
-    // never do — plain union, no dedup.
-    intra.unionByName(cross)
-  }
+    * member's token set IS its rep's. The intra grid is r² per group BY
+    * CONTRACT and chunked ([[expandMemberPairs]]), so a single
+    * crawl-scale boilerplate group (r ~ 10⁵) spreads its pair grid over
+    * chunks² tasks instead of pinning one. Unordered — callers sort. */
+  def expandCanonicalPairs(canon: DataFrame, members: DataFrame,
+                           chunks: Int = 4): DataFrame =
+    expandMemberPairs(canon, members, Seq("jaccard" -> lit(1.0)), chunks)
 
   /** Candidate generation + exact verify over an already-prepared
     * (doc_id, lang, toks, bucket) table (see [[ngramJaccard]]'s scaladoc
