@@ -22,6 +22,9 @@ import json
 import math
 import sys
 
+NOTE_KEY = "note_r13"  # bump per round — never silently clobber an older
+                       # round's committed evidence note
+
 
 def minof(runs, q):
     vals = [r["queries"][q] for r in runs if q in r.get("queries", {})]
@@ -78,7 +81,7 @@ def main():
                     rec["growth_exponent"][q] = round(
                         math.log(t30 / t01) / math.log(30), 2)
         if note:
-            rec["note_r12"] = note
+            rec[NOTE_KEY] = note
         json.dump(rec, open("BENCH_F30.json", "w"), indent=1, sort_keys=True)
         print("BENCH_F30.json updated:", len(names), "queries")
 
@@ -97,7 +100,7 @@ def main():
                         math.log(t100 / t30) / math.log(100 / 30), 2)
             rec["decade"][q] = entry
         if note:
-            rec["note_r12"] = note
+            rec[NOTE_KEY] = note
         json.dump(rec, open("BENCH_F100.json", "w"), indent=1, sort_keys=True)
         print("BENCH_F100.json updated")
 
