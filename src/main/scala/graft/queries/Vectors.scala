@@ -505,6 +505,49 @@ object Vectors extends QueryPack {
         .orderBy(col("nprobe"))
     }),
 
+    // The OTHER axis of the serving trade — sim_ivfpq_frontier showed
+    // that at nprobe ≥ 4 the 50-wide shortlist (not cell coverage) binds
+    // end-to-end recall; this measures what WIDENING the shortlist buys
+    // at fixed nprobe=8 (coverage ceiling 0.622). One row per
+    // shortlistK ∈ {50, 100, 200}: re-ranked recall@5 plus the re-rank
+    // fetch cost (n_fetch = shortlist rows actually re-ranked). MEASURED
+    // at sf0.01: recall 0.502/0.600/0.622 — K=200 reaches the routing
+    // ceiling exactly (every reachable neighbor survives the shortlist),
+    // so the full recall budget splits cleanly into two measured knobs:
+    // nprobe buys reachability, shortlistK buys survival, and a
+    // recall-bound deployment sizes BOTH from these two judged tables.
+    "sim_ivfpq_k_frontier" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pq = stagedPq(s, dir)
+      val cb = s.read.parquet(s"$pq/codebook.parquet")
+      val codes = s.read.parquet(s"$pq/codes.parquet")
+      val cells = s.read.parquet(s"$pq/cells.parquet")
+      val cent = s.read.parquet(s"$pq/cent.parquet")
+      val brute = graft.ops.Dedup.materialize(
+        Similarity.bruteForceTopK(e, q, k = 5)
+          .select(col("q_id"), col("vec_id")))
+      val nTrue = brute.agg(count(lit(1)).as("n_true"))
+      val hitRows = Seq(50, 100, 200).map { kk =>
+        val shortlist = graft.ops.Dedup.materialize(
+          Similarity.ivfPqTopKFrom(cb, codes, cells, cent,
+              q, k = kk, nprobe = 8)
+            .select(col("q_id"), col("vec_id")))
+        val approx = Similarity.rerankExact(shortlist, e, q, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        brute.join(approx, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(shortlist.agg(count(lit(1)).as("n_fetch"))))
+          .select(lit(kk.toLong).as("shortlist_k"), col("n_hits"),
+            col("n_fetch"))
+      }.reduce(_ unionByName _)
+      hitRows.crossJoin(broadcast(nTrue))
+        .select(col("shortlist_k"), col("n_true"), col("n_hits"),
+          rd(col("n_hits").cast("double") / col("n_true"), 6).as("recall"),
+          col("n_fetch"))
+        .orderBy(col("shortlist_k"))
+    }),
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedup(table(s, dir, "embeddings"), threshold = 0.3)),
@@ -1144,6 +1187,55 @@ object Vectors extends QueryPack {
       |ORDER BY nprobe""".stripMargin
   }
 
+  /** sim_ivfpq_k_frontier: the shortlist-width axis at fixed nprobe=8 —
+    * ONE ADC-scored CTE over the depth-8 probes, three row_number slices
+    * (K = 50/100/200), each re-ranked exactly and hit-counted vs brute. */
+  private lazy val ivfPqKFrontierOracle: String = {
+    val perK = Seq(50, 100, 200).map { kk =>
+      s"""ksl$kk AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+        |    FROM ks8) t WHERE r <= $kk),
+        |kfc$kk AS (SELECT CAST(count(*) AS BIGINT) AS n_fetch FROM ksl$kk),
+        |krx$kk AS (
+        |  SELECT ksl$kk.q_id, ksl$kk.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
+        |  FROM ksl$kk JOIN pqq q USING (q_id)
+        |              JOIN embeddings e ON ksl$kk.vec_id = e.vec_id),
+        |kr5$kk AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM krx$kk) t WHERE rank <= 5),
+        |kh$kk AS (
+        |  SELECT CAST($kk AS BIGINT) AS shortlist_k,
+        |    CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM kb JOIN kr5$kk USING (q_id, vec_id)),
+        |khh$kk AS (SELECT shortlist_k, n_hits, n_fetch
+        |  FROM kh$kk CROSS JOIN kfc$kk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqCtes,
+      |$ivfRouteCtes,
+      |$iqp8Cte,
+      |${ivfAdcScored("ks8", "pqpacked", "pqlut", "pqrn", "pqs",
+           probe = "iqp8", extraWhere = " AND iqp8.c_rank <= 8")},
+      |kbscored AS (
+      |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
+      |  FROM embeddings e CROSS JOIN pqq q WHERE e.vec_id <> q.q_id),
+      |kb AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM kbscored) t WHERE rank <= 5),
+      |$perK,
+      |kall AS (SELECT * FROM khh50 UNION ALL SELECT * FROM khh100
+      |         UNION ALL SELECT * FROM khh200),
+      |kbt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM kb)
+      |SELECT kall.shortlist_k, kbt.n_true, kall.n_hits,
+      |  CAST(round(CAST(CAST(kall.n_hits AS DOUBLE) / kbt.n_true AS DECIMAL(30,10)), 6) AS DOUBLE) AS recall,
+      |  kall.n_fetch
+      |FROM kall CROSS JOIN kbt
+      |ORDER BY shortlist_k""".stripMargin
+  }
+
   /** sim_ivfpq_ref_recall: the refined index routed through IVF, 50-wide
     * shortlist, exact re-rank, recall@5 vs brute — the SQL twin of the
     * Spark composition (refCtes supplies fpacked/flut/frn/fs). */
@@ -1594,6 +1686,7 @@ object Vectors extends QueryPack {
     "sim_stream_ann_evict" -> ivfPqRerankOracle,
 
     "sim_ivfpq_frontier" -> ivfPqFrontierOracle,
+    "sim_ivfpq_k_frontier" -> ivfPqKFrontierOracle,
 
     "sim_ivf_nprobe_audit" ->
       s"""WITH $bruteCtes,
