@@ -70,7 +70,16 @@ object Dedup {
     * raw column VALUES, and signature equality IS the criterion the banded
     * self-join would test. One corpus-linear shuffle on narrow rows buys
     * candidate generation whose input shrinks r-fold per duplicate class
-    * (and whose banded-bucket work shrinks r²-fold). */
+    * (and whose banded-bucket work shrinks r²-fold).
+    *
+    * Mega-class bound: a crawl-scale corpus that is ONE giant twin class
+    * funnels into a single window partition here — deliberately
+    * acceptable where a pair grid was not, because the partition holds
+    * O(m) NARROW rows (the ≤16 signature longs, no text), two orders
+    * below the O(m²) grid the expansion spreads over chunks² tasks
+    * (PropertySpec pins both halves on a 300-member class). At 2³⁰
+    * members a window partition would spill sorted runs, not explode;
+    * the grid never concentrates. */
   private def signatureMembers(sig: DataFrame, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -90,9 +99,9 @@ object Dedup {
     * The intra self-join is r² per class BY CONTRACT (those pairs ARE the
     * output); it is chunked so a single mega-class's pair grid spreads
     * over chunks² tasks instead of pinning one. Unordered — callers sort. */
-  private def expandMemberPairs(canon: DataFrame, members: DataFrame,
-                                extras: Seq[(String, Column)],
-                                chunks: Int): DataFrame = {
+  private[graft] def expandMemberPairs(canon: DataFrame, members: DataFrame,
+                                       extras: Seq[(String, Column)],
+                                       chunks: Int): DataFrame = {
     val multi = members.filter(col("r") >= 2).select(col("doc_id"), col("rep"))
     val (a, b, chunkCond) = Skew.chunkedSelfJoin(multi, "doc_id", chunks)
     val intra = a.join(b, col("a.rep") === col("b.rep") && chunkCond &&
@@ -608,6 +617,11 @@ object Dedup {
     * self-join; candidate work r²-smaller per duplicate class. */
   def simHashPairsFromSignatures(sigs: DataFrame, maxHamming: Int = 3,
                                  chunks: Int = 4): DataFrame = {
+    // Intra twin pairs are added unconditionally at hamming 0; a negative
+    // maxHamming would silently diverge from the direct banded self-join
+    // (which would emit nothing), so the degenerate config fails loudly
+    // (the ngramJaccard threshold-guard convention).
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     val members = materialize(signatureMembers(sigs, Seq("simhash")))
     val repSigs = materialize(sigs.join(
       members.filter(col("doc_id") === col("rep")).select(col("doc_id")),

@@ -37,9 +37,13 @@ object Graph {
     * membership as derived by [[trianglesFromTwinClasses]]/
     * [[pageRankFromTwinClasses]] from the canonical pair factorization) —
     * the graft.queries convention: the tag lives next to the code it
-    * fingerprints. Bump with any change to [[participating]] or the
-    * quotient edge derivation. */
-  val QuotientStageTag = "grquotient_v1"
+    * fingerprints. Bump the `grquotient_vN` prefix with any change to
+    * [[participating]] or the quotient edge derivation; the UPSTREAM
+    * Dedup.PairStageTag is composed into the tag so a canon-pair change
+    * (e.g. the round-13 md5→sha2-256 fingerprint bump) can never serve a
+    * stale quotient to gr1/gr2/gr3 in a warm-stage run outside
+    * Verify/Bench's startup wipe. */
+  val QuotientStageTag = s"grquotient_v1_${Dedup.PairStageTag}"
 
   /** Fixed-point PageRank after a FIXED number of iterations over an
     * undirected edge list `(src, dst)` (each undirected pair listed once;

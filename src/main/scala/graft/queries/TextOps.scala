@@ -39,8 +39,8 @@ object TextOps extends QueryPack {
     * exponent 2.48 / 405.8 s), while the canonical build only ever feeds
     * distinct token sets to candidate generation; expansion is
     * output-bounded and deferred to the queries whose judged contract
-    * actually demands member pairs. Tag: Dedup.PairStageTag (bumped to
-    * _v2 with the layout). */
+    * actually demands member pairs. Tag: Dedup.PairStageTag (bumped with
+    * any change to the factorization — see its scaladoc for the rule). */
   private[queries] def stagedCanonPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val staged = tmpStage(dir, graft.ops.Dedup.PairStageTag)

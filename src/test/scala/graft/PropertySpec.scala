@@ -613,6 +613,65 @@ class PropertySpec extends SparkSpec {
       s"verified pair-set divergence: got ${gotVer.size}, want ${wantVer.size}")
   }
 
+  test("mega twin class: a 300-identical-doc corpus expands to the exact " +
+    "pair grid with provable twin stats through both signature families") {
+    import graft.ops.Dedup
+    // The crawl-corpus worst case the signature window must survive: ONE
+    // giant twin class (every doc token-identical) plus a disjoint two-doc
+    // class. Expected pair set is closed-form: C(300,2) intra pairs at
+    // hamming 0 / est 1.0 inside the mega class, 1 pair in the small
+    // class, and cross pairs only if the two signatures band-collide
+    // (checked from the signatures themselves, not assumed).
+    val m = 300
+    val corpus = ((0 until m).map(i => (i.toLong, "mega twin body text", "en")) ++
+      Seq((900L, "zq wholly different words", "en"),
+          (901L, "zq wholly different words", "en")))
+      .toDF("doc_id", "text", "lang")
+    val intraExpect = m.toLong * (m - 1) / 2
+    // simhash family
+    val simPairs = rows(Dedup.simHash(corpus, maxHamming = 3))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val simIntra = simPairs.filter { case (a, b, _) => a < m && b < m }
+    assert(simIntra.size.toLong == intraExpect,
+      s"simhash intra grid: ${simIntra.size} != $intraExpect")
+    assert(simIntra.forall(_._3 == 0), "twin pairs must carry hamming 0")
+    assert(simPairs.count { case (a, b, _) => a >= 900 && b >= 900 } == 1)
+    // minhash family (signature-vector twins)
+    val sig = Dedup.minHashSignatures(corpus).localCheckpoint()
+    val mhPairs = rows(Dedup.minHashPairsFromSignatures(sig))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mhPairs.count { case (a, b) => a < m && b < m }.toLong == intraExpect)
+    val ver = rows(Dedup.minHashVerifiedFromSignatures(sig, minEst = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ver.filter { case (a, b, _) => a < m && b < m }.forall(_._3 == 1.0),
+      "twin pairs must carry est_jaccard 1.0")
+  }
+
+  test("mega twin class: the intra pair grid spreads over the chunk grid — " +
+    "no single task materializes the whole C(300,2) expansion") {
+    import graft.ops.Dedup
+    // expandMemberPairs is unordered by contract (callers sort), so its
+    // raw partitioning IS the task layout the grid runs in: the chunked
+    // self-join keys on (rep, chunk-pair), and a single mega class must
+    // land its C(m,2) pairs across the chunks² cells rather than pinning
+    // one hash partition (the hazard the chunking exists to remove —
+    // the membership WINDOW may hold the class's O(m) narrow rows in one
+    // partition, the O(m²) GRID may not).
+    val m = 300
+    val members = (0 until m).map(i => (i.toLong, 0L, m.toLong))
+      .toDF("doc_id", "rep", "r")
+    val canon = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val expanded = Dedup.expandMemberPairs(canon, members, Nil, chunks = 4)
+    val perPart = expanded.rdd
+      .mapPartitions(it => Iterator.single(it.size.toLong), true).collect()
+    val total = perPart.sum
+    assert(total == m.toLong * (m - 1) / 2, s"grid size $total")
+    assert(perPart.count(_ > 0) >= 4,
+      s"grid concentrated on ${perPart.count(_ > 0)} task(s)")
+    assert(perPart.max < total,
+      s"single task held the entire ${total}-pair grid")
+  }
+
   test("queryStride bounds the judged ANN workload at every corpus size") {
     // The service contract: ~64 query vectors regardless of corpus size —
     // a workload proportional to n turns every exhaustive-scan path into
