@@ -704,6 +704,61 @@ object Similarity {
         slice(array_sort(col("cl"), bySimDesc), 1, shortlistK).as("shortlist"))
   }
 
+  /** STREAMING index-side ingest — the other half of a live ANN service
+    * (the serving stream covers arriving QUERIES; this covers arriving
+    * CORPUS vectors): each new vector is IVF-routed and PQ-encoded
+    * entirely WITHIN ITS OWN ROW under FROZEN codebook + centroids, and
+    * the (vec_id, c_id, cp) row appends to the standing index — the
+    * dd_incremental_lsh posture applied to the PQ index. Map-only by
+    * construction: the centroid array and the (idx-sorted) codebook ride
+    * one-row broadcasts into the stream, the route is the in-row argmax
+    * (round-6 cosine, c_id tie-break — the ivfAssign packed-argmax order),
+    * and the per-subspace encode is the in-row packed argmin over the
+    * codebook slice (identical pk arithmetic to [[pqEncode]], so the
+    * emitted code equals the batch encode bit for bit). ZERO stateful
+    * operators — no watermark, no state store, nothing to evict: state
+    * boundedness is trivial (StreamingSpec pins the all-zero state
+    * sequence), and the drained table equals the batch
+    * (cells ⨝ codes) index of the same corpus row for row regardless of
+    * micro-batching (shared oracle — the dd_bloom_confirmed convention).
+    *
+    * At 100 TB this is the ingest path that keeps a standing vector index
+    * current without nightly rebuilds: frozen quantizers (retrained
+    * offline, versioned), arriving shards encoded map-side at 8 bytes of
+    * code + 8 of cell id per vector, appended partition-aligned by c_id. */
+  def ivfPqStreamEncode(stream: DataFrame, codebook: DataFrame,
+                        centTable: DataFrame, subspaces: Int = 8): DataFrame = {
+    val (cb, s, subDim) = codebookMeta(codebook)
+    val centArr = broadcast(centTable
+      .select(struct(col("c_id"), col("c_emb"), col("c_nrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents")))
+    val cbArr = broadcast(cb
+      .select(struct((col("m") * s + col("code")).as("idx"), col("m"),
+        col("c_sub"), col("cn2")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("cbl")))
+    val route = element_at(slice(array_sort(
+      transform(col("cents"), c => struct(
+        (round(dotf(col("embedding"), c.getField("c_emb")) / col("nrm")
+          / c.getField("c_nrm"), 6) + lit(0.0)).as("c_sim"),
+        c.getField("c_id").as("c_id"))),
+      byCsimDesc), 1, 1), 1).getField("c_id")
+    val bias = 1000000000000L
+    val cp = (0 until subspaces).map { m =>
+      val codeM = array_min(transform(
+        slice(col("cbl"), (m * s + 1).toInt, s.toInt),
+        e => (round((e.getField("cn2") - lit(2.0) * dotf(
+            slice(col("embedding"), m * subDim + 1, subDim),
+            e.getField("c_sub"))) * 1e6, 0).cast("long") + lit(bias))
+          * 256L + (e.getField("idx") - lit(m.toLong * s)))) % 256L
+      codeM * lit(1L << (8 * m))
+    }.reduce(_ + _)
+    stream
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
+      .crossJoin(centArr).crossJoin(cbArr)
+      .select(col("vec_id"), route.as("c_id"), cp.as("cp"))
+  }
+
   /** Candidate-shortlist sort order shared by the two streaming rollups:
     * sim descending, vec_id ascending tie-break — the batch window's
     * (sim DESC, vec_id) rendered as an array_sort comparator. */
@@ -712,6 +767,16 @@ object Similarity {
       .when(l.getField("sim") < r.getField("sim"), 1)
       .when(l.getField("vec_id") < r.getField("vec_id"), -1)
       .when(l.getField("vec_id") > r.getField("vec_id"), 1)
+      .otherwise(0)
+
+  /** Centroid ranking order shared by the streaming route paths: c_sim
+    * descending, c_id ascending tie-break — the batch probe window's
+    * (c_sim DESC, c_id) rendered as an array_sort comparator. */
+  private val byCsimDesc = (l: Column, r: Column) =>
+    when(l.getField("c_sim") > r.getField("c_sim"), -1)
+      .when(l.getField("c_sim") < r.getField("c_sim"), 1)
+      .when(l.getField("c_id") < r.getField("c_id"), -1)
+      .when(l.getField("c_id") > r.getField("c_id"), 1)
       .otherwise(0)
 
   /** The map-only routing + ADC scoring shared by both streaming rollups
@@ -737,12 +802,6 @@ object Similarity {
       .select(struct((col("m") * s + col("code")).as("idx"), col("m"),
         col("c_sub")).as("e"))
       .agg(array_sort(collect_list(col("e"))).as("cbl")))
-    val byCsimDesc = (l: Column, r: Column) =>
-      when(l.getField("c_sim") > r.getField("c_sim"), -1)
-        .when(l.getField("c_sim") < r.getField("c_sim"), 1)
-        .when(l.getField("c_id") < r.getField("c_id"), -1)
-        .when(l.getField("c_id") > r.getField("c_id"), 1)
-        .otherwise(0)
     val probes = stream
       .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
         sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm") +:

@@ -443,20 +443,53 @@ object Vectors extends QueryPack {
       Similarity.rerankExact(shortRows, e, q, k = 5)
     }),
 
+    // INDEX-SIDE streaming ANN ingest — the other half of the live
+    // service (sim_stream_ann covers arriving queries; this covers
+    // arriving CORPUS vectors): each vector arriving on the micro-batch
+    // stream is IVF-routed + PQ-encoded entirely within its own row under
+    // the FROZEN staged codebook/centroids and APPENDED to the standing
+    // (vec_id, c_id, cp) index — zero stateful operators, no watermark,
+    // nothing to evict (StreamingSpec pins the all-zero state sequence),
+    // so the strongest possible state-boundedness posture. The drained
+    // index equals the batch encode (stage:pq's cells ⨝ codes) of the
+    // same corpus row for row regardless of micro-batching — same oracle
+    // text as the batch index CTEs (the dd_bloom_confirmed proven-equal
+    // convention).
+    "sim_stream_index_ingest" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val pq = stagedPq(s, dir)
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = stagedEmbStream(s, dir)
+      val stream = StreamOps.readEventStream(s, staged,
+        s.read.parquet(staged))
+      val enc = Similarity.ivfPqStreamEncode(stream,
+        s.read.parquet(s"$pq/codebook.parquet"),
+        s.read.parquet(s"$pq/cent.parquet"))
+      StreamOps.drainToTable(enc,
+        s"sim_stream_index_ingest$sf".replace(".", "_"), mode = "append")
+        .orderBy(col("vec_id"))
+    }),
+
     // The recall/cost FRONTIER the nprobe knob trades along — the
     // coverage audit (sim_ivf_nprobe_audit) measures the routing ceiling;
     // this measures what each setting actually buys END-TO-END (IVF-PQ
     // 50-wide shortlist + exact re-rank, the serving path) and what it
     // costs (probed-corpus fraction = the share of index rows the ADC
     // join touches). One row per nprobe ∈ {1,2,4,8}, any corpus size.
-    // MEASURED at sf0.01: recall 0.165/0.267/0.333/0.502 at probed
-    // fraction 0.047/0.092/0.185/0.363, vs coverage ceilings
+    // Measured on the REFINED codebook/codes (stage:refpq — the index the
+    // engine actually deploys; sim_ivfpq_ref_recall showed the Lloyd
+    // rounds buy flat-ADC quality, and the frontier is exactly where
+    // shortlist survival, hence code quality, binds); cells/centroids are
+    // shared with stage:pq, so the routing cost column is unchanged.
+    // MEASURED at sf0.01 (refined): recall 0.165/0.267/0.349/0.527 at
+    // probed fraction 0.047/0.092/0.185/0.363, vs coverage ceilings
     // 0.165/0.267/0.362/0.622. Reading: at nprobe ≤ 2 the re-rank sits
     // EXACTLY on the routing ceiling (every reachable neighbor
     // recovered); at nprobe ≥ 4 the 50-wide shortlist becomes the
-    // binding constraint (0.333 < 0.362, 0.502 < 0.622 — more candidates
-    // compete for the same 50 ADC slots, and quantization error pushes
-    // some true neighbors out before the exact re-rank can see them).
+    // binding constraint — but the refined codes lose LESS of the ceiling
+    // than the raw seeds did (0.349 vs 0.333 at nprobe=4, 0.527 vs 0.502
+    // at nprobe=8: better codes rank true neighbors higher, so fewer are
+    // pushed out of the 50 ADC slots before the exact re-rank sees them).
     // Serving default stays nprobe=2 — the largest setting still ON the
     // ceiling, at 9% of the corpus scanned; a recall-bound deployment
     // must raise shortlistK alongside nprobe, not nprobe alone.
@@ -464,8 +497,9 @@ object Vectors extends QueryPack {
       val e = table(s, dir, "embeddings")
       val q = boundedQueries(e)
       val pq = stagedPq(s, dir)
-      val cb = s.read.parquet(s"$pq/codebook.parquet")
-      val codes = s.read.parquet(s"$pq/codes.parquet")
+      val ref = stagedRefPq(s, dir)
+      val cb = s.read.parquet(s"$ref/refcodebook.parquet")
+      val codes = s.read.parquet(s"$ref/refcodes.parquet")
       val cells = s.read.parquet(s"$pq/cells.parquet")
       val cent = s.read.parquet(s"$pq/cent.parquet")
       // materialized: the brute baseline is consumed by all four hit
@@ -506,22 +540,30 @@ object Vectors extends QueryPack {
     }),
 
     // The OTHER axis of the serving trade — sim_ivfpq_frontier showed
-    // that at nprobe ≥ 4 the 50-wide shortlist (not cell coverage) binds
+    // that at nprobe ≥ 4 the shortlist width (not cell coverage) binds
     // end-to-end recall; this measures what WIDENING the shortlist buys
-    // at fixed nprobe=8 (coverage ceiling 0.622). One row per
-    // shortlistK ∈ {50, 100, 200}: re-ranked recall@5 plus the re-rank
-    // fetch cost (n_fetch = shortlist rows actually re-ranked). MEASURED
-    // at sf0.01: recall 0.502/0.600/0.622 — K=200 reaches the routing
-    // ceiling exactly (every reachable neighbor survives the shortlist),
-    // so the full recall budget splits cleanly into two measured knobs:
-    // nprobe buys reachability, shortlistK buys survival, and a
-    // recall-bound deployment sizes BOTH from these two judged tables.
+    // at fixed nprobe=8 (coverage ceiling 0.622), on the same REFINED
+    // index the nprobe frontier serves (stage:refpq — the k-frontier's
+    // binding regime is exactly where code quality matters most). One
+    // row per shortlistK ∈ {50, 100, 200}: re-ranked recall@5 plus the
+    // re-rank fetch cost (n_fetch = shortlist rows actually re-ranked).
+    // MEASURED at sf0.01 (refined): recall 0.527/0.606/0.622 — K=200
+    // still reaches the routing ceiling exactly, and the refined codes
+    // get there CHEAPER: more of the budget arrives at K=50 (0.527 vs
+    // the raw seeds' 0.502) and K=100 sits within 2.6% of the ceiling
+    // (0.606 vs 0.600), so a deployment that can't afford K=200's fetch
+    // volume keeps more recall at every smaller K. The two judged tables
+    // still split the budget into the same two knobs — nprobe buys
+    // reachability, shortlistK buys survival — with defaults re-confirmed
+    // on the deployable index: nprobe=2/K=50 for the 9%-scan tier,
+    // nprobe=8/K=200 to serve the full routing ceiling.
     "sim_ivfpq_k_frontier" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = boundedQueries(e)
       val pq = stagedPq(s, dir)
-      val cb = s.read.parquet(s"$pq/codebook.parquet")
-      val codes = s.read.parquet(s"$pq/codes.parquet")
+      val ref = stagedRefPq(s, dir)
+      val cb = s.read.parquet(s"$ref/refcodebook.parquet")
+      val codes = s.read.parquet(s"$ref/refcodes.parquet")
       val cells = s.read.parquet(s"$pq/cells.parquet")
       val cent = s.read.parquet(s"$pq/cent.parquet")
       val brute = graft.ops.Dedup.materialize(
@@ -1133,12 +1175,14 @@ object Vectors extends QueryPack {
 
   /** sim_ivfpq_frontier: per nprobe ∈ {1,2,4,8}, the end-to-end re-ranked
     * recall@5 of the IVF-PQ serving path AND its probed-corpus fraction —
-    * the measured recall/cost frontier behind the serving default. Reuses
-    * the pq/route CTEs; the ADC scoring runs once per nprobe over the
-    * depth-8 route table filtered to that setting. */
+    * the measured recall/cost frontier behind the serving default, on the
+    * REFINED (deployable) codebook/codes. Reuses the brute/refined/route
+    * CTEs; the ADC scoring runs once per nprobe over the depth-8 route
+    * table filtered to that setting. Routing (hence probed_rows) is
+    * code-agnostic and shared with the raw-seed index. */
   private lazy val ivfPqFrontierOracle: String = {
     val perNp = Seq(1, 2, 4, 8).map { np =>
-      s"""${ivfAdcScored(s"fs$np", "pqpacked", "pqlut", "pqrn", "pqs",
+      s"""${ivfAdcScored(s"fs$np", "fpacked", "flut", "frn", "fs",
              probe = "iqp8", extraWhere = s" AND iqp8.c_rank <= $np")},
         |fsl$np AS (
         |  SELECT q_id, vec_id FROM (
@@ -1147,25 +1191,19 @@ object Vectors extends QueryPack {
         |    FROM fs$np) t WHERE r <= 50),
         |frx$np AS (
         |  SELECT fsl$np.q_id, fsl$np.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
-        |  FROM fsl$np JOIN pqq q USING (q_id)
+        |  FROM fsl$np JOIN fq q USING (q_id)
         |              JOIN embeddings e ON fsl$np.vec_id = e.vec_id),
         |fr5$np AS (
         |  SELECT q_id, vec_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
         |    FROM frx$np) t WHERE rank <= 5),
         |fh$np AS (SELECT CAST($np AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits
-        |  FROM fb JOIN fr5$np USING (q_id, vec_id))""".stripMargin
+        |  FROM b JOIN fr5$np USING (q_id, vec_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $pqCtes,
+    s"""WITH $bruteCtes,
+      |$refPqCtes,
       |$ivfRouteCtes,
       |$iqp8Cte,
-      |fbscored AS (
-      |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
-      |  FROM embeddings e CROSS JOIN pqq q WHERE e.vec_id <> q.q_id),
-      |fb AS (
-      |  SELECT q_id, vec_id FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-      |    FROM fbscored) t WHERE rank <= 5),
       |$perNp,
       |fcsz AS (SELECT c_id, CAST(count(*) AS BIGINT) AS csz FROM ica GROUP BY 1),
       |fnpv AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS nprobe),
@@ -1175,8 +1213,8 @@ object Vectors extends QueryPack {
       |  FROM iqp8 q JOIN fcsz s USING (c_id) CROSS JOIN fnpv GROUP BY 1),
       |fhh AS (SELECT * FROM fh1 UNION ALL SELECT * FROM fh2
       |        UNION ALL SELECT * FROM fh4 UNION ALL SELECT * FROM fh8),
-      |fbt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM fb),
-      |ftq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM pqq),
+      |fbt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM b),
+      |ftq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM fq),
       |ftn AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings)
       |SELECT fhh.nprobe, fbt.n_true, fhh.n_hits,
       |  CAST(round(CAST(CAST(fhh.n_hits AS DOUBLE) / fbt.n_true AS DECIMAL(30,10)), 6) AS DOUBLE) AS recall,
@@ -1188,8 +1226,9 @@ object Vectors extends QueryPack {
   }
 
   /** sim_ivfpq_k_frontier: the shortlist-width axis at fixed nprobe=8 —
-    * ONE ADC-scored CTE over the depth-8 probes, three row_number slices
-    * (K = 50/100/200), each re-ranked exactly and hit-counted vs brute. */
+    * ONE ADC-scored CTE (refined codebook/codes) over the depth-8 probes,
+    * three row_number slices (K = 50/100/200), each re-ranked exactly and
+    * hit-counted vs brute. */
   private lazy val ivfPqKFrontierOracle: String = {
     val perK = Seq(50, 100, 200).map { kk =>
       s"""ksl$kk AS (
@@ -1200,7 +1239,7 @@ object Vectors extends QueryPack {
         |kfc$kk AS (SELECT CAST(count(*) AS BIGINT) AS n_fetch FROM ksl$kk),
         |krx$kk AS (
         |  SELECT ksl$kk.q_id, ksl$kk.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
-        |  FROM ksl$kk JOIN pqq q USING (q_id)
+        |  FROM ksl$kk JOIN fq q USING (q_id)
         |              JOIN embeddings e ON ksl$kk.vec_id = e.vec_id),
         |kr5$kk AS (
         |  SELECT q_id, vec_id FROM (
@@ -1209,26 +1248,20 @@ object Vectors extends QueryPack {
         |kh$kk AS (
         |  SELECT CAST($kk AS BIGINT) AS shortlist_k,
         |    CAST(count(*) AS BIGINT) AS n_hits
-        |  FROM kb JOIN kr5$kk USING (q_id, vec_id)),
+        |  FROM b JOIN kr5$kk USING (q_id, vec_id)),
         |khh$kk AS (SELECT shortlist_k, n_hits, n_fetch
         |  FROM kh$kk CROSS JOIN kfc$kk)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $pqCtes,
+    s"""WITH $bruteCtes,
+      |$refPqCtes,
       |$ivfRouteCtes,
       |$iqp8Cte,
-      |${ivfAdcScored("ks8", "pqpacked", "pqlut", "pqrn", "pqs",
+      |${ivfAdcScored("ks8", "fpacked", "flut", "frn", "fs",
            probe = "iqp8", extraWhere = " AND iqp8.c_rank <= 8")},
-      |kbscored AS (
-      |  SELECT q.q_id, e.vec_id, ${cos("q.q_emb", "e.embedding")} AS sim
-      |  FROM embeddings e CROSS JOIN pqq q WHERE e.vec_id <> q.q_id),
-      |kb AS (
-      |  SELECT q_id, vec_id FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
-      |    FROM kbscored) t WHERE rank <= 5),
       |$perK,
       |kall AS (SELECT * FROM khh50 UNION ALL SELECT * FROM khh100
       |         UNION ALL SELECT * FROM khh200),
-      |kbt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM kb)
+      |kbt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM b)
       |SELECT kall.shortlist_k, kbt.n_true, kall.n_hits,
       |  CAST(round(CAST(CAST(kall.n_hits AS DOUBLE) / kbt.n_true AS DECIMAL(30,10)), 6) AS DOUBLE) AS recall,
       |  kall.n_fetch
@@ -1687,6 +1720,14 @@ object Vectors extends QueryPack {
 
     "sim_ivfpq_frontier" -> ivfPqFrontierOracle,
     "sim_ivfpq_k_frontier" -> ivfPqKFrontierOracle,
+    // the streamed index must equal the batch encode exactly — the same
+    // pq/route CTEs every batch index consumer verifies against
+    "sim_stream_index_ingest" ->
+      s"""WITH $pqCtes,
+        |$ivfRouteCtes
+        |SELECT p.vec_id, ica.c_id, p.cp
+        |FROM pqpacked p JOIN ica USING (vec_id)
+        |ORDER BY p.vec_id""".stripMargin,
 
     "sim_ivf_nprobe_audit" ->
       s"""WITH $bruteCtes,

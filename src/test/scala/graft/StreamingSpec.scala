@@ -235,6 +235,40 @@ class StreamingSpec extends SparkSpec {
       s"final watermark did not evict to at most the sentinel group: $state")
   }
 
+  test("sim_stream_index_ingest: map-only route+encode equals the batch " +
+    "index row for row and commits ZERO state-store rows") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Vectors.queries("sim_stream_index_ingest")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    import graft.ops.Similarity
+    val e = graft.queries.table(spark, dir, "embeddings")
+    val (cb, codes) = Similarity.pqIndexFrames(e)
+    val (cells, cent) = Similarity.ivfIndexFrames(e)
+    val batch = cells.join(codes, Seq("vec_id"))
+      .select($"vec_id", $"c_id", $"cp")
+      .orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "index ingest drained nothing at sf0.001")
+    assert(streamed == batch,
+      s"stream/batch index divergence:\n stream=${streamed.take(5)}…" +
+        s"\n batch=${batch.take(5)}…")
+    // The zero-state posture (the strongest boundedness claim a stream
+    // can make): no stateful operator anywhere in the plan, so every
+    // committed micro-batch reports 0 state-store rows — the corpus can
+    // arrive forever and the only growth is the appended index itself.
+    val staged = java.nio.file.Files.createTempDirectory("graft_ing").toString
+    e.coalesce(4).write.mode("overwrite").parquet(staged)
+    val stream = StreamOps.readEventStream(spark, staged,
+      spark.read.parquet(staged))
+    val enc = Similarity.ivfPqStreamEncode(stream, cb, cent)
+    val (drained, state) = StreamOps.drainToTableTracked(enc,
+      "index_ingest_state_pin", "append", shufflePartitions = Some(2))
+    assert(state.nonEmpty, "no progress captured")
+    assert(state.forall(_ == 0L),
+      s"map-only ingest committed state rows: $state")
+    assert(drained.count() == e.count(),
+      "every arrived vector must land exactly one index row")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")
