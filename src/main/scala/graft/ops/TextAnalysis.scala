@@ -87,6 +87,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The per-document curation signals the end-to-end manifest rides
+    * (the [[qualityScore]] composite + the [[gopherRules]] keep verdict),
+    * computed in ONE map-side projection so the whole per-doc signal set
+    * costs a single corpus scan — at 100 TB the difference between this
+    * and joining the two standalone ops is a full extra pass over the
+    * corpus. Same token/stopword helpers and identical arithmetic as the
+    * standalone ops (OpsSpec pins value equality against both), `carry`
+    * lists document columns to ride along. Unordered — callers sort. */
+  def curationSignals(docs: DataFrame, carry: Seq[String] = Nil,
+                      minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    val quality = round(
+      least(round(stopHits / nTok.cast("double"), 6) * 4.0, lit(1.0)) * 0.5 +
+        least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5, 6)
+    val sumTokLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlphaTok = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nSym = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val nStop = size(array_intersect(toks, typedlit(stopwords))).cast("long")
+    val keep = (nTok >= minTokens && nTok <= maxTokens) &&
+      (sumTokLen >= nTok * 3 && sumTokLen <= nTok * 10) &&
+      (nAlphaTok * 5 >= nTok * 4) &&
+      (nSym * 10 <= length(col("text")).cast("long")) &&
+      (nStop >= 2)
+    docs.select(col("doc_id") +: carry.map(col) :+
+      quality.as("quality") :+ keep.as("keep"): _*)
+  }
+
   /** Repetition signals over word n-grams — the Gopher/C4-style boilerplate
     * detectors a corpus-curation pass cuts on: `top_gram_share` (share of
     * the single most repeated n-gram) and `rep_ratio` (fraction of n-gram

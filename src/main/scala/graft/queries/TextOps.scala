@@ -478,17 +478,23 @@ object TextOps extends QueryPack {
 
   /** Shared 4-gram-hash CTEs of the decontamination queries (seed 23, the
     * same normalize/split/slice shape as Dedup.gramHashes), ending with
-    * `d` (distinct corpus (doc_id, gh)) and `b` (distinct benchmark gh). */
-  private val gramCtes: String =
-    s"""t AS (
+    * `d` (distinct corpus (doc_id, gh)) and `b` (distinct benchmark gh).
+    * Name-parameterized so the manifest oracle (whose WITH list already
+    * holds the cluster CTEs' `t`/`b`) can ride the identical arithmetic
+    * under clash-free names — one text, zero drift. */
+  private def gramCtesNamed(t: String, g: String, d: String,
+                            b: String): String =
+    s"""$t AS (
       |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
       |  FROM documents),
-      |g AS (
+      |$g AS (
       |  SELECT doc_id, ${mh(23, "array_to_string(toks[i:i+3], ' ')")} AS gh
       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
-      |        FROM t WHERE len(toks) >= 4) z),
-      |d AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % 11 != 0),
-      |b AS (SELECT DISTINCT gh FROM g WHERE doc_id % 11 = 0)""".stripMargin
+      |        FROM $t WHERE len(toks) >= 4) z),
+      |$d AS (SELECT DISTINCT doc_id, gh FROM $g WHERE doc_id % 11 != 0),
+      |$b AS (SELECT DISTINCT gh FROM $g WHERE doc_id % 11 = 0)""".stripMargin
+
+  private val gramCtes: String = gramCtesNamed("t", "g", "d", "b")
 
   // 4-gram hash overlap vs the doc_id % 11 = 0 benchmark slice. Also the
   // oracle of dd_bloom_confirmed: Bloom probes admit false positives but
@@ -566,6 +572,22 @@ object TextOps extends QueryPack {
       |    round(least(stopword_ratio * 4.0, 1.0) * 0.5 +
       |          least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5, 6) AS quality
       |  FROM qm)""".stripMargin
+
+  /** The bloom-prefiltered + exactly-confirmed contamination table
+    * (doc_id, n_shared) — shared by the judged dd_bloom_confirmed row and
+    * the curation manifest, so the gate the manifest applies IS the gate
+    * the standalone query proves. */
+  private def bloomConfirmed(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val g = stagedGramHashes(s, dir)
+    val corpus = g.filter(col("doc_id") % 11 =!= 0)
+    val flagged = Dedup.bloomProbe(corpus, stagedBloomBitmap(s, dir))
+      .filter(col("contaminated")).select(col("doc_id"))
+    Dedup.decontaminateFromGrams(
+      corpus.join(broadcast(flagged), "doc_id"),
+      g.filter(col("doc_id") % 11 === 0))
+  }
 
   val queries: Map[String, QFn] = Map(
     "tx_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(table(s, dir, "documents"))),
@@ -740,16 +762,7 @@ object TextOps extends QueryPack {
     // superset (no false negatives) prefilters the corpus, the exact join
     // confirms — so the result EQUALS dd_decontaminate (same oracle SQL),
     // while at 100 TB only flagged docs' grams ever reach the exact join.
-    "dd_bloom_confirmed" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{broadcast, col}
-      val g = stagedGramHashes(s, dir)
-      val corpus = g.filter(col("doc_id") % 11 =!= 0)
-      val flagged = Dedup.bloomProbe(corpus, stagedBloomBitmap(s, dir))
-        .filter(col("contaminated")).select(col("doc_id"))
-      Dedup.decontaminateFromGrams(
-        corpus.join(broadcast(flagged), "doc_id"),
-        g.filter(col("doc_id") % 11 === 0))
-    }),
+    "dd_bloom_confirmed" -> ((s, dir) => bloomConfirmed(s, dir)),
     // Ingestion-time dedup: the doc_id % 5 = 0 slice plays the incoming
     // batch, the rest the indexed corpus; signatures come from the shared
     // staged table, the corpus bands from the BUCKETED band table (the
@@ -1011,6 +1024,53 @@ object TextOps extends QueryPack {
             when(col("quality") > col("p75"), 1L).otherwise(0L)).as("stage"),
           pmod(graft.ops.Dedup.seededHash(47, col("doc_id")), lit(8L))
             .as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+    // The END-TO-END curation manifest — the one artifact a 100 TB run
+    // actually ships: per document, keep/drop + the FIRST gate that cut it
+    // (exact_dup via the canonical token-set groups > near_dup via the
+    // staged cluster survivors > contaminated via the bloom-confirmed
+    // probe > low_quality via the Gopher gate), plus the sp5 source
+    // mixture weight and the sp4 train/val/test split. Composition, not
+    // recomputation: the dedup stages arrive as staged parquet
+    // (stage:pairs' membership, stage:clusters, stage:grams/bloom), and
+    // ALL per-doc signals (quality, Gopher keep, split, source) ride ONE
+    // corpus scan (TextAnalysis.curationSignals + the map-only hash
+    // split), checkpointed so the source-count normalizer and every gate
+    // join downstream touch the corpus ZERO further times (PlanSpec pins
+    // no documents scan in the final plan). Null-source docs keep a null
+    // weight (no mixture stratum), and a doc whose quality gate cannot
+    // evaluate (null text) is cut as low_quality — a curation run drops
+    // what it cannot score.
+    "tp3_corpus_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = table(s, dir, "documents")
+      val base = Dedup.materialize(
+        graft.ops.Sampling.hashSplit(
+          TextAnalysis.curationSignals(docs, carry = Seq("source")),
+          idCol = "doc_id"))
+      val members = stagedCanonPairs(s, dir)._2
+      val surv = Dedup.survivors(stagedClusters(s, dir),
+        base.select(col("doc_id"), col("quality")))
+      val contam = bloomConfirmed(s, dir)
+        .select(col("doc_id"), lit(true).as("is_contam"))
+      val w = graft.ops.Sampling.temperatureWeights(base, strataCol = "source")
+        .select(col("source"), col("weight"))
+      val reason = when(col("rep") =!= col("doc_id"), "exact_dup")
+        .when(col("survivor_id").isNotNull &&
+          col("survivor_id") =!= col("doc_id"), "near_dup")
+        .when(col("is_contam").isNotNull, "contaminated")
+        .when(!coalesce(col("keep"), lit(false)), "low_quality")
+        .otherwise("keep")
+      base
+        .join(members.select(col("doc_id"), col("rep")), "doc_id")
+        .join(surv.select(col("doc_id"), col("survivor_id")),
+          Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("reason", reason)
+        .join(broadcast(w), Seq("source"), "left")
+        .select(col("doc_id"), (col("reason") === "keep").as("keep"),
+          col("reason"), col("source"), col("subset"), col("weight"))
         .orderBy(col("doc_id"))
     }),
     // Sequence packing: per-shard prefix sums map documents onto fixed
@@ -1394,7 +1454,88 @@ object TextOps extends QueryPack {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** tp3_corpus_manifest: the full curation lifecycle as ONE SQL — the
+    * recursive cluster closure + survivor argmax (the dd_survivors text),
+    * the canonical token-set groups (the dd_canon_groups text), the
+    * exact 4-gram contamination join (the dd_decontaminate text under
+    * clash-free names), the Gopher gate (tx_gopher_rules), sp5's
+    * temperature weights and sp4's seed-41 split — composed with the
+    * same first-cut precedence CASE as the Spark side. Must keep the
+    * literal `lab AS (...)` CTE (tools/cc_oracle.py splits there for the
+    * sf1 union-find closure; everything else sits AFTER lab). */
+  private lazy val manifestOracle: String =
+    s"""WITH RECURSIVE $clusterCtes,
+      |$qualityCtes,
+      |mj AS (
+      |  SELECT lab.id AS doc_id, lab.cluster_id, q.quality
+      |  FROM lab JOIN q ON lab.id = q.doc_id),
+      |msv AS (
+      |  SELECT cluster_id, doc_id AS survivor_id FROM (
+      |    SELECT cluster_id, doc_id,
+      |      row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY quality DESC, doc_id) AS rn
+      |    FROM mj) z WHERE rn = 1),
+      |mns AS (SELECT mj.doc_id, msv.survivor_id
+      |  FROM mj JOIN msv USING (cluster_id)),
+      |mct AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS toks,
+      |    CAST(len(string_split_regex(text, '\\s+')) // 10 AS BIGINT) AS bucket
+      |  FROM documents),
+      |mck AS (
+      |  SELECT doc_id, lang, bucket,
+      |    CASE WHEN lang IS NOT NULL AND len(toks) > 0
+      |         THEN sha256(array_to_string(toks, ' '))
+      |         ELSE 'solo:' || CAST(doc_id AS VARCHAR) END AS fp
+      |  FROM mct),
+      |mcg AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, bucket, fp) AS rep
+      |  FROM mck),
+      |${gramCtesNamed("mgt", "mgg", "mgd", "mgb")},
+      |mcon AS (SELECT DISTINCT mgd.doc_id FROM mgd JOIN mgb ON mgd.gh = mgb.gh),
+      |mgr AS (
+      |  SELECT doc_id,
+      |    ((n_tokens >= 50 AND n_tokens <= 100000)
+      |     AND (sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10)
+      |     AND (n_alpha * 5 >= n_tokens * 4)
+      |     AND (n_sym * 10 <= len)
+      |     AND (n_stop >= 2)) AS keep
+      |  FROM (
+      |    SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |      CAST(len(toks) AS BIGINT) AS n_tokens,
+      |      CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+      |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_sym,
+      |      CAST(len(list_distinct(list_filter(toks, x -> x IN ($stop)))) AS BIGINT) AS n_stop
+      |    FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+      |          FROM documents) z) z2),
+      |mwc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |mwz AS (SELECT sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,10))) AS z FROM mwc),
+      |mw AS (SELECT source,
+      |    round(sqrt(CAST(n_docs AS DOUBLE)) / CAST(mwz.z AS DOUBLE), 6) AS weight
+      |  FROM mwc CROSS JOIN mwz),
+      |mr AS (
+      |  SELECT d.doc_id, d.source,
+      |    CASE WHEN ${mh(41, "CAST(d.doc_id AS VARCHAR)")} % 10000 < 9800 THEN 'train'
+      |         WHEN ${mh(41, "CAST(d.doc_id AS VARCHAR)")} % 10000 < 9900 THEN 'val'
+      |         ELSE 'test' END AS subset,
+      |    CASE WHEN mcg.rep != d.doc_id THEN 'exact_dup'
+      |         WHEN mns.survivor_id IS NOT NULL AND mns.survivor_id != d.doc_id THEN 'near_dup'
+      |         WHEN mcon.doc_id IS NOT NULL THEN 'contaminated'
+      |         WHEN NOT coalesce(mgr.keep, false) THEN 'low_quality'
+      |         ELSE 'keep' END AS reason
+      |  FROM documents d
+      |  JOIN mcg USING (doc_id)
+      |  LEFT JOIN mns USING (doc_id)
+      |  LEFT JOIN mcon USING (doc_id)
+      |  JOIN mgr USING (doc_id))
+      |SELECT mr.doc_id, (mr.reason = 'keep') AS keep, mr.reason, mr.source,
+      |  mr.subset, mw.weight
+      |FROM mr LEFT JOIN mw ON mr.source = mw.source
+      |ORDER BY mr.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "tp3_corpus_manifest" -> manifestOracle,
     "dd_minhash_lsh" -> minhashOracle,
     "dd_minhash_verified" -> minhashVerifiedOracle,
     "dd_minhash_est" -> minhashEstOracle,

@@ -2027,6 +2027,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("curationSignals ≡ qualityScore ⋈ gopherRules on the real corpus " +
+    "(the one-scan projection cannot drift from the standalone gates)") {
+    import graft.ops.TextAnalysis
+    val docs = graft.queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val got = rows(TextAnalysis.curationSignals(docs).orderBy($"doc_id"))
+      .map(r => (r.getLong(0), r.getAs[java.lang.Double]("quality"),
+        r.getAs[java.lang.Boolean]("keep")))
+    val want = rows(TextAnalysis.qualityScore(docs)
+        .select($"doc_id", $"quality")
+        .join(TextAnalysis.gopherRules(docs).select($"doc_id", $"keep"),
+          "doc_id")
+        .orderBy($"doc_id"))
+      .map(r => (r.getLong(0), r.getAs[java.lang.Double]("quality"),
+        r.getAs[java.lang.Boolean]("keep")))
+    assert(got.nonEmpty && got == want,
+      s"signal drift: got ${got.take(3)} want ${want.take(3)}")
+  }
+
   test("dedupWeights: members share 1/n, singletons keep weight 1") {
     val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
     val clusters = Seq((1L, 1L, 2L), (2L, 1L, 2L))

@@ -1121,6 +1121,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("tp3: the manifest rides ONLY staged inputs + the checkpointed " +
+    "signal base — zero documents scans survive downstream") {
+    val p = plan("tp3_corpus_manifest")
+    // every per-doc signal (quality, Gopher keep, split, source) was
+    // computed in curationSignals' ONE scan and checkpointed; the dedup /
+    // contamination gates arrive as staged parquet — so the corpus itself
+    // must never appear in the composed plan
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 0, s"documents scanned $scans times downstream of the base")
+    // the source-weight table is |sources| rows and must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("st11: events collapse to the daily census in ONE pass; the trend " +
     "window and seasonal join ride the materialized census, not events") {
     val p = plan("st11_seasonal_decompose")

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import compare
 
 CC_QUERIES = ["dd_dup_clusters", "dd_cluster_stats", "dd_survivors",
-              "gr2_degree_hist"]
+              "gr2_degree_hist", "tp3_corpus_manifest"]
 # The shared prefix of all four oracles ends exactly here (byte-identical
 # in oracle_sql.json — asserted below, so SQL drift fails loudly).
 LAB_CTE = "lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)"
