@@ -70,6 +70,11 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
     sf_dir, out_dir = argv[0], argv[1]
     con = duckdb.connect()
     if os.environ.get("CHECK_THREADS"):
@@ -104,7 +109,7 @@ def main():
 
     # 3. each oracle's tail SQL over the materialized closure.
     report, fails = {}, 0
-    for name in CC_QUERIES:
+    for name in [q for q in CC_QUERIES if only is None or q in only]:
         sql = oracle[name]
         assert LAB_CTE in sql, f"{name}: lab CTE drifted from cc_oracle"
         tail = sql[sql.index(LAB_CTE) + len(LAB_CTE):]
