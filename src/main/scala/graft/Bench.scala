@@ -188,6 +188,15 @@ object Bench {
         }
         name -> best
       }
+      // A stage row whose timed window found the stage ALREADY BUILT (the
+      // untimed stream warm-up's scaffolding: stage:pq, stage:doc_stream,
+      // stage:emb_* whenever a stream query is in the run) measures a warm
+      // re-read, not a build — committing its ~0.0 as a build cost poisons
+      // anchors and scale records (the r13 BENCH_FULL_LOCAL stage:pq
+      // hazard). Dropped from every emitted artifact; the cold number
+      // comes from an isolated run without stream queries.
+      .filterNot { case (n, _) =>
+        n.startsWith("stage:") && stageTags.get(n).contains("warm") }
 
     // --- every diagnostic line BEFORE the judged line (tail-capture) ---
     System.out.println("[bench-full] " + results
