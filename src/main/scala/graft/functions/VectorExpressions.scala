@@ -185,6 +185,122 @@ object VectorExpressions {
     new GenericArrayData(out)
   }
 
+  /** Spark `round(x, scale)` for doubles, replicated for the loop helpers
+    * below (BigDecimal HALF_UP over the canonical double rendering, NaN/Inf
+    * passed through) — the packed route/encode keys fold a round() per
+    * element, and the fold must be bit-identical to the column form it
+    * replaces (FunctionsSpec pins it on real vectors). */
+  private def sparkRound(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Batch ivfAssign's packed argmax (c_sim desc, c_id asc via the
+    * complemented-id packing) folded over a collected centroid-struct array
+    * — one tight primitive loop per corpus row. The streaming index ingest
+    * routes EVERY arriving vector; the higher-order-function form ran each
+    * centroid's cosine through an interpreted boxed lambda (~7× the batch
+    * encode at f30), which is exactly the hot path this file exists to
+    * keep in compiled code. `cents` rows are struct(c_id, c_emb, c_nrm). */
+  def ivfRoutePk(emb: ArrayData, cents: ArrayData): Long = {
+    val d = emb.numElements()
+    var s2 = 0.0
+    var i = 0
+    while (i < d) {
+      val v = emb.getFloat(i).toDouble; s2 += v * v; i += 1
+    }
+    val nrm = math.sqrt(s2)
+    val idMask = (1L << 41) - 1
+    var best = Long.MinValue
+    val m = cents.numElements()
+    var j = 0
+    while (j < m) {
+      val c = cents.getStruct(j, 3)
+      val cEmb = c.getArray(1)
+      var dot = 0.0
+      var k = 0
+      val n = math.min(d, cEmb.numElements())
+      while (k < n) {
+        dot += emb.getFloat(k).toDouble * cEmb.getFloat(k).toDouble; k += 1
+      }
+      val cSim = sparkRound(dot / nrm / c.getDouble(2), 6)
+      val pk = (sparkRound(cSim * 1000000L, 0).toLong + 1000000L) *
+        (idMask + 1L) + (idMask - c.getLong(0))
+      if (pk > best) best = pk
+      j += 1
+    }
+    idMask - (best & idMask)
+  }
+
+  /** Batch pqEncode's per-subspace packed argmin folded over a collected
+    * codebook-struct array (idx-sorted: subspace m occupies positions
+    * [m·S, (m+1)·S)), packing the 8-bit codes into one long — identical
+    * pk arithmetic, one compiled loop per corpus row. `cbl` rows are
+    * struct(idx, m, c_sub, cn2). */
+  def pqPackCp(emb: ArrayData, cbl: ArrayData, subspaces: Int): Long = {
+    val total = cbl.numElements()
+    val s = total / subspaces
+    val subDim = emb.numElements() / subspaces
+    val bias = 1000000000000L
+    var cp = 0L
+    var m = 0
+    while (m < subspaces) {
+      var best = Long.MaxValue
+      var c = 0
+      while (c < s) {
+        val e = cbl.getStruct(m * s + c, 4)
+        val cSub = e.getArray(2)
+        var dot = 0.0
+        var k = 0
+        while (k < subDim) {
+          dot += emb.getFloat(m * subDim + k).toDouble *
+            cSub.getFloat(k).toDouble
+          k += 1
+        }
+        val pk = (sparkRound((e.getDouble(3) - 2.0 * dot) * 1000000.0, 0)
+          .toLong + bias) * 256L + (e.getLong(0) - m.toLong * s)
+        if (pk < best) best = pk
+        c += 1
+      }
+      cp += (best % 256L) << (8 * m)
+      m += 1
+    }
+    cp
+  }
+
+  /** Codegen'd IVF route: nearest-centroid c_id for an array<float> vector
+    * against the collected centroid array (see [[ivfRoutePk]]). */
+  case class IvfRouteId(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "ivf_route_id"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      ivfRoutePk(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, y) =>
+        s"graft.functions.VectorExpressions.ivfRoutePk($x, $y)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): IvfRouteId =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Codegen'd PQ encode: packed 8-bit-per-subspace code long for an
+    * array<float> vector against the collected codebook array (see
+    * [[pqPackCp]]). */
+  case class PqPackedCp(left: Expression, right: Expression, subspaces: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "pq_packed_cp"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      pqPackCp(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], subspaces)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, y) =>
+        s"graft.functions.VectorExpressions.pqPackCp($x, $y, $subspaces)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqPackedCp =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Codegen'd max|a| over array<float>. */
   case class FloatVecAbsMax(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
@@ -287,6 +403,13 @@ object VectorExpressions {
 
   def vecQuantize(a: Column): Column =
     bridge.column(FloatVecQuantize(bridge.expression(a)))
+
+  def ivfRouteId(emb: Column, cents: Column): Column =
+    bridge.column(IvfRouteId(bridge.expression(emb), bridge.expression(cents)))
+
+  def pqPackedCp(emb: Column, cbl: Column, subspaces: Int): Column =
+    bridge.column(PqPackedCp(bridge.expression(emb), bridge.expression(cbl),
+      subspaces))
 
   def md5Hash60(s: Column): Column =
     bridge.column(Md5Hash60(bridge.expression(s)))

@@ -728,7 +728,7 @@ object Similarity {
     * code + 8 of cell id per vector, appended partition-aligned by c_id. */
   def ivfPqStreamEncode(stream: DataFrame, codebook: DataFrame,
                         centTable: DataFrame, subspaces: Int = 8): DataFrame = {
-    val (cb, s, subDim) = codebookMeta(codebook)
+    val (cb, s, _) = codebookMeta(codebook)
     val centArr = broadcast(centTable
       .select(struct(col("c_id"), col("c_emb"), col("c_nrm")).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("cents")))
@@ -736,27 +736,30 @@ object Similarity {
       .select(struct((col("m") * s + col("code")).as("idx"), col("m"),
         col("c_sub"), col("cn2")).as("e"))
       .agg(array_sort(collect_list(col("e"))).as("cbl")))
-    val route = element_at(slice(array_sort(
-      transform(col("cents"), c => struct(
-        (round(dotf(col("embedding"), c.getField("c_emb")) / col("nrm")
-          / c.getField("c_nrm"), 6) + lit(0.0)).as("c_sim"),
-        c.getField("c_id").as("c_id"))),
-      byCsimDesc), 1, 1), 1).getField("c_id")
-    val bias = 1000000000000L
-    val cp = (0 until subspaces).map { m =>
-      val codeM = array_min(transform(
-        slice(col("cbl"), (m * s + 1).toInt, s.toInt),
-        e => (round((e.getField("cn2") - lit(2.0) * dotf(
-            slice(col("embedding"), m * subDim + 1, subDim),
-            e.getField("c_sub"))) * 1e6, 0).cast("long") + lit(bias))
-          * 256L + (e.getField("idx") - lit(m.toLong * s)))) % 256L
-      codeM * lit(1L << (8 * m))
-    }.reduce(_ + _)
+    // Route + encode are NATIVE codegen'd expressions (one compiled loop
+    // per corpus row over the collected centroid/codebook arrays — see
+    // VectorExpressions.ivfRoutePk/pqPackCp): this is the whole-corpus
+    // hot path, and the higher-order-function form ran every element
+    // through an interpreted boxed lambda (measured ~7× the batch encode
+    // at f30). The arithmetic is the batch ivfAssign packed argmax and
+    // pqEncode packed argmin verbatim, so the appended index is
+    // bit-identical to the batch build (FunctionsSpec pins the fold;
+    // the shared oracle pins the query end-to-end).
+    import graft.functions.VectorExpressions.{ivfRouteId, pqPackedCp}
+    // Per-batch repartition BEFORE the encode: a file-source micro-batch
+    // arrives with one read split per maxPartitionBytes — a 32 MB shard is
+    // ONE task, and the O(|batch|·√n) route then runs single-core (f100
+    // measured 104 s; spread, ~linear). The narrow (vec_id, embedding)
+    // shuffle is bytes-trivial next to the route flops, and exactly what
+    // a production ingest does with arriving shards anyway.
+    val parts = stream.sparkSession.sessionState.conf.numShufflePartitions
     stream
-      .select(col("vec_id"), col("embedding"),
-        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
+      .select(col("vec_id"), col("embedding"))
+      .repartition(parts)
       .crossJoin(centArr).crossJoin(cbArr)
-      .select(col("vec_id"), route.as("c_id"), cp.as("cp"))
+      .select(col("vec_id"),
+        ivfRouteId(col("embedding"), col("cents")).as("c_id"),
+        pqPackedCp(col("embedding"), col("cbl"), subspaces).as("cp"))
   }
 
   /** Candidate-shortlist sort order shared by the two streaming rollups:

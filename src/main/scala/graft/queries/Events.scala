@@ -166,9 +166,18 @@ object Events extends QueryPack {
         s.read.parquet(s"$staged/b0.parquet"))
       val out = StreamOps.sessionize(stream.as[StreamOps.Event], gapMin = 30,
         timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      // Drain parallelism sized from the input (parquet row-count
+      // metadata, no scan): the typed flatMapGroupsWithState path is
+      // JVM-object work per event, so at corpus scale the drain wants the
+      // full core count, while a small drain keeps few partitions so the
+      // per-batch state-store maintenance (one store per partition per
+      // batch) doesn't dominate — the f100 audit measured the pinned-8
+      // drain at decade exp 1.61 (8-way queueing, not the operator);
+      // results are partition-count-invariant (sessions are per-user).
+      val parts = if (s.read.parquet(staged).count() > 2000000L) 32 else 8
       val drained = StreamOps.drainToTable(out.toDF(),
         s"ev_stream_sess$sf".replace(".", "_"), mode = "append",
-        shufflePartitions = Some(8))
+        shufflePartitions = Some(parts))
       drained
         // defensive: a flush-only session can never be emitted (it stays
         // open at drain end), but make the exclusion explicit

@@ -168,4 +168,29 @@ class FunctionsSpec extends SparkSpec {
     assert(F.normalizeName("IdCliente") == "idcliente")
     assert(F.normalizeName("a\tb") == "a_b")
   }
+
+  test("ivfRouteId / pqPackedCp: the native route+encode folds equal the " +
+    "batch index bit for bit on the real corpus") {
+    import graft.ops.Similarity
+    import graft.functions.VectorExpressions
+    val e = graft.queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cb, codes) = Similarity.pqIndexFrames(e)
+    val (cells, cent) = Similarity.ivfIndexFrames(e)
+    val s = cb.agg(max($"code")).head().getLong(0) + 1
+    val centArr = cent.select(struct($"c_id", $"c_emb", $"c_nrm").as("c"))
+      .agg(array_sort(collect_list($"c")).as("cents"))
+    val cbArr = cb.select(struct(($"m" * s + $"code").as("idx"), $"m",
+        $"c_sub", $"cn2").as("e"))
+      .agg(array_sort(collect_list($"e")).as("cbl"))
+    val got = e.crossJoin(centArr).crossJoin(cbArr)
+      .select($"vec_id",
+        VectorExpressions.ivfRouteId($"embedding", $"cents").as("c_id"),
+        VectorExpressions.pqPackedCp($"embedding", $"cbl", 8).as("cp"))
+      .orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    val want = cells.join(codes, Seq("vec_id"))
+      .select($"vec_id", $"c_id", $"cp")
+      .orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"native fold diverged from the batch index: ${got.take(3)} vs ${want.take(3)}")
+  }
 }
