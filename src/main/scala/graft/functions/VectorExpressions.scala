@@ -203,6 +203,10 @@ object VectorExpressions {
     * encode at f30), which is exactly the hot path this file exists to
     * keep in compiled code. `cents` rows are struct(c_id, c_emb, c_nrm). */
   def ivfRoutePk(emb: ArrayData, cents: ArrayData): Long = {
+    // An empty centroid array would fold to the Long.MinValue sentinel and
+    // emit a silently-bogus c_id — fail loudly instead (a staged index read
+    // from the wrong/unbuilt path is a deployment error, not a routing).
+    require(cents.numElements() > 0, "ivfRoutePk: empty centroid array")
     val d = emb.numElements()
     var s2 = 0.0
     var i = 0
@@ -239,6 +243,15 @@ object VectorExpressions {
     * struct(idx, m, c_sub, cn2). */
   def pqPackCp(emb: ArrayData, cbl: ArrayData, subspaces: Int): Long = {
     val total = cbl.numElements()
+    // The batch path guards d % subspaces == 0 in pqIndexFrames; this fold
+    // re-derives both splits by integer division, so a codebook built with
+    // a different subspace count (or a non-divisible embedding dim) would
+    // silently mis-slice and encode garbage — require exact divisibility
+    // (one modulo per row, noise next to the argmin fold).
+    require(total > 0 && total % subspaces == 0,
+      s"pqPackCp: codebook size $total not divisible into $subspaces subspaces")
+    require(emb.numElements() % subspaces == 0,
+      s"pqPackCp: dim ${emb.numElements()} not divisible into $subspaces subspaces")
     val s = total / subspaces
     val subDim = emb.numElements() / subspaces
     val bias = 1000000000000L

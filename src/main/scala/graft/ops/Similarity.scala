@@ -29,7 +29,7 @@ object Similarity {
     * to the code whose change invalidates the stage, and MUST be bumped
     * with any change to the corresponding builder). */
   val PqStageTag = "pqindex8x16_v1"   // pqIndexFrames + ivfIndexFrames
-  val KnnStageTag = "knngraph3_v1"    // knnGraphAuto(k = 3)
+  val KnnStageTag = "knngraph3_v2"    // knnGraphAuto(k = 3); v2: cellCap 64
   val OpqStageTag = "opqindex8x16_v1" // opqPermutation + permuted pqIndexFrames
   val ResPqStageTag = "respqindex8x16_v1" // ivfResiduals + pqIndexFrames
   val RefPqStageTag = "refpqindex8x16_v1" // pqIndexFramesRefined(iters = 2)
@@ -221,22 +221,44 @@ object Similarity {
         (lit(idMask) - col("pk").bitwiseAND(lit(idMask))).as("c_id"))
   }
 
-  /** All-vectors kNN graph within IVF cells: for EVERY corpus vector, its
-    * top-k cosine neighbors among its own cell — ANN-graph construction
-    * (the input to embedding-based dedup clustering and diversity
-    * analysis) where the query set IS the corpus, so a broadcast query
-    * side is impossible by definition. With m ≈ √n cells the per-cell
-    * self-join costs Σ|cell|² ≈ n^1.5/... bounded by the cell layout, not
-    * n²; the per-vector ranking window sorts |cell| ≈ √n rows. Recall is
-    * cell-bounded (cross-cell neighbors are missed) — evaluate with the
-    * sim_lsh_recall harness before trusting the graph. */
-  def knnGraph(corpus: DataFrame, k: Int, centroidEvery: Int): DataFrame = {
+  /** All-vectors kNN graph within BOUNDED IVF sub-cells: for EVERY corpus
+    * vector, its top-k cosine neighbors among its own sub-cell —
+    * ANN-graph construction (the input to embedding-based dedup clustering
+    * and diversity analysis) where the query set IS the corpus, so a
+    * broadcast query side is impossible by definition.
+    *
+    * Cell populations are CAPPED: members rank within their cell by
+    * vec_id and split into sub-cells of ≤ `cellCap` (deterministic —
+    * row_number, no hashing), and the self-join runs within (c_id, sub).
+    * Without the cap the per-cell grid costs Σ|cell|²: with m ≈ √n cells
+    * that is n^1.5 on a BALANCED corpus and degrades toward n² when one
+    * hub cell hoards near-duplicate/boilerplate mass (the factor-100
+    * audit measured the uncapped build at decade exp 1.11 and growing —
+    * the same hub hazard the text side's quotient graph removes). Capped,
+    * total pair work is ≤ n·cellCap (linear, SemDeDup's bounded-cluster
+    * discipline) and the per-vector ranking window sorts ≤ cellCap rows;
+    * the only per-cell task left is the row_number sort, O(|cell| log),
+    * never the grid. A 300-replica twin flood lands in ⌈300/cap⌉
+    * sub-cells of bounded grids (PropertySpec pins it).
+    *
+    * Recall is sub-cell-bounded (cross-sub-cell neighbors are missed on
+    * top of the cross-cell misses the cell route already accepts) —
+    * evaluate with the sim_lsh_recall harness before trusting the graph;
+    * at the judged SFs cells are smaller than the default cap, so the cap
+    * only binds where the hub hazard lives. */
+  def knnGraph(corpus: DataFrame, k: Int, centroidEvery: Int,
+               cellCap: Int = 64): DataFrame = {
+    require(cellCap > 1, s"cellCap must exceed 1, got $cellCap")
     val assigned = ivfAssign(corpus, centroidEvery)
-    val nbrs = assigned.select(col("c_id"), col("vec_id").as("n_id"),
+    val wc = Window.partitionBy(col("c_id")).orderBy(col("vec_id"))
+    val sub = assigned.withColumn("sub",
+      floor((row_number().over(wc).cast("double") - 1) / cellCap)
+        .cast("long"))
+    val nbrs = sub.select(col("c_id"), col("sub"), col("vec_id").as("n_id"),
       col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("n_id"))
-    assigned.join(nbrs, Seq("c_id"))
+    sub.join(nbrs, Seq("c_id", "sub"))
       .filter(col("vec_id") =!= col("n_id"))
       .select(col("vec_id"), col("n_id"),
         rz(dotf(col("embedding"), col("n_emb")) / col("nrm") / col("n_nrm"), 6)
@@ -729,6 +751,16 @@ object Similarity {
   def ivfPqStreamEncode(stream: DataFrame, codebook: DataFrame,
                         centTable: DataFrame, subspaces: Int = 8): DataFrame = {
     val (cb, s, _) = codebookMeta(codebook)
+    // Staged-index validation BEFORE the stream starts (two bounded counts
+    // over ≤ subspaces·256 and ≈√n rows): a codebook trained with a
+    // different subspace count would make pqPackCp mis-slice every arriving
+    // vector, and an empty centroid table would route everything to a bogus
+    // cell — both row-level folds also hard-require this, but failing at
+    // query construction beats failing mid-micro-batch.
+    require(codebook.count() == subspaces * s,
+      s"ivfPqStreamEncode: codebook is not $subspaces subspaces x $s codes")
+    require(centTable.limit(1).count() == 1,
+      "ivfPqStreamEncode: empty centroid table")
     val centArr = broadcast(centTable
       .select(struct(col("c_id"), col("c_emb"), col("c_nrm")).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("cents")))

@@ -94,9 +94,13 @@ object TextAnalysis {
     * and joining the two standalone ops is a full extra pass over the
     * corpus. Same token/stopword helpers and identical arithmetic as the
     * standalone ops (OpsSpec pins value equality against both), `carry`
-    * lists document columns to ride along. Unordered — callers sort. */
+    * lists document columns to ride along; `carryTokens` additionally
+    * emits the whitespace token count (the packing/repeat-factor input —
+    * free here, a second corpus pass anywhere else). Unordered — callers
+    * sort. */
   def curationSignals(docs: DataFrame, carry: Seq[String] = Nil,
-                      minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+                      minTokens: Int = 50, maxTokens: Int = 100000,
+                      carryTokens: Boolean = false): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val stopHits = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
@@ -113,7 +117,8 @@ object TextAnalysis {
       (nAlphaTok * 5 >= nTok * 4) &&
       (nSym * 10 <= length(col("text")).cast("long")) &&
       (nStop >= 2)
-    docs.select(col("doc_id") +: carry.map(col) :+
+    val tokCols = if (carryTokens) Seq(nTok.as("n_tokens")) else Nil
+    docs.select(col("doc_id") +: carry.map(col) ++: tokCols :+
       quality.as("quality") :+ keep.as("keep"): _*)
   }
 

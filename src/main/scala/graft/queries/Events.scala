@@ -48,6 +48,46 @@ object Events extends QueryPack {
     (staged, maxTs)
   }
 
+  /** Micro-batch staging for the WATERMARKED sessionizer: the same two
+    * time-halves as stagedEventBatches, but the flush batch is ONE global
+    * sentinel row (user_id −1), not one per user. A watermarked
+    * session_window aggregate needs only the event-time watermark advanced
+    * past every real session's end — per-user closes are the
+    * flatMapGroupsWithState NoTimeout posture's requirement — and a
+    * per-user flush would leave |users| open sentinel sessions in the
+    * final state, destroying exactly the boundedness evidence the
+    * eviction posture exists to produce (one sentinel ⇒ final state ≤ 1
+    * beyond the horizon stragglers). */
+  private[queries] def stagedEventBatchesOneFlush(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, java.sql.Timestamp) = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val staged = tmpStage(dir, "evsessw")
+    val ev = table(s, dir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+    val freshStage = !Files.exists(Paths.get(s"$staged/_STAGED"))
+    graft.queries.logStage(staged, freshStage)
+    if (freshStage) {
+      val minTs = ev.agg(min(col("ts"))).first().getTimestamp(0)
+      val cut = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+      val flush = s.range(1)
+        .select(lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 3600L * 1000L)).as("ts"),
+          lit(-1L).as("user_id"), lit("__flush").as("event_type"),
+          lit(0.0).as("value"))
+      val base = System.currentTimeMillis() / 1000L
+      writeMicroBatchFile(ev.filter(col("ts") <= lit(cut)), staged, "b0", base)
+      writeMicroBatchFile(ev.filter(col("ts") > lit(cut)), staged, "b1", base + 2)
+      writeMicroBatchFile(flush, staged, "b2", base + 4)
+      Files.createFile(Paths.get(s"$staged/_STAGED"))
+    }
+    (staged, maxTs)
+  }
+
   /** Events staged as a FIXED 4-file parquet directory — the micro-batch
     * source shared by every complete-mode event-stream drain (the
     * docstream convention applied to events). The file count is pinned:
@@ -182,6 +222,51 @@ object Events extends QueryPack {
         // defensive: a flush-only session can never be emitted (it stays
         // open at drain end), but make the exclusion explicit
         .filter(col("first_ts") <= lit(maxTs))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("first_ts").cast("timestamp_ntz").as("first_ts"),
+          col("last_ts").cast("timestamp_ntz").as("last_ts"),
+          col("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // The EVICTION posture of sessionization — the one an unbounded
+    // event stream actually runs: the built-in session_window aggregate
+    // under a 10-min event-time watermark in append mode, so each session
+    // is emitted exactly once when the watermark passes its end and its
+    // state row is EVICTED. State is bounded by the (gap + delay) horizon
+    // — users active in the trailing 40 minutes — never by |users with an
+    // open session| (the NoTimeout drain above snapshots all of those per
+    // commit; the f100 audit measured that posture at decade exp 1.49,
+    // the only superlinear streaming row of round 14). Cross-batch merge
+    // safety is structural: any b0 session a b1 event could extend has
+    // last_ts within gap of the batch boundary, which is inside the
+    // watermark+gap eviction threshold, so it is still in state when the
+    // merging event arrives. The single global flush sentinel (user −1)
+    // advances the final watermark past every real session's end; its own
+    // session is never emitted (the watermark stops 10 min short of it)
+    // and is defensively excluded. session_id is ranked AFTER the drain —
+    // per-user ordinals need full history, which bounded state must not
+    // hold; sessions are time-disjoint per user, so first_ts rank equals
+    // the batch ordinal. Result must be IDENTICAL to ev_sessionize and
+    // the NoTimeout drain (shared oracle); StreamingSpec pins the
+    // eviction itself (per-batch state bounded, final state ≤ sentinel).
+    "ev_stream_sessionize_evict" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val (staged, maxTs) = stagedEventBatchesOneFlush(s, dir)
+      val stream = StreamOps.readEventStream(s, staged,
+        s.read.parquet(s"$staged/b0.parquet"))
+      val out = StreamOps.sessionizeEvict(stream, gapMin = 30)
+      val parts = if (s.read.parquet(staged).count() > 2000000L) 32 else 8
+      val drained = StreamOps.drainToTable(out,
+        s"ev_stream_sessw$sf".replace(".", "_"), mode = "append",
+        shufflePartitions = Some(parts))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("first_ts"))
+      drained
+        .filter(col("user_id") >= 0 && col("first_ts") <= lit(maxTs))
+        .withColumn("session_id", row_number().over(w).cast("long"))
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("first_ts").cast("timestamp_ntz").as("first_ts"),
           col("last_ts").cast("timestamp_ntz").as("last_ts"),
@@ -1376,45 +1461,15 @@ object Events extends QueryPack {
 
     // Sessionization: session boundary when gap > 30min (strict), per user,
     // ties broken by event_id; session_id = running count of boundaries.
-    "ev_sessionize" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM marked)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS first_ts, max(ts) AS last_ts,
-        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
-        |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+    "ev_sessionize" -> sessionizeOracle,
 
-    // The streaming path must reproduce the batch sessionization exactly —
-    // the oracle IS the batch definition (same as ev_sessionize).
-    "ev_stream_sessionize" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-        |  FROM marked)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS first_ts, max(ts) AS last_ts,
-        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
-        |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+    // Every streaming sessionization posture must reproduce the batch
+    // sessionization exactly — the oracle IS the batch definition: the
+    // NoTimeout flatMapGroupsWithState drain and the session_window
+    // watermark-eviction twin share ev_sessionize's text verbatim (the
+    // dd_bloom_confirmed proven-equal convention).
+    "ev_stream_sessionize" -> sessionizeOracle,
+    "ev_stream_sessionize_evict" -> sessionizeOracle,
 
     // Same seed-53 hash family as Sampling.bucket, same cumulative
     // 80/10/10 cut points, applied to the per-user rollup.
@@ -1438,6 +1493,28 @@ object Events extends QueryPack {
   /** Integer CUSUM over the dense epoch-hour grid, shared by the batch
     * query and its streaming twin. (lazy: referenced by the `oracle` map
     * val declared above it). */
+  /** Batch sessionization as SQL — gap split STRICTLY > 30 min on the
+    * per-user (ts, event_id) order; shared by the batch query and both
+    * streaming postures (NoTimeout drain, session_window eviction). */
+  private lazy val sessionizeOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS first_ts, max(ts) AS last_ts,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   private lazy val cpdOracle: String =
       """WITH c AS (
         |  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,

@@ -623,7 +623,9 @@ object Vectors extends QueryPack {
     }),
 
     // ANN-graph construction: every vector's top-3 cosine neighbors within
-    // its own IVF cell (√n-derived centroids) — the query-set-IS-the-corpus
+    // its own BOUNDED IVF sub-cell (√n-derived centroids, populations
+    // capped at 64 — the SemDeDup bounded-cluster discipline, so a hub
+    // cell can never own a quadratic grid) — the query-set-IS-the-corpus
     // case where no broadcast side exists by definition. Shares the staged
     // edge graph with sim_dup_clusters.
     "sim_knn_graph" -> ((s, dir) =>
@@ -976,6 +978,33 @@ object Vectors extends QueryPack {
       |FROM embeddings ORDER BY vec_id, out_dim""".stripMargin
   }
 
+
+  /** The bounded kNN-edge CTEs (IVF assignment → cellCap=64 sub-cell split
+    * → within-(c_id, sub) scoring) — the SQL twin of Similarity.knnGraph,
+    * shared by sim_knn_graph and sim_dup_clusters so the graph derivation
+    * cannot drift between them. DuckDB `//` is integer floor division —
+    * the Spark side's floor((rn−1)/cap) on non-negative operands. */
+  private lazy val knnScoredCtes: String =
+    s"""ce AS (
+      |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+      |cent AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id % (SELECT every FROM ce) = 0),
+      |ca AS (
+      |  SELECT vec_id, embedding, c_id FROM (
+      |    SELECT v.vec_id, v.embedding, c.c_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+      |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
+      |ca2 AS (
+      |  SELECT vec_id, embedding, c_id,
+      |    CAST((row_number() OVER (PARTITION BY c_id ORDER BY vec_id) - 1) // 64 AS BIGINT) AS sub
+      |  FROM ca),
+      |scored AS (
+      |  SELECT a.vec_id, b.vec_id AS n_id,
+      |    ${cos("a.embedding", "b.embedding")} AS sim
+      |  FROM ca2 a JOIN ca2 b ON a.c_id = b.c_id AND a.sub = b.sub
+      |    AND a.vec_id != b.vec_id)""".stripMargin
 
   /** DuckDB twin of ops.Similarity.pqTopK — the full PQ chain (derived
     * codebook, packed-min encoding with the 10^12 bias, per-query LUT,
@@ -1922,21 +1951,7 @@ object Vectors extends QueryPack {
     // dd_dup_clusters pattern): the iterative Spark contraction and the
     // SQL transitive closure share the unique min-reachable-id fixpoint.
     "sim_dup_clusters" ->
-      s"""WITH RECURSIVE ce AS (
-        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
-        |cent AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  WHERE vec_id % (SELECT every FROM ce) = 0),
-        |ca AS (
-        |  SELECT vec_id, embedding, c_id FROM (
-        |    SELECT v.vec_id, v.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
-        |scored AS (
-        |  SELECT a.vec_id, b.vec_id AS n_id,
-        |    ${cos("a.embedding", "b.embedding")} AS sim
-        |  FROM ca a JOIN ca b ON a.c_id = b.c_id AND a.vec_id != b.vec_id),
+      s"""WITH RECURSIVE $knnScoredCtes,
         |knn AS (
         |  SELECT vec_id, n_id FROM (
         |    SELECT *, row_number() OVER (
@@ -1955,23 +1970,10 @@ object Vectors extends QueryPack {
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
 
-    // sim_ivf_topk's cell-assignment CTE, self-joined within cells.
+    // sim_ivf_topk's cell-assignment CTE, sub-cell-capped and self-joined
+    // within (c_id, sub) — the SQL twin of Similarity.knnGraph(cellCap=64).
     "sim_knn_graph" ->
-      s"""WITH ce AS (
-        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
-        |cent AS (
-        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-        |  WHERE vec_id % (SELECT every FROM ce) = 0),
-        |ca AS (
-        |  SELECT vec_id, embedding, c_id FROM (
-        |    SELECT v.vec_id, v.embedding, c.c_id,
-        |      row_number() OVER (PARTITION BY v.vec_id
-        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
-        |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
-        |scored AS (
-        |  SELECT a.vec_id, b.vec_id AS n_id,
-        |    ${cos("a.embedding", "b.embedding")} AS sim
-        |  FROM ca a JOIN ca b ON a.c_id = b.c_id AND a.vec_id != b.vec_id)
+      s"""WITH $knnScoredCtes
         |SELECT vec_id, n_id, sim, rank FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY vec_id ORDER BY sim DESC, n_id) AS rank

@@ -672,6 +672,32 @@ class PropertySpec extends SparkSpec {
       s"single task held the entire ${total}-pair grid")
   }
 
+  test("knnGraph caps cell populations: a 300-near-twin embedding flood " +
+    "splits into bounded sub-cells and never materializes the hub grid") {
+    import graft.ops.Similarity
+    // The embedding-side mega-twin hazard (the dedup families' 300-twin
+    // test transposed): near-identical vectors all route to ONE IVF cell,
+    // whose uncapped self-join is a C(300,2) grid. With cellCap = 64 the
+    // cell splits into ⌈300/64⌉ = 5 sub-cells in vec_id order, so every
+    // edge must stay inside its vector's sub-cell — ids are dense from 0,
+    // making the sub-cell id exactly vec_id / 64 — and each sub-grid is
+    // ≤ 64² regardless of how many twins flood in.
+    val d = 8
+    val corpus = (0 until 300).map { i =>
+      val v = Array.tabulate(d)(j => 1.0f + 0.1f * j)
+      v(d - 1) = v(d - 1) + i * 1e-4f // near-identical, all distinct
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    // centroidEvery beyond every id → only vec_id 0 seeds → one hub cell
+    val g = Similarity.knnGraph(corpus, k = 3, centroidEvery = 1000,
+      cellCap = 64)
+    val edges = rows(g).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(edges.size == 300 * 3, s"expected 900 edges, got ${edges.size}")
+    assert(edges.forall { case (v, n, _) => v / 64 == n / 64 },
+      "an edge crossed its sub-cell — the population cap is not binding")
+    assert(edges.forall(_._3 >= 0.999), "twin neighbors must score ≈ 1")
+  }
+
   test("queryStride bounds the judged ANN workload at every corpus size") {
     // The service contract: ~64 query vectors regardless of corpus size —
     // a workload proportional to n turns every exhaustive-scan path into

@@ -269,6 +269,34 @@ class StreamingSpec extends SparkSpec {
       "every arrived vector must land exactly one index row")
   }
 
+  test("ev_stream_sessionize_evict: session_window eviction equals the " +
+    "batch sessionizer while state stays horizon-bounded and drains to ≤ 1") {
+    val dir = "/root/testdata/sf0.001"
+    StreamOps.clearStateLog()
+    val streamed = graft.queries.Events.queries("ev_stream_sessionize_evict")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    val batch = graft.queries.Events.queries("ev_sessionize")(spark, dir)
+      .select($"user_id", $"session_id", $"n_events",
+        $"first_ts", $"last_ts", $"dur_us")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "eviction sessionizer drained nothing")
+    assert(streamed == batch,
+      s"stream/batch session divergence:\n stream=${streamed.take(5)}…" +
+        s"\n batch=${batch.take(5)}…")
+    // The eviction pin: emitted sessions LEAVE state. The final commit may
+    // hold at most the flush sentinel's open session (never the users),
+    // and no commit may snapshot every emitted session the way the
+    // NoTimeout posture's full-state commits do.
+    val state = StreamOps.stateLogSnapshot
+      .collectFirst { case (k, v) if k.contains("sessw") => v }
+      .getOrElse(fail("no state log captured for the eviction drain"))
+    assert(state.nonEmpty, "no progress captured")
+    assert(state.last <= 1,
+      s"final watermark did not evict to at most the sentinel: $state")
+    assert(state.max < batch.length,
+      s"state held every session at once — eviction not working: $state")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")
