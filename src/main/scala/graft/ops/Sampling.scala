@@ -124,10 +124,22 @@ object Sampling {
     * shuffled; output is |sources| rows. */
   def repeatFactors(df: DataFrame, strataCol: String,
                     tokenBudget: Long, maxEpochs: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val nTok = size(split(col("text"), "\\s+")).cast("long")
-    val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+    repeatFactorsFromCounts(
+      df.groupBy(col(strataCol))
+        .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens")),
+      strataCol, tokenBudget, maxEpochs)
+  }
+
+  /** [[repeatFactors]] over an ALREADY-AGGREGATED (strata, n_docs,
+    * n_tokens) census — the form a composed pipeline uses when the token
+    * counts are staged (tp4 rides the curation manifest's counts; calling
+    * the docs-frame form there would re-scan the corpus for numbers the
+    * manifest already carries). Identical arithmetic row for row. */
+  def repeatFactorsFromCounts(counts: DataFrame, strataCol: String,
+                              tokenBudget: Long,
+                              maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val z = counts.agg(
       sum(sqrt(col("n_tokens").cast("double")).cast(DecimalType(30, 10)))
         .as("__z"))

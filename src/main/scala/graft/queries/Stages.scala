@@ -42,6 +42,7 @@ object Stages {
     "stage:corpus_bands" -> ((s, d) => { TextOps.stagedCorpusBands(s, d); () }),
     "stage:grams"        -> ((s, d) => { TextOps.stagedGramHashes(s, d); () }),
     "stage:bloom"        -> ((s, d) => { TextOps.stagedBloomBitmap(s, d); () }),
+    "stage:manifest"     -> ((s, d) => { TextOps.stagedManifest(s, d); () }),
     "stage:spans"        -> ((s, d) => { TextOps.stagedSpanArrays(s, d); () }),
     "stage:bpe"          -> ((s, d) => { TextOps.stagedBpe(s, d); () }),
     "stage:dsir"         -> ((s, d) => { TextOps.stagedDsir(s, d); () }),

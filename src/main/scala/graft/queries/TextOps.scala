@@ -589,6 +589,70 @@ object TextOps extends QueryPack {
       g.filter(col("doc_id") % 11 === 0))
   }
 
+  /** The composed curation-manifest derivation (tp3's body): per document,
+    * keep/drop + the FIRST gate that cut it (exact_dup via the canonical
+    * token-set groups > near_dup via the staged cluster survivors >
+    * contaminated via the bloom-confirmed probe > low_quality via the
+    * Gopher gate), plus the sp5 source mixture weight, the sp4
+    * train/val/test split, and the token count (the packing input — free
+    * on the same scan). Composition, not recomputation: the dedup stages
+    * arrive as staged parquet (stage:pairs' membership, stage:clusters,
+    * stage:grams/bloom), and ALL per-doc signals ride ONE corpus scan
+    * (TextAnalysis.curationSignals + the map-only hash split),
+    * checkpointed so the source-count normalizer and every gate join
+    * downstream touch the corpus ZERO further times (PlanSpec pins no
+    * documents scan downstream of the base). Null-source docs keep a null
+    * weight (no mixture stratum), and a doc whose quality gate cannot
+    * evaluate (null text) is cut as low_quality — a curation run drops
+    * what it cannot score. Exposed (rather than inlined in the stage
+    * builder) so PlanSpec pins the derivation's plan directly. */
+  private[graft] def manifestFrame(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = table(s, dir, "documents")
+    val base = Dedup.materialize(
+      graft.ops.Sampling.hashSplit(
+        TextAnalysis.curationSignals(docs, carry = Seq("source"),
+          carryTokens = true),
+        idCol = "doc_id"))
+    val members = stagedCanonPairs(s, dir)._2
+    val surv = Dedup.survivors(stagedClusters(s, dir),
+      base.select(col("doc_id"), col("quality")))
+    val contam = bloomConfirmed(s, dir)
+      .select(col("doc_id"), lit(true).as("is_contam"))
+    val w = graft.ops.Sampling.temperatureWeights(base, strataCol = "source")
+      .select(col("source"), col("weight"))
+    val reason = when(col("rep") =!= col("doc_id"), "exact_dup")
+      .when(col("survivor_id").isNotNull &&
+        col("survivor_id") =!= col("doc_id"), "near_dup")
+      .when(col("is_contam").isNotNull, "contaminated")
+      .when(!coalesce(col("keep"), lit(false)), "low_quality")
+      .otherwise("keep")
+    base
+      .join(members.select(col("doc_id"), col("rep")), "doc_id")
+      .join(surv.select(col("doc_id"), col("survivor_id")),
+        Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("reason", reason)
+      .join(broadcast(w), Seq("source"), "left")
+      .select(col("doc_id"), (col("reason") === "keep").as("keep"),
+        col("reason"), col("source"), col("subset"), col("weight"),
+        col("n_tokens"))
+  }
+
+  /** Curation-manifest stage — the lifecycle's terminal per-doc artifact,
+    * built once per SF (the stagedClusters convention) so its consumers
+    * (tp3's judged projection, tp4's packed export) ride parquet instead
+    * of re-paying the gate composition. */
+  private[queries] def stagedManifest(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): org.apache.spark.sql.DataFrame = {
+    val staged = tmpStage(dir, "manifest_v1")
+    ensureStaged(staged, "_SUCCESS") {
+      manifestFrame(s, dir).write.mode("overwrite").parquet(staged)
+    }
+    s.read.parquet(staged)
+  }
+
   val queries: Map[String, QFn] = Map(
     "tx_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(table(s, dir, "documents"))),
     "tx_quality"     -> ((s, dir) => TextAnalysis.qualityScore(table(s, dir, "documents"))),
@@ -1043,35 +1107,67 @@ object TextOps extends QueryPack {
     // evaluate (null text) is cut as low_quality — a curation run drops
     // what it cannot score.
     "tp3_corpus_manifest" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val docs = table(s, dir, "documents")
-      val base = Dedup.materialize(
-        graft.ops.Sampling.hashSplit(
-          TextAnalysis.curationSignals(docs, carry = Seq("source")),
-          idCol = "doc_id"))
-      val members = stagedCanonPairs(s, dir)._2
-      val surv = Dedup.survivors(stagedClusters(s, dir),
-        base.select(col("doc_id"), col("quality")))
-      val contam = bloomConfirmed(s, dir)
-        .select(col("doc_id"), lit(true).as("is_contam"))
-      val w = graft.ops.Sampling.temperatureWeights(base, strataCol = "source")
-        .select(col("source"), col("weight"))
-      val reason = when(col("rep") =!= col("doc_id"), "exact_dup")
-        .when(col("survivor_id").isNotNull &&
-          col("survivor_id") =!= col("doc_id"), "near_dup")
-        .when(col("is_contam").isNotNull, "contaminated")
-        .when(!coalesce(col("keep"), lit(false)), "low_quality")
-        .otherwise("keep")
-      base
-        .join(members.select(col("doc_id"), col("rep")), "doc_id")
-        .join(surv.select(col("doc_id"), col("survivor_id")),
-          Seq("doc_id"), "left")
-        .join(contam, Seq("doc_id"), "left")
-        .withColumn("reason", reason)
-        .join(broadcast(w), Seq("source"), "left")
-        .select(col("doc_id"), (col("reason") === "keep").as("keep"),
-          col("reason"), col("source"), col("subset"), col("weight"))
+      import org.apache.spark.sql.functions.col
+      stagedManifest(s, dir)
+        .select(col("doc_id"), col("keep"), col("reason"), col("source"),
+          col("subset"), col("weight"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The PACKED TRAINING EXPORT — the artifact a training run actually
+    // mounts, composed end to end on top of the staged curation manifest
+    // with ZERO corpus re-scans (PlanSpec pins no documents scan): the
+    // manifest's kept train-split docs × sp8's repeat factors (derived
+    // from the manifest's OWN token census — the counts rode
+    // curationSignals' one scan) → integer epoch materialization →
+    // tp1-style per-source sequence packing onto 2048-token windows.
+    // Fractional repeat factors materialize by the sp7 exact-integer rule:
+    // floor(rf) full epochs, plus one more iff the doc's seeded hash (seed
+    // 61) mod 10⁶ lands under the fractional part — deterministic,
+    // proportional, engine-reproducible (rf is recomputed from the exact
+    // integer pair (target_tokens, n_tokens), never the rounded report
+    // column). Docs without a source have no mixture stratum and are not
+    // exported (inner join, mirrored in the oracle). Packing is
+    // epoch-major per source — each epoch is a full curriculum pass —
+    // and the per-(source) prefix sum never sorts globally (the tp1
+    // shape). Output: one row per mounted copy with its training window
+    // assignment (seq_id, seq_offset).
+    "tp4_training_export" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val m = stagedManifest(s, dir)
+      val kept = m.filter(col("keep") && col("subset") === "train" &&
+        col("source").isNotNull)
+      val rf = graft.ops.Sampling.repeatFactorsFromCounts(
+        kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")),
+        strataCol = "source", tokenBudget = 500000L)
+      val rfExact = least(
+        col("target_tokens").cast("double") / col("src_tokens").cast("double"),
+        lit(4.0))
+      val copies = kept
+        .join(broadcast(rf.select(col("source"), col("target_tokens"),
+          col("n_tokens").as("src_tokens"))), "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (floor(rfExact).cast("long") +
+            when(Dedup.seededHash(61, col("doc_id").cast("string")) % 1000000L
+                   < (rfExact - floor(rfExact)) * 1000000.0, 1L)
+              .otherwise(0L)).as("n_copies"))
+        .filter(col("n_copies") >= 1L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("epoch"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ctx = lit(2048L)
+      val start = col("end_tok") - col("n_tokens")
+      copies
+        .withColumn("end_tok", sum(col("n_tokens")).over(w))
+        // start - pmod(start, ctx) is exactly divisible -> exact double div
+        .select(col("doc_id"), col("epoch"), col("source"), col("n_tokens"),
+          ((start - pmod(start, ctx)) / ctx).cast("long").as("seq_id"),
+          pmod(start, ctx).as("seq_offset"))
+        .orderBy(col("doc_id"), col("epoch"))
     }),
     // Sequence packing: per-shard prefix sums map documents onto fixed
     // 2048-token training windows (seq_id, seq_offset) with no global sort.
@@ -1464,7 +1560,67 @@ object TextOps extends QueryPack {
     * literal `lab AS (...)` CTE (tools/cc_oracle.py splits there for the
     * sf1 union-find closure; everything else sits AFTER lab). */
   private lazy val manifestOracle: String =
-    s"""WITH RECURSIVE $clusterCtes,
+    s"""WITH RECURSIVE $manifestCtes
+      |SELECT mr.doc_id, (mr.reason = 'keep') AS keep, mr.reason, mr.source,
+      |  mr.subset, mw.weight
+      |FROM mr LEFT JOIN mw ON mr.source = mw.source
+      |ORDER BY mr.doc_id""".stripMargin
+
+  /** tp4_training_export: the manifest CTEs + the packed-export tail —
+    * kept train docs, sp8 repeat factors over the kept census (same
+    * sqrt/DECIMAL normalizer as sp8_repeat_factors), exact-integer epoch
+    * materialization (seed-61 hash under the fractional part, rf
+    * recomputed from the exact integer pair), epoch-major per-source
+    * prefix-sum packing onto 2048-token windows (the tp1 arithmetic). */
+  private lazy val trainingExportOracle: String =
+    s"""WITH RECURSIVE $manifestCtes,
+      |mtk AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |xk AS (
+      |  SELECT mr.doc_id, mr.source, mtk.n_tokens
+      |  FROM mr JOIN mtk USING (doc_id)
+      |  WHERE mr.reason = 'keep' AND mr.subset = 'train'
+      |    AND mr.source IS NOT NULL),
+      |xc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |  FROM xk GROUP BY source),
+      |xz AS (SELECT sum(CAST(sqrt(CAST(src_tokens AS DOUBLE)) AS DECIMAL(30,10))) AS z FROM xc),
+      |xt AS (
+      |  SELECT source, src_tokens,
+      |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) / CAST(xz.z AS DOUBLE) * 500000) AS BIGINT) AS target_tokens
+      |  FROM xc CROSS JOIN xz),
+      |xr AS (
+      |  SELECT source,
+      |    least(CAST(target_tokens AS DOUBLE) / CAST(src_tokens AS DOUBLE), 4.0) AS rf
+      |  FROM xt),
+      |xn AS (
+      |  SELECT k.doc_id, k.source, k.n_tokens,
+      |    CAST(floor(rf) AS BIGINT) +
+      |      (CASE WHEN CAST(${mh(61, "CAST(k.doc_id AS VARCHAR)")} % 1000000 AS DOUBLE)
+      |                 < (rf - floor(rf)) * 1000000 THEN 1 ELSE 0 END) AS n_copies
+      |  FROM xk k JOIN xr USING (source)),
+      |xe AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+      |  FROM xn WHERE n_copies >= 1),
+      |xp AS (
+      |  SELECT doc_id, epoch, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY epoch, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS end_tok
+      |  FROM xe)
+      |SELECT doc_id, epoch, source, n_tokens,
+      |  CAST((end_tok - n_tokens) // 2048 AS BIGINT) AS seq_id,
+      |  CAST((end_tok - n_tokens) % 2048 AS BIGINT) AS seq_offset
+      |FROM xp ORDER BY doc_id, epoch""".stripMargin
+
+  /** The shared curation-manifest CTE chain, ending in `mr` (per-doc
+    * first-cut reason + subset + source) and `mw` (sp5 source weights) —
+    * one text for tp3 and tp4 so the lifecycle's gates cannot drift
+    * between the manifest and the export built on it. Must keep the
+    * literal `lab AS (...)` CTE (tools/cc_oracle.py splits there for the
+    * sf1 union-find closure; everything else sits AFTER lab). */
+  private lazy val manifestCtes: String =
+    s"""$clusterCtes,
       |$qualityCtes,
       |mj AS (
       |  SELECT lab.id AS doc_id, lab.cluster_id, q.quality
@@ -1528,14 +1684,11 @@ object TextOps extends QueryPack {
       |  JOIN mcg USING (doc_id)
       |  LEFT JOIN mns USING (doc_id)
       |  LEFT JOIN mcon USING (doc_id)
-      |  JOIN mgr USING (doc_id))
-      |SELECT mr.doc_id, (mr.reason = 'keep') AS keep, mr.reason, mr.source,
-      |  mr.subset, mw.weight
-      |FROM mr LEFT JOIN mw ON mr.source = mw.source
-      |ORDER BY mr.doc_id""".stripMargin
+      |  JOIN mgr USING (doc_id))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "tp3_corpus_manifest" -> manifestOracle,
+    "tp4_training_export" -> trainingExportOracle,
     "dd_minhash_lsh" -> minhashOracle,
     "dd_minhash_verified" -> minhashVerifiedOracle,
     "dd_minhash_est" -> minhashEstOracle,

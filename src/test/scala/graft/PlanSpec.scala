@@ -1121,17 +1121,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
-  test("tp3: the manifest rides ONLY staged inputs + the checkpointed " +
-    "signal base — zero documents scans survive downstream") {
-    val p = plan("tp3_corpus_manifest")
-    // every per-doc signal (quality, Gopher keep, split, source) was
-    // computed in curationSignals' ONE scan and checkpointed; the dedup /
-    // contamination gates arrive as staged parquet — so the corpus itself
-    // must never appear in the composed plan
+  test("tp3: the manifest derivation rides ONLY staged inputs + the " +
+    "checkpointed signal base — zero documents scans survive downstream") {
+    // the pin targets the stage BUILDER's plan (the judged tp3 row now
+    // reads the staged manifest parquet; the derivation is where the
+    // zero-rescan discipline lives)
+    val p = graft.queries.TextOps.manifestFrame(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    // every per-doc signal (quality, Gopher keep, split, source, tokens)
+    // was computed in curationSignals' ONE scan and checkpointed; the
+    // dedup / contamination gates arrive as staged parquet — so the
+    // corpus itself must never appear in the composed plan
     val scans = p.linesIterator.count(l =>
       l.contains("Location") && l.contains("documents.parquet"))
     assert(scans == 0, s"documents scanned $scans times downstream of the base")
     // the source-weight table is |sources| rows and must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tp4: the packed export rides ONLY the staged manifest — zero " +
+    "documents scans anywhere; repeat factors broadcast; no global sort " +
+    "below the final presentation order") {
+    val p = plan("tp4_training_export")
+    // the token census, the gates, the split — everything tp4 needs —
+    // rode curationSignals' one scan INTO the staged manifest; the export
+    // itself must never touch the corpus
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("documents.parquet"))
+    assert(scans == 0, s"documents scanned $scans times in the export plan")
+    // the |sources|-row repeat-factor table must broadcast into the kept set
     assert(p.contains("BroadcastHashJoin"), p.take(600))
     assert(!p.contains("CartesianProduct"))
   }
