@@ -342,6 +342,44 @@ object VectorExpressions {
         newChild: Expression): FloatVecQuantize = copy(child = newChild)
   }
 
+  /** Deterministic distribution shift over an array<float>: every
+    * dimension translated by `bias` (double arithmetic, cast back to
+    * float) — the embedding-model-drift shape: arriving vectors
+    * concentrate toward a common direction the frozen codewords never
+    * tiled, so cosine DISCRIMINATION moves into fine differences the
+    * 8-byte codes cannot resolve. (A purely diagonal SCALING was measured
+    * recall-neutral here — uniform stretch distorts every codeword-vector
+    * distance alike and rankings survive; translation is the shift a
+    * frozen quantizer genuinely cannot track.) DuckDB twin:
+    * list_transform(x -> CAST(x + bias AS REAL)). */
+  def drift(a: ArrayData, bias: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (a.getFloat(i).toDouble + bias).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Codegen'd drift transform (see [[drift]]) — whole-corpus in-row
+    * compute stays out of interpreted higher-order functions. */
+  case class FloatVecDrift(child: Expression, bias: Double)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false)
+    override def prettyName: String = "float_vec_drift"
+    override protected def nullSafeEval(a: Any): Any =
+      drift(a.asInstanceOf[ArrayData], bias)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorExpressions.drift($c, $bias)")
+    override protected def withNewChildInternal(
+        newChild: Expression): FloatVecDrift = copy(child = newChild)
+  }
+
   /** First 60 bits of md5(input) as a non-negative BIGINT — the native
     * form of `conv(substr(md5(s), 1, 15), 16, 10)`. Value-identical to
     * that SQL (first 15 hex chars = first 8 digest bytes >>> 4, the
@@ -423,6 +461,9 @@ object VectorExpressions {
   def pqPackedCp(emb: Column, cbl: Column, subspaces: Int): Column =
     bridge.column(PqPackedCp(bridge.expression(emb), bridge.expression(cbl),
       subspaces))
+
+  def vecDrift(a: Column, bias: Double): Column =
+    bridge.column(FloatVecDrift(bridge.expression(a), bias))
 
   def md5Hash60(s: Column): Column =
     bridge.column(Md5Hash60(bridge.expression(s)))

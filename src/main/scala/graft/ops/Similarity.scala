@@ -965,6 +965,30 @@ object Similarity {
       .agg(sum(expr("(pk % 256) * shiftleft(1L, CAST(8 * m AS INT))")).as("cp"))
   }
 
+  /** Encode a corpus under a FROZEN (possibly parquet-read) codebook —
+    * the apply-half of the train-once contract, public so audits can
+    * re-encode a SHIFTED corpus under the deployed quantizers (the drift
+    * audit) without re-deriving anything. Sub-dimension and code count
+    * come off the codebook itself (bounded metadata job). */
+  def pqEncodeFrom(corpus: DataFrame, codebook: DataFrame): DataFrame = {
+    val (cb, _, subDim) = codebookMeta(codebook)
+    pqEncode(corpus, cb, subDim)
+  }
+
+  /** Compact a streamed index append-log into `partitions` c_id-aligned,
+    * internally sorted files — the maintenance pass that keeps the
+    * append-forever ingest ([[ivfPqStreamEncode]]) operable: each
+    * micro-batch appends up to |shuffle partitions| small files, and an
+    * IVF probe wants its cell's codes contiguous, not smeared across every
+    * batch ever ingested. Range-partitioning on (c_id, vec_id) puts each
+    * cell's rows in one (or adjacent) files, the within-file sort makes
+    * the layout scan-friendly, and row CONTENT is untouched — the
+    * compacted index must equal the append log equal the batch build
+    * (shared oracle; StreamingSpec pins file counts and row equality). */
+  def compactIndex(appended: DataFrame, partitions: Int = 4): DataFrame =
+    appended.repartitionByRange(partitions, col("c_id"), col("vec_id"))
+      .sortWithinPartitions(col("c_id"), col("vec_id"))
+
   /** OPQ-lite dimension permutation (the parametric rotation of Ge et
     * al., CVPR 2013, restricted to permutation matrices — the
     * deterministic, SQL-reproducible member of the rotation family):

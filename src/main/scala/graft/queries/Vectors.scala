@@ -470,6 +470,76 @@ object Vectors extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Streamed-index COMPACTION, judged — the maintenance half of the
+    // ingest path (append-forever is not an operable index): the ingest's
+    // per-micro-batch parquet appends (up to |shuffle partitions| small
+    // files per batch, the real accretion) merge into 4 c_id-range-aligned
+    // internally-sorted files, and the compacted index must equal the
+    // batch (cells ⨝ codes) build ROW FOR ROW — same oracle text as
+    // sim_stream_index_ingest (the proven-equal convention): compaction
+    // moves bytes, never values. StreamingSpec pins the file-count
+    // reduction and the three-way row equality (appended ≡ compacted ≡
+    // batch). At 100 TB this is the nightly pass that keeps probe cost
+    // per cell at one contiguous range scan instead of |batches| seeks.
+    "sim_index_compact" -> ((s, dir) => {
+      val st = stagedIvfAppend(s, dir)
+      s.read.parquet(s"$st/compacted")
+        .select(col("vec_id"), col("c_id"), col("cp"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Quantizer-DRIFT audit — the measured trigger behind the frozen-
+    // quantizer contract (ivfPqStreamEncode routes/encodes arriving
+    // vectors under codebooks retrained offline and versioned; this row
+    // says WHEN that retrain is due): recall@5 of flat ADC over the
+    // deployed Lloyd-refined codebook, side by side on the NATIVE corpus
+    // (the sim_pq_ref_recall harness) and on a deterministically SHIFTED
+    // arriving distribution — every dimension translated by +0.1, one
+    // mean-|x| toward the all-ones direction (a native codegen'd
+    // transform; the embedding-model-update shape: arriving vectors
+    // concentrate in a cone the frozen codewords never tiled) — with the
+    // drifted corpus re-encoded under the SAME frozen codebook and judged
+    // against its own exact brute ranking. A deployment alarms when the
+    // native/drift gap crosses its SLO and retrains + reindexes. Bounded
+    // workload: the same ~64 strided queries on both sides; the drift
+    // transform is one compiled map pass. MEASURED at sf0.01: mean recall
+    // 0.248 native → 0.124 drifted — ONE mean-magnitude of translation
+    // costs the deployed codebook half its recall (a diagonal 1.5× scale,
+    // by contrast, measured recall-NEUTRAL, 0.254: uniform stretch
+    // distorts every codeword-vector distance alike; see
+    // VectorExpressions.drift for why translation is the honest probe).
+    "sim_index_drift" -> ((s, dir) => {
+      import graft.functions.VectorExpressions.vecDrift
+      val e = table(s, dir, "embeddings")
+      val ref = stagedRefPq(s, dir)
+      val cb = s.read.parquet(s"$ref/refcodebook.parquet")
+      val stride = Similarity.queryStride(e.count())
+      def recallOf(corpus: org.apache.spark.sql.DataFrame,
+                   codes: org.apache.spark.sql.DataFrame,
+                   tag: String): org.apache.spark.sql.DataFrame = {
+        val q = corpus.filter(col("vec_id") % stride === 0)
+        val brute = Similarity.bruteForceTopK(corpus, q, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        val approx = Similarity.pqTopKFrom(cb, codes, q, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        val hits = brute.join(approx, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+        brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_hits"), lit(0L)).as(s"n_hits_$tag"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
+              .as(s"recall_$tag"))
+      }
+      val native = recallOf(e,
+        s.read.parquet(s"$ref/refcodes.parquet"), "native")
+      val drifted = e.select(col("vec_id"),
+        vecDrift(col("embedding"), bias = 0.1).as("embedding"))
+      val drift = recallOf(drifted,
+        Similarity.pqEncodeFrom(drifted, cb), "drift")
+      native.join(drift, "q_id").orderBy(col("q_id"))
+    }),
+
     // The recall/cost FRONTIER the nprobe knob trades along — the
     // coverage audit (sim_ivf_nprobe_audit) measures the routing ceiling;
     // this measures what each setting actually buys END-TO-END (IVF-PQ
@@ -798,6 +868,37 @@ object Vectors extends QueryPack {
     staged
   }
 
+  /** Streamed-index append log + its compaction, staged once per SF: the
+    * SAME frozen-quantizer ingest as sim_stream_index_ingest, drained
+    * through the parquet FILE SINK (one append of up to |shuffle
+    * partitions| files per micro-batch — the real small-file accretion an
+    * unbounded ingest suffers), then compacted into 4 c_id-range-aligned
+    * sorted files (Similarity.compactIndex). Both layouts persist so the
+    * judged row reads the compacted index and StreamingSpec can pin
+    * file-count reduction + row equality against the batch build. */
+  private[queries] def stagedIvfAppend(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String = {
+    val staged = tmpStage(dir, "ivfappend_v1")
+    ensureStaged(staged, "compacted/_SUCCESS") {
+      import graft.streaming.StreamOps
+      // a partially-built append log (failed prior build) must never be
+      // appended onto by a fresh checkpoint — rebuild from empty
+      val ap = new org.apache.hadoop.fs.Path(s"$staged/appended")
+      val fs = ap.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(ap)) fs.delete(ap, true)
+      val pq = stagedPq(s, dir)
+      val src = stagedEmbStream(s, dir)
+      val stream = StreamOps.readEventStream(s, src, s.read.parquet(src))
+      val enc = Similarity.ivfPqStreamEncode(stream,
+        s.read.parquet(s"$pq/codebook.parquet"),
+        s.read.parquet(s"$pq/cent.parquet"))
+      StreamOps.drainToParquet(enc, s"$staged/appended")
+      Similarity.compactIndex(s.read.parquet(s"$staged/appended"))
+        .write.mode("overwrite").parquet(s"$staged/compacted")
+    }
+    staged
+  }
+
   /** Covariance-cell stage: the corpus-sized Gram pass runs once per SF;
     * the covariance query and the PCA power iteration both ride it (the
     * stagedClusters convention — tag bumps with any change to
@@ -1090,6 +1191,97 @@ object Vectors extends QueryPack {
       |    FROM fq q CROSS JOIN fcb2 c CROSS JOIN fs sc) t
       |  GROUP BY q_id, q_nrm),
       |frn AS (SELECT list(cn2 ORDER BY m * s + code) AS rn2 FROM fcb2 CROSS JOIN fs)""".stripMargin
+  }
+
+  /** The batch (cells ⨝ codes) index as SQL — what every streamed form of
+    * the standing index (per-row ingest, compacted append log) must equal
+    * row for row. */
+  private lazy val batchIndexOracle: String =
+    s"""WITH $pqCtes,
+      |$ivfRouteCtes
+      |SELECT p.vec_id, ica.c_id, p.cp
+      |FROM pqpacked p JOIN ica USING (vec_id)
+      |ORDER BY p.vec_id""".stripMargin
+
+  /** sim_index_drift: the refined-codebook flat-ADC recall harness run
+    * twice — natively (bruteCtes + refPqCtes + the refPqRecallOracle
+    * scoring) and over the DRIFTED corpus (+0.1 per dimension, the
+    * FloatVecDrift twin) re-encoded under the SAME frozen fcb2 and judged
+    * against its own drifted brute ranking. */
+  private lazy val indexDriftOracle: String = {
+    def sl(v: String, m: String) =
+      s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
+    s"""WITH $bruteCtes,
+      |$refPqCtes,
+      |fscored AS (
+      |  SELECT l.q_id, p.vec_id,
+      |    round(
+      |      list_reduce(list_transform(range(0, 8),
+      |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)
+      |      / l.q_nrm
+      |      / sqrt(list_reduce(list_transform(range(0, 8),
+      |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
+      |  FROM fpacked p CROSS JOIN flut l CROSS JOIN frn r CROSS JOIN fs sc
+      |  WHERE p.vec_id <> l.q_id),
+      |f5 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM fscored) t WHERE rank <= 5),
+      |h AS (SELECT b.q_id, count(*) AS n_hits FROM b JOIN f5 USING (q_id, vec_id) GROUP BY 1),
+      |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1),
+      |demb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CAST(CAST(x AS DOUBLE) + 0.1 AS REAL)) AS embedding
+      |  FROM embeddings),
+      |dbq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM demb WHERE vec_id % (SELECT qevery FROM qe) = 0),
+      |dbs AS (
+      |  SELECT dbq.q_id, e.vec_id, ${cos("dbq.q_emb", "e.embedding")} AS sim
+      |  FROM demb e CROSS JOIN dbq WHERE e.vec_id != dbq.q_id),
+      |db AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM dbs) t WHERE rank <= 5),
+      |denc AS (
+      |  SELECT v.vec_id, c.m,
+      |    min((CAST(round((c.cn2 - 2 * ${dot(sl("v.embedding", "c.m"), "c.c_sub")}) * 1000000) AS BIGINT)
+      |         + 1000000000000) * 256 + c.code) AS pk
+      |  FROM demb v CROSS JOIN fcb2 c GROUP BY 1, 2),
+      |dpacked AS (SELECT vec_id,
+      |    CAST(sum((pk % 256) * (CAST(1 AS BIGINT) << CAST(8 * m AS INT))) AS BIGINT) AS cp
+      |  FROM denc GROUP BY 1),
+      |dfq AS (SELECT vec_id AS q_id, embedding AS q_emb, sqrt(${norm2("embedding")}) AS q_nrm
+      |  FROM demb WHERE vec_id % (SELECT qevery FROM qe) = 0),
+      |dlut AS (
+      |  SELECT q_id, q_nrm, list(dv ORDER BY idx) AS lut FROM (
+      |    SELECT q.q_id, q.q_nrm, c.m * sc.s + c.code AS idx,
+      |      ${dot(sl("q.q_emb", "c.m"), "c.c_sub")} AS dv
+      |    FROM dfq q CROSS JOIN fcb2 c CROSS JOIN fs sc) t
+      |  GROUP BY q_id, q_nrm),
+      |dscored AS (
+      |  SELECT l.q_id, p.vec_id,
+      |    round(
+      |      list_reduce(list_transform(range(0, 8),
+      |        m -> l.lut[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)
+      |      / l.q_nrm
+      |      / sqrt(list_reduce(list_transform(range(0, 8),
+      |        m -> r.rn2[CAST(m * sc.s + ((p.cp >> CAST(8 * m AS INT)) % 256) + 1 AS INT)]), (a, b) -> a + b)), 6) + 0 AS sim
+      |  FROM dpacked p CROSS JOIN dlut l CROSS JOIN frn r CROSS JOIN fs sc
+      |  WHERE p.vec_id <> l.q_id),
+      |d5 AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+      |    FROM dscored) t WHERE rank <= 5),
+      |dh AS (SELECT db.q_id, count(*) AS n_hits FROM db JOIN d5 USING (q_id, vec_id) GROUP BY 1),
+      |dkq AS (SELECT q_id, count(*) AS k FROM db GROUP BY 1)
+      |SELECT kq.q_id,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits_native,
+      |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall_native,
+      |  CAST(coalesce(dh.n_hits, 0) AS BIGINT) AS n_hits_drift,
+      |  round(CAST(coalesce(dh.n_hits, 0) AS DOUBLE) / dkq.k, 6) AS recall_drift
+      |FROM kq JOIN dkq USING (q_id)
+      |LEFT JOIN h USING (q_id) LEFT JOIN dh USING (q_id)
+      |ORDER BY q_id""".stripMargin
   }
 
   private lazy val refPqRecallOracle: String = {
@@ -1751,12 +1943,12 @@ object Vectors extends QueryPack {
     "sim_ivfpq_k_frontier" -> ivfPqKFrontierOracle,
     // the streamed index must equal the batch encode exactly — the same
     // pq/route CTEs every batch index consumer verifies against
-    "sim_stream_index_ingest" ->
-      s"""WITH $pqCtes,
-        |$ivfRouteCtes
-        |SELECT p.vec_id, ica.c_id, p.cp
-        |FROM pqpacked p JOIN ica USING (vec_id)
-        |ORDER BY p.vec_id""".stripMargin,
+    "sim_stream_index_ingest" -> batchIndexOracle,
+    // compaction moves bytes, never values: the compacted append-log
+    // must STILL equal the batch index row for row (one shared text)
+    "sim_index_compact" -> batchIndexOracle,
+
+    "sim_index_drift" -> indexDriftOracle,
 
     "sim_ivf_nprobe_audit" ->
       s"""WITH $bruteCtes,

@@ -286,6 +286,33 @@ object StreamOps {
     (df.sparkSession.table(name), stateRows)
   }
 
+  /** Drain a stream through the PARQUET FILE SINK in append mode — the
+    * standing-store ingest shape (each micro-batch appends its own files;
+    * exactly-once via the sink's _spark_metadata log). This is what a
+    * production index ingest actually writes, and it accretes the small
+    * files that make compaction (Similarity.compactIndex) a real
+    * maintenance operator rather than a hypothetical. Checkpoint lives on
+    * tmpfs when available (the drainToTable rationale); a production
+    * caller passes a durable path. */
+  def drainToParquet(df: DataFrame, path: String,
+                     checkpoint: Option[String] = None): Unit = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = checkpoint.getOrElse {
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_").toString
+      else java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    }
+    val q: StreamingQuery = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming aggregate in UPDATE mode through a per-micro-batch
     * keyed upsert into a parquet table — the shape an unbounded ingest
     * actually runs (complete mode rewrites the whole result every batch;

@@ -297,6 +297,33 @@ class StreamingSpec extends SparkSpec {
       s"state held every session at once — eviction not working: $state")
   }
 
+  test("sim_index_compact: appended ≡ compacted ≡ batch index, and the " +
+    "compaction genuinely collapses the per-micro-batch small files") {
+    val dir = "/root/testdata/sf0.001"
+    val compacted = graft.queries.Vectors.queries("sim_index_compact")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    import graft.ops.Similarity
+    val e = graft.queries.table(spark, dir, "embeddings")
+    val (cb, codes) = Similarity.pqIndexFrames(e)
+    val (cells, _) = Similarity.ivfIndexFrames(e)
+    val batch = cells.join(codes, Seq("vec_id"))
+      .select($"vec_id", $"c_id", $"cp")
+      .orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    assert(compacted.nonEmpty, "compacted index empty at sf0.001")
+    assert(compacted == batch, "compaction changed index CONTENT")
+    val st = graft.queries.tmpStage(dir, "ivfappend_v1")
+    val appended = spark.read.parquet(s"$st/appended")
+      .select($"vec_id", $"c_id", $"cp")
+      .orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    assert(appended == batch, "append log diverged from the batch index")
+    def files(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val (before, after) = (files(s"$st/appended"), files(s"$st/compacted"))
+    assert(after < before,
+      s"compaction did not reduce files: $before -> $after")
+    assert(after <= 4, s"compacted layout wider than its 4-file target: $after")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")
