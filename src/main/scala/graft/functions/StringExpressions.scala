@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -95,4 +96,72 @@ object StringExpressions {
 
   def jaroWinkler(a: Column, b: Column): Column =
     bridge.column(JaroWinkler(bridge.expression(a), bridge.expression(b)))
+
+  /** Distinct word-n-gram Bloom probe folded WITHIN one row: slide the
+    * n-token window over the token array, hash each gram through the
+    * library's seeded md5 family (identical bytes to
+    * seededHash(seed, concat_ws(" ", slice(toks, i, n))) — the
+    * "seed:tok tok tok tok" rendering), de-duplicate, and test each
+    * distinct hash's three Kirsch-Mitzenmacher bit positions against the
+    * broadcast bitmap — one compiled loop per document instead of a
+    * sequence → transform → array_distinct → filter higher-order chain
+    * whose lambdas run interpreted per gram (the r14 index-ingest lesson:
+    * whole-corpus in-row compute must not ride HOFs). Returns
+    * (n_distinct_grams << 32) | n_hits packed in one long (documents are
+    * < 2³² tokens by any contract in this library). Caller guarantees
+    * toks.length >= n. */
+  def bloomGramProbe(toks: ArrayData, bitmap: ArrayData, n: Int,
+                     mBits: Int, seed: Int): Long = {
+    val prefix = UTF8String.fromString(s"$seed:")
+    val space = UTF8String.fromString(" ")
+    val total = toks.numElements() - n + 1
+    val m = mBits.toLong
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var hits = 0L
+    val parts = new Array[UTF8String](2 * n)
+    parts(0) = prefix
+    var i = 0
+    while (i < total) {
+      var k = 0
+      var p = 1
+      while (k < n) {
+        if (k > 0) { parts(p) = space; p += 1 }
+        parts(p) = toks.getUTF8String(i + k)
+        p += 1
+        k += 1
+      }
+      val gh = VectorExpressions.md5Long60(UTF8String.concat(parts: _*))
+      if (seen.add(gh)) {
+        def bit(pos: Long): Boolean =
+          (bitmap.getLong((pos >>> 6).toInt) &
+            (1L << (pos % 64).toInt)) != 0L
+        if (bit(gh % m) && bit((gh >>> 16) % m) && bit((gh >>> 32) % m))
+          hits += 1L
+      }
+      i += 1
+    }
+    (seen.size.toLong << 32) | hits
+  }
+
+  /** Codegen'd in-row Bloom gram probe (see [[bloomGramProbe]]). */
+  case class BloomGramProbePacked(left: Expression, right: Expression,
+                                  n: Int, mBits: Int, seed: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def prettyName: String = "bloom_gram_probe"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      bloomGramProbe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        n, mBits, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.StringExpressions.bloomGramProbe($a, $b, $n, $mBits, $seed)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BloomGramProbePacked =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def bloomGramProbePacked(toks: Column, bitmap: Column, n: Int, mBits: Int,
+                           seed: Int): Column =
+    bridge.column(BloomGramProbePacked(bridge.expression(toks),
+      bridge.expression(bitmap), n, mBits, seed))
 }

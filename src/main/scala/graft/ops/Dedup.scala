@@ -1135,19 +1135,25 @@ object Dedup {
     * a 100 TB ingest wants in front of the store. */
   def bloomProbeInRow(docs: DataFrame, bitmap: Array[Long], n: Int = 4,
                       mBits: Int = 1 << 16): DataFrame = {
+    requireM(mBits)
+    require(bitmap.length == mBits / 64,
+      s"bitmap has ${bitmap.length} words, expected ${mBits / 64}")
     val toksC = split(F.normalizeText(lower(col("text"))), " ")
+    // The gram slide + seeded hash + distinct + three-bit probe fold in
+    // ONE compiled loop per document (StringExpressions.bloomGramProbe) —
+    // the prior higher-order chain (sequence → transform → array_distinct
+    // → filter) ran every gram through interpreted boxed lambdas, and this
+    // probe hashes EVERY corpus gram (the heaviest streaming row of the
+    // r14 decade audit, 72.6 s at f100). Same hash bytes, same positions,
+    // same counts — FunctionsSpec pins the packed fold against the HOF
+    // form value for value on the real corpus.
+    val packed = graft.functions.StringExpressions.bloomGramProbePacked(
+      toksC, typedlit(bitmap.toSeq), n, mBits, seed = 23)
     docs.filter(size(toksC) >= n)
-      .select(col("doc_id"), toksC.as("__toks"))
+      .select(col("doc_id"), packed.as("__p"))
       .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("__toks")) - (n - 1)),
-          i => seededHash(23,
-            concat_ws(" ", slice(col("__toks"), i, lit(n))))))
-          .as("__ghs"))
-      .select(col("doc_id"),
-        size(col("__ghs")).cast("long").as("n_grams"),
-        size(org.apache.spark.sql.functions.filter(col("__ghs"),
-          g => bloomHit(g, bitmap, mBits))).cast("long").as("n_hits"))
+        shiftrightunsigned(col("__p"), 32).cast("long").as("n_grams"),
+        col("__p").bitwiseAND(lit(0xffffffffL)).as("n_hits"))
   }
 
   /** Doc-in-doc containment over a DISTINCT (doc_id, gh) gram table:
@@ -1167,9 +1173,27 @@ object Dedup {
     * partial-agg count, two bounded joins back to per-doc sizes. Every
     * shuffle is hash-keyed; nothing is quadratic in documents. */
   def gramContainment(grams: DataFrame, maxDf: Long = 64,
-                      threshold: Double = 0.6): DataFrame = {
+                      threshold: Double = 0.6,
+                      chunks: Int = 4,
+                      members: Option[DataFrame] = None): DataFrame = {
+    // df ALWAYS counts documents over the full gram table — the
+    // boilerplate cut is a corpus property, independent of any collapse
     val dfTab = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
+    members match {
+      case None => containmentDirect(grams, dfTab, threshold)
+      case Some(mem0) =>
+        containmentCanonical(grams, dfTab, mem0, threshold, chunks)
+    }
+  }
+
+  /** The direct (uncollapsed) containment tail — pairs straight off the
+    * kept-gram self-join. Sound at any scale on a replica-FREE corpus (the
+    * join fans out at most maxDf² per distinct gram — linear with a ≤ maxDf
+    * constant); a replica flood multiplies every hot gram's fan-out by its
+    * copy count, which is what the canonical tail removes. */
+  private def containmentDirect(grams: DataFrame, dfTab: DataFrame,
+                                threshold: Double): DataFrame = {
     // kept feeds three branches (sizes + both sides of the self-join);
     // without a barrier Catalyst recomputes the df aggregation and join
     // per branch — same multi-pass shape bigramLogProb fixed.
@@ -1187,6 +1211,76 @@ object Dedup {
       .filter(containment >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         containment.as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Canonicalize-then-expand containment tail (the r13 signature-level
+    * posture applied to the gram fan-out): `members` is (doc_id, rep, r)
+    * where same rep ⟹ IDENTICAL gram set — the caller derives it from a
+    * map-side text fingerprint (text-identical ⟹ token-sequence-identical
+    * ⟹ gram-set-identical; note token-SET canonical groups are NOT sound
+    * here, word order moves grams), so canonicalization costs no pass
+    * over the gram table at all. Only class representatives enter the
+    * hash self-join — a replica flood contributes ONE gram profile
+    * instead of multiplying every hot gram's fan-out by its copy count —
+    * and pairs expand back through membership (output-bounded work only).
+    * Pair semantics are UNCHANGED: df counted documents BEFORE the
+    * collapse; every member shares the rep's kept set, so sizes / shared
+    * / containment are class properties, and intra-class pairs provably
+    * carry (ng, 1.0) with no scoring at all. */
+  private def containmentCanonical(grams: DataFrame, dfTab: DataFrame,
+                                   mem0: DataFrame, threshold: Double,
+                                   chunks: Int): DataFrame = {
+    val mem = materialize(mem0.select(col("doc_id"), col("rep"), col("r")))
+    // ONLY representatives enter the kept table here — the collapse
+    // happens BEFORE the df join and the checkpoint, so the barrier
+    // materializes the class profiles, never the replica flood (grams is
+    // a staged parquet read; scanning it twice — df census + rep
+    // semi-join — is cheaper than checkpointing every replica's grams)
+    val repKept = materialize(grams
+      .join(mem.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+        "doc_id")
+      .join(dfTab.select(col("gh")), "gh"))
+    val repSizes = materialize(
+      repKept.groupBy(col("doc_id")).agg(count(lit(1)).as("ng")))
+    val shared = repKept.as("x").join(repKept.as("y"),
+        col("x.gh") === col("y.gh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val containment = round(col("n_shared").cast("double") /
+      least(col("ng_a"), col("ng_b")).cast("double"), 6)
+    val repPairs = shared
+      .join(repSizes.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), "doc_a")
+      .join(repSizes.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), "doc_b")
+      .filter(containment >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        containment.as("containment"))
+    // intra-class member pairs: identical kept sets share ALL ng grams, so
+    // (n_shared, containment) = (ng, 1.0) by construction — provable twin
+    // stats, no scoring; classes whose kept set is empty produce nothing
+    // (repSizes is inner). The r² grid IS the output; chunked so one
+    // mega-class spreads over chunks² tasks (the expandMemberPairs
+    // discipline).
+    val multi = mem.filter(col("r") >= 2)
+      .join(repSizes.select(col("doc_id").as("rep"), col("ng")), "rep")
+      .select(col("doc_id"), col("rep"), col("ng"))
+    val (a, b, chunkCond) = Skew.chunkedSelfJoin(multi, "doc_id", chunks)
+    val intra = a.join(b, col("a.rep") === col("b.rep") && chunkCond &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ng").as("n_shared"), lit(1.0).as("containment"))
+      .filter(col("containment") >= threshold)
+    // cross-class expansion: a surviving rep pair's stats hold for every
+    // (member-of-A, member-of-B) combination — output-bounded joins
+    val cross = repPairs
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+        col("n_shared"), col("containment"))
+      .join(mem.select(col("rep").as("ra"), col("doc_id").as("ma")), "ra")
+      .join(mem.select(col("rep").as("rb"), col("doc_id").as("mb")), "rb")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"),
+        col("n_shared"), col("containment"))
+    intra.unionByName(cross)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

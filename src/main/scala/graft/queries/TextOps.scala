@@ -922,9 +922,29 @@ object TextOps extends QueryPack {
     // Doc-in-doc containment (|shared| / min(|G_a|,|G_b|)) over the shared
     // staged gram table — the asymmetric-size near-dup cut Jaccard blocking
     // can't see; stop-grams (df > 64) and singletons cut before pairing.
-    "dd_containment" -> ((s, dir) =>
+    // Canonical classes for the containment fan-out come from a MAP-SIDE
+    // text fingerprint over the same normalize-lower stream gramHashes
+    // tokenizes (text-identical ⟹ gram-set-identical — sound; the token-
+    // SET canon groups are not, word order moves grams): one map-only
+    // documents pass + a |docs|-row window, so a replica flood collapses
+    // to one gram profile per class before the hash self-join for free.
+    // Null-text docs key on their own id (no grams, no pairs — the
+    // grouping is irrelevant, the solo key just keeps fp non-null).
+    "dd_containment" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val fp = when(col("text").isNull,
+          concat(lit("solo:"), col("doc_id").cast("string")))
+        .otherwise(sha2(graft.etl.functions.normalizeText(lower(col("text"))), 256))
+      val wf = Window.partitionBy(col("fp"))
+      val members = table(s, dir, "documents")
+        .select(col("doc_id"), fp.as("fp"))
+        .select(col("doc_id"),
+          min(col("doc_id")).over(wf).as("rep"),
+          count(lit(1)).over(wf).as("r"))
       Dedup.gramContainment(stagedGramHashes(s, dir), maxDf = 64,
-        threshold = 0.6)),
+        threshold = 0.6, members = Some(members))
+    }),
     // Temperature-scaled (α = 0.5) source mixture weights + integer quotas
     // against a 10k-document budget — the multilingual rebalancing rule.
     "sp5_temperature" -> ((s, dir) =>

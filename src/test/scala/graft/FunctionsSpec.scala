@@ -193,4 +193,35 @@ class FunctionsSpec extends SparkSpec {
     assert(got.nonEmpty && got == want,
       s"native fold diverged from the batch index: ${got.take(3)} vs ${want.take(3)}")
   }
+
+  test("bloomGramProbe: the packed native fold equals the higher-order " +
+    "gram-hash + distinct + bit-test chain value for value on the corpus") {
+    import graft.ops.Dedup
+    val docs = graft.queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val bitmap = Dedup.bitmapFromWords(Dedup.bloomBitmapWords(
+      Dedup.gramHashes(docs.filter($"doc_id" % 11 === 0), n = 4)))
+    val n = 4
+    val mBits = 1 << 16
+    val got = Dedup.bloomProbeInRow(docs, bitmap, n)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    // the pre-r15 higher-order form, rebuilt verbatim as the reference
+    val toksC = split(F.normalizeText(lower($"text")), " ")
+    val want = docs.filter(size(toksC) >= n)
+      .select($"doc_id", toksC.as("__toks"))
+      .select($"doc_id",
+        array_distinct(transform(
+          sequence(lit(1), size($"__toks") - (n - 1)),
+          i => Dedup.seededHash(23,
+            concat_ws(" ", slice($"__toks", i, lit(n))))))
+          .as("__ghs"))
+      .select($"doc_id",
+        size($"__ghs").cast("long").as("n_grams"),
+        size(org.apache.spark.sql.functions.filter($"__ghs",
+          g => Dedup.bloomHit(g, bitmap, mBits))).cast("long").as("n_hits"))
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"native bloom fold diverged: ${got.take(3)} vs ${want.take(3)}")
+    assert(got.exists(_.last.asInstanceOf[Long] > 0L),
+      "corpus exercised no bloom hits — the pin is vacuous")
+  }
 }
