@@ -55,6 +55,7 @@ object Stages {
     "stage:knn"          -> ((s, d) => { Vectors.stagedKnn(s, d); () }),
     "stage:emb_stream"   -> ((s, d) => { Vectors.stagedEmbStream(s, d); () }),
     "stage:emb_evict"    -> ((s, d) => { Vectors.stagedEmbTimedBatches(s, d); () }),
+    "stage:ivf_append"   -> ((s, d) => { Vectors.stagedIvfAppend(s, d); () }),
     // ETL layout stages
     "stage:docs_by_lang" -> ((s, d) => { Etl.stagedDocsByLang(s, d); () }),
     "stage:schema_evo"   -> ((s, d) => { Etl.stagedSchemaEvo(s, d); () })

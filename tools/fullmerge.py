@@ -54,9 +54,15 @@ def main():
         return r.get("stage", {}).get(q)
 
     def minof(rs, q):
-        """(value, tag) of the minimum non-warm measurement of q in rs."""
+        """(value, tag) of the minimum valid measurement of q in rs.
+
+        Only STAGE rows reject warm-tagged measurements (a warm stage row
+        is a re-read, not a build); a warm-tagged QUERY row is the normal
+        protocol — the stage walk paid the build, the query row measures
+        query cost — and must merge."""
         vals = [(r["queries"][q], tag_of(r, q)) for r in rs
-                if q in r.get("queries", {}) and tag_of(r, q) != "warm"]
+                if q in r.get("queries", {})
+                and not (q.startswith("stage:") and tag_of(r, q) == "warm")]
         if not vals:
             return None, None
         v, t = min(vals, key=lambda p: p[0])
