@@ -203,22 +203,31 @@ object Similarity {
       .withColumn("c_sim",
         round(dotf(col(embCol), col("c_emb")) / col(nrmCol) / col("c_nrm"), 6))
 
-  /** Corpus→cell assignment — the packed-argmax aggregation documented in
-    * ivfTopK, exposed so graph construction (knnGraph) shares the exact
-    * same cell structure: returns (vec_id, embedding, nrm, c_id). */
+  /** Corpus→cell assignment, exposed so graph construction (knnGraph)
+    * shares the exact same cell structure: returns
+    * (vec_id, embedding, nrm, c_id).
+    *
+    * The route is the NATIVE packed-argmax fold
+    * (VectorExpressions.ivfRoutePk — round-6 cosine desc, c_id asc via the
+    * complemented-id packing, identical arithmetic to the streaming
+    * ingest and to the pre-r15 crossJoin+HashAggregate form, FunctionsSpec
+    * pins the equality on the real corpus) over a one-row broadcast
+    * centroid array: ONE codegen'd loop per corpus row, zero shuffle.
+    * The prior shape materialized |corpus|·m scored ROWS through a
+    * partial aggregate — the m ≈ √n row machinery made every consumer
+    * (stage:pq, stage:knn) measurably superlinear (stage:knn f100 decade
+    * exp 1.17 with the pair join already capped; the assign rows were the
+    * residual term). Flops are unchanged; the row stream is gone. */
   def ivfAssign(corpus: DataFrame, centroidEvery: Int): DataFrame = {
-    val idMask = (1L << 41) - 1
-    val packed =
-      (round(col("c_sim") * 1000000L, 0).cast("long") + 1000000L) * (idMask + 1) +
-        (lit(idMask) - col("c_id"))
-    scoredAgainst(centroids(corpus, centroidEvery))(
-      corpus.select(col("vec_id"), col("embedding"),
-        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm")),
-      "embedding", "nrm")
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-      .agg(max(packed).as("pk"))
+    import graft.functions.VectorExpressions.ivfRouteId
+    val centArr = broadcast(centroids(corpus, centroidEvery)
+      .select(struct(col("c_id"), col("c_emb"), col("c_nrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cents")))
+    corpus.select(col("vec_id"), col("embedding"),
+        sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
+      .crossJoin(centArr)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        (lit(idMask) - col("pk").bitwiseAND(lit(idMask))).as("c_id"))
+        ivfRouteId(col("embedding"), col("cents")).as("c_id"))
   }
 
   /** All-vectors kNN graph within BOUNDED IVF sub-cells: for EVERY corpus
@@ -278,25 +287,18 @@ object Similarity {
     val cent = centroids(corpus, centroidEvery)
     def scored(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
       scoredAgainst(cent)(df, embCol, nrmCol)
-    // Corpus→centroid assignment is argmax(c_sim, tie → smallest c_id),
-    // computed as an AGGREGATION, not a row_number window: the |corpus|·m
-    // scored rows collapse inside the partial (map-side) HashAggregate, so
-    // only one row per corpus vector ever reaches the exchange. A window
-    // here would shuffle all |corpus|·m rows — the one plan shape that
-    // inverts at 100× scale (m ≈ √n makes the exchange dwarf the probe
-    // saving). Two details keep the aggregate a genuine HashAggregate
-    // (primitive mutable buffer, no per-partition sort):
-    //  - the (c_sim DESC, c_id ASC) argmax ordering is packed into ONE
-    //    BIGINT — sim is already rounded to 6 dp so (sim·1e6 + 1e6) is an
-    //    exact integer in [0, 2e6] (21 bits), shifted above 41 id bits with
-    //    the id complemented so max() = best sim, then smallest c_id. (A
-    //    max_by/first pair would carry a struct/array buffer → SortAggregate
-    //    → a wasted O(n·m log n·m) local sort.) Precondition: centroid ids
-    //    < 2^41 ≈ 2.2e12 — ample for any corpus (100 TB of 64-dim floats is
-    //    ~4e11 vectors).
-    //  - the embedding/norm ride in the GROUP BY key (unique per vec_id),
-    //    not through a first() aggregate, so the buffer stays primitive.
-    // (The assignment itself lives in ivfAssign, shared with knnGraph.)
+    // Corpus→centroid assignment is argmax(c_sim, tie → smallest c_id) as
+    // the NATIVE in-row packed fold (see ivfAssign): one codegen'd loop
+    // per corpus vector over the broadcast centroid array, zero scored
+    // rows materialized — a window or even a map-side HashAggregate over
+    // |corpus|·m scored rows pays m ≈ √n row machinery per vector, the
+    // one plan shape that inverts at 100× scale. The packing keeps the
+    // (c_sim DESC, c_id ASC) order in ONE BIGINT: sim is rounded to 6 dp
+    // so (sim·1e6 + 1e6) is an exact integer in [0, 2e6] (21 bits),
+    // shifted above 41 id bits with the id complemented so max = best
+    // sim, then smallest c_id. Precondition: centroid ids < 2^41 ≈
+    // 2.2e12 — ample for any corpus (100 TB of 64-dim floats is ~4e11
+    // vectors).
     val corpusAssigned = ivfAssign(corpus, centroidEvery)
     // Query probes keep the top-nprobe cells; the query set is bounded, so
     // a per-q_id window over m·|queries| rows is cheap and stays cheap.

@@ -260,8 +260,15 @@ object Events extends QueryPack {
         s.read.parquet(s"$staged/b0.parquet"))
       val out = StreamOps.sessionizeEvict(stream, gapMin = 30)
       val parts = if (s.read.parquet(staged).count() > 2000000L) 32 else 8
-      val drained = StreamOps.drainToTable(out,
-        s"ev_stream_sessw$sf".replace(".", "_"), mode = "append",
+      // PARQUET-sink drain: the eviction posture's whole point is bounded
+      // state against unbounded output — a memory sink would accumulate
+      // every emitted session in driver memory (at the factor-100 corpus,
+      // ~9.5M rows: the sink, not the operator, dominated the first cut's
+      // wall time). Same state tracking; target rebuilt per call (the
+      // drain is the measured operator).
+      val drained = StreamOps.drainToParquetTracked(out,
+        tmpStage(dir, "evsessw_out"),
+        s"ev_stream_sessw$sf".replace(".", "_"),
         shufflePartitions = Some(parts))
       val w = Window.partitionBy(col("user_id")).orderBy(col("first_ts"))
       drained

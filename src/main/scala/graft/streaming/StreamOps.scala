@@ -231,12 +231,49 @@ object StreamOps {
         Some(java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_"))
       else None
     var stateRows: Seq[Long] = Nil
-    // Buffered UNCONDITIONALLY, keyed by (runId, batchId), and filtered to
-    // this query's runId only after termination: the listener bus is async,
-    // so batch 0's progress can be delivered before `w.start()` has even
-    // returned the query handle — a delivery-time filter against a
-    // late-assigned runId would drop exactly the earliest batch's state
-    // row, the one an eviction-boundedness claim needs.
+    try {
+      stateRows = runTracked(spark) { () =>
+        var w = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+        ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
+        val q = w.start()
+        logSink(name)
+        q
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ckpt.foreach(root => deleteRecursively(root))
+    }
+    (df.sparkSession.table(name), stateRows)
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.util.Using
+    try Using.resource(java.nio.file.Files.walk(root)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toSeq.reverse
+        .foreach(p => try java.nio.file.Files.delete(p)
+                      catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+  }
+
+  /** Start a streaming query via `start`, await termination, and return
+    * the per-committed-micro-batch TOTAL state-store row counts (commit
+    * order) — the listener machinery shared by every tracked drain.
+    * Progress is buffered UNCONDITIONALLY, keyed by (runId, batchId), and
+    * filtered to this query's runId only after termination: the listener
+    * bus is async, so batch 0's progress can be delivered before start()
+    * has even returned the query handle — a delivery-time filter against
+    * a late-assigned runId would drop exactly the earliest batch's state
+    * row, the one an eviction-boundedness claim needs. (`recentProgress`
+    * is no substitute: its ring buffer caps at
+    * spark.sql.streaming.numRecentProgressUpdates and silently drops the
+    * EARLIEST batches of a long drain.) */
+  private def runTracked(spark: SparkSession)
+                        (start: () => StreamingQuery): Seq[Long] = {
     val perBatch =
       new java.util.concurrent.ConcurrentHashMap[(java.util.UUID, Long), Long]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -251,14 +288,7 @@ object StreamOps {
     }
     spark.streams.addListener(listener)
     try {
-      var w = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-      ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
-      val q: StreamingQuery = w.start()
-      logSink(name)
+      val q = start()
       q.awaitTermination()
       // listener events arrive on the async bus thread — wait (bounded)
       // until the terminal batch's progress has been delivered
@@ -267,23 +297,52 @@ object StreamOps {
       while (lastBatch >= 0 && !perBatch.containsKey((q.runId, lastBatch)) &&
              System.nanoTime < deadline) Thread.sleep(10)
       import scala.jdk.CollectionConverters._
-      stateRows = perBatch.asScala.toSeq
+      perBatch.asScala.toSeq
         .collect { case ((rid, batch), n) if rid == q.runId => (batch, n) }
         .sortBy(_._1).map(_._2)
-    } finally {
-      spark.streams.removeListener(listener)
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      ckpt.foreach { root =>
-        import scala.util.Using
-        try Using.resource(java.nio.file.Files.walk(root)) { s =>
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toSeq.reverse
-            .foreach(p => try java.nio.file.Files.delete(p)
-                          catch { case _: Throwable => () })
-        } catch { case _: Throwable => () }
+    } finally spark.streams.removeListener(listener)
+  }
+
+  /** Drain a stream through the PARQUET FILE SINK in append mode with the
+    * same state tracking as drainToTable — the drain for UNBOUNDED-output
+    * postures: a memory sink holds every emitted row in driver memory,
+    * which is itself an unbounded-state harness exactly where the
+    * operator under test claims bounded state (the f100 eviction
+    * sessionizer measured ~2× faster through the file sink). The target
+    * and checkpoint are rebuilt per call — the drain IS the measured
+    * operator. Returns the read-back result. */
+  def drainToParquetTracked(df: DataFrame, path: String, name: String,
+                            shufflePartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tp = new org.apache.hadoop.fs.Path(path)
+    val tfs = tp.getFileSystem(hconf)
+    if (tfs.exists(tp)) tfs.delete(tp, true)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")
+      else java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    try {
+      val state = runTracked(spark) { () =>
+        df.writeStream
+          .format("parquet")
+          .option("path", path)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
       }
+      stateLog.synchronized { stateLog(name) = state }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      deleteRecursively(ckpt)
     }
-    (df.sparkSession.table(name), stateRows)
+    spark.read.parquet(path)
   }
 
   /** Drain a stream through the PARQUET FILE SINK in append mode — the
