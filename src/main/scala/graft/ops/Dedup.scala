@@ -167,6 +167,30 @@ object Dedup {
     floor(size(split(col("text"), "\\s+")).cast("double") / lit(bucketTokens))
       .cast("long")
 
+  /** The exact-dup canonical group key's three columns — (lang,
+    * canonBucket, canonFpOf(canonToks)) is the group identity
+    * [[ngramJaccardCanonical]] factorizes on (and dd_canon_groups judges).
+    * Public so the STREAMING curation-ingest gate keys arriving documents
+    * on the IDENTICAL arithmetic: membership in the standing corpus's key
+    * set IS membership in its canonical exact-dup groups. Requires the
+    * frame to carry `text`, `lang`, `doc_id`. */
+  def canonBucket: Column = tokenBucket(10)
+
+  /** Sorted distinct token set of the normalized text — the canonical
+    * group's set representation (see [[ngramJaccardCanonical]]). */
+  def canonToks: Column =
+    graft.functions.VectorExpressions.sortedDistinctStrings(
+      split(F.normalizeText(lower(col("text"))), " "))
+
+  /** Group fingerprint over a sorted-distinct token-set column: sha2-256
+    * of the space-joined set (injective — tokens contain no spaces);
+    * unpairable docs (null lang / empty or null token set) key on their
+    * own id so they stay singletons. */
+  def canonFpOf(toks: Column): Column =
+    when(col("lang").isNotNull && size(toks) > 0,
+        sha2(concat_ws(" ", toks), 256))
+      .otherwise(concat(lit("solo:"), col("doc_id").cast("string")))
+
   /** Word n-gram shingles of the normalized text, distinct. */
   def shingles(c: Column, n: Int = 3): Column = {
     val toks = split(F.normalizeText(lower(c)), " ")
@@ -1610,7 +1634,7 @@ object Dedup {
     // so the filter would silently drop them — fail loudly instead.
     require(threshold > 0 && threshold <= 1,
       s"ngramJaccard threshold must be in (0, 1], got $threshold")
-    val toksC = sortedDistinctStrings(split(F.normalizeText(lower(col("text"))), " "))
+    val toksC = canonToks
     // Group fingerprint: sha2-256 of the space-joined sorted token set —
     // the concat is injective because tokens are split on spaces and so
     // contain none, and sha2-256 (unlike md5, which has practical chosen-
@@ -1618,10 +1642,8 @@ object Dedup {
     // collisions, so two DIFFERENT token sets cannot be merged into one
     // "exact-dup" group and fabricate jaccard=1.0 pairs. Unpairable docs
     // (null lang / empty or null token set) get a per-doc key so they stay
-    // singletons.
-    val fpC = when(col("lang").isNotNull && size(col("toks")) > 0,
-        sha2(concat_ws(" ", col("toks")), 256))
-      .otherwise(concat(lit("solo:"), col("doc_id").cast("string")))
+    // singletons. (Shared with the streaming ingest gate via canonFpOf.)
+    val fpC = canonFpOf(col("toks"))
     val w = Window.partitionBy(col("lang"), col("bucket"), col("fp"))
     // One tokenize+sort pass; the group window shuffles it once on the
     // group key. Materialized: the membership projection, the canonical

@@ -220,6 +220,13 @@ object Similarity {
     * residual term). Flops are unchanged; the row stream is gone. */
   def ivfAssign(corpus: DataFrame, centroidEvery: Int): DataFrame = {
     import graft.functions.VectorExpressions.ivfRouteId
+    // fail at construction, not mid-job inside ivfRouteId's executor-side
+    // require: a corpus where no vec_id % centroidEvery == 0 (e.g. a
+    // filtered slice) yields ZERO centroids and every route would throw
+    // (the ivfPqStreamEncode limit(1) guard, applied to the batch route)
+    require(centroids(corpus, centroidEvery).limit(1).count() == 1,
+      s"ivfAssign: no centroids at spacing $centroidEvery " +
+        "(no vec_id % spacing == 0 in the corpus)")
     val centArr = broadcast(centroids(corpus, centroidEvery)
       .select(struct(col("c_id"), col("c_emb"), col("c_nrm")).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("cents")))
@@ -281,6 +288,70 @@ object Similarity {
     * count, same contract as ivfTopKAuto). */
   def knnGraphAuto(corpus: DataFrame, k: Int): DataFrame =
     knnGraph(corpus, k, autoCentroidEvery(corpus.count()))
+
+  /** Re-split over-populated IVF cells — the cell-population third of
+    * live-index maintenance (compaction keeps the FILES scan-friendly,
+    * the drift audit watches the CODEBOOK; this keeps the CELLS at the
+    * m ≈ √n contract the frontier numbers assume, which frozen-cell
+    * streamed ingest otherwise decays forever):
+    *
+    * 1. cells whose population exceeds `cap` split; the rest are NOT
+    *    TOUCHED (their index rows pass through bit-identical — OpsSpec
+    *    pins it), so the maintenance pass costs only the offenders;
+    * 2. each split cell derives nSub = ⌈n_c/cap⌉ sub-centroids from ITS
+    *    OWN members, deterministically: members ranked by vec_id, every
+    *    ⌈n_c/nSub⌉-th is a seed (the library's IVF seeding convention
+    *    applied to the cell — the knnGraph sub-cell derivation made
+    *    GEOMETRIC, because a probe must be able to route to a sub-cell,
+    *    which row_number sub-cells cannot offer);
+    * 3. only the split cell's members re-route, among their own cell's
+    *    sub-seeds, through the same native packed-argmax fold as every
+    *    route in this file (ivfRouteId — round-6 cosine desc, c_id asc);
+    *    per-cell route work is n_c·nSub ≈ n_c²/cap dots, the global IVF
+    *    assignment's own n·√n shape, paid only where the contract broke.
+    *
+    * New cell ids are the seed members' vec_ids (globally unique: every
+    * vector lives in exactly one cell, so a member of a split cell is no
+    * other cell's id), and every centroid — old or sub — IS a corpus
+    * vector, so the rebalanced centroid table is just
+    * `corpus ⨝ distinct(c_id)`: a serving path needs no side channel.
+    * PQ codes are untouched by construction (plain-PQ codes are
+    * cell-independent; an IVFADC residual index would re-encode exactly
+    * the split cells' rows — same bound). Voronoi re-routing cannot
+    * guarantee ≤ cap populations (sub-cells are as balanced as the
+    * cell's geometry allows — Lloyd's trade); what it restores is the
+    * nSub-way split of the offender, measured by the population spread
+    * in OpsSpec.
+    *
+    * `index` is the standing (vec_id, c_id) assignment (payload columns
+    * ride the caller's join); `corpus` supplies embeddings for the split
+    * cells' members only. Returns the rebalanced (vec_id, c_id). */
+  def resplitCells(index: DataFrame, corpus: DataFrame, cap: Long): DataFrame = {
+    import graft.functions.VectorExpressions.ivfRouteId
+    require(cap > 1, s"cap must exceed 1, got $cap")
+    val over = index.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+    val wc = Window.partitionBy(col("c_id")).orderBy(col("vec_id"))
+    val ranked = index.join(broadcast(over), "c_id")
+      .withColumn("rk", row_number().over(wc).cast("long") - 1)
+      .withColumn("stride",
+        ceil(col("n").cast("double") /
+          ceil(col("n").cast("double") / cap)).cast("long"))
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val seeds = ranked.filter(col("rk") % col("stride") === 0)
+      .select(col("c_id"),
+        struct(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          sqrt(dotf(col("embedding"), col("embedding"))).as("c_nrm")).as("c"))
+      .groupBy(col("c_id"))
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+    val rerouted = ranked
+      .join(seeds, "c_id")
+      .select(col("vec_id"),
+        ivfRouteId(col("embedding"), col("cents")).as("c_id"))
+    index.join(broadcast(over.select(col("c_id"))), Seq("c_id"), "left_anti")
+      .select(col("vec_id"), col("c_id"))
+      .unionByName(rerouted)
+  }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {

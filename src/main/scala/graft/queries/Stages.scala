@@ -35,6 +35,7 @@ object Stages {
     // text/dedup side
     "stage:doc_stream"   -> ((s, d) => { TextOps.stagedDocStream(s, d); () }),
     "stage:doc_evict"    -> ((s, d) => { TextOps.stagedDocTimedBatches(s, d); () }),
+    "stage:curate_stream" -> ((s, d) => { TextOps.stagedCurateStream(s, d); () }),
     "stage:pairs"        -> ((s, d) => { TextOps.stagedPairs(s, d); () }),
     "stage:clusters"     -> ((s, d) => { TextOps.stagedClusters(s, d); () }),
     "stage:quotient"     -> ((s, d) => { TextOps.stagedQuotient(s, d); () }),

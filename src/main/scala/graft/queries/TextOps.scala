@@ -279,6 +279,46 @@ object TextOps extends QueryPack {
     staged
   }
 
+  /** Arriving-document stream for the curation-ingest gate
+    * (tp5_stream_curate): the doc_id % 5 == 0 slice (the
+    * dd_incremental_lsh batch rule) arriving on the synthetic ingest
+    * clock — one doc per minute from 2020-01-01 UTC, two time-ordered
+    * single-file micro-batches split at the id midpoint, plus a flush
+    * sentinel 2 h past the last real arrival (the stagedDocTimedBatches
+    * convention). `lang` rides along: the canonical exact-dup key needs
+    * it. The sentinel's doc_id is −5 ≡ 0 (mod 5), so a pushed-down
+    * arrival filter could never drop it below the watermark node. */
+  private[queries] def stagedCurateStream(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    val staged = tmpStage(dir, "curatestream")
+    val freshStage = !Files.exists(Paths.get(s"$staged/_STAGED"))
+    graft.queries.logStage(staged, freshStage)
+    if (freshStage) {
+      val d = table(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), col("lang"),
+          expr("timestamp_micros(1577836800000000 + doc_id * 60000000)")
+            .as("ingest_ts"))
+      val Array(minId, maxId) = d
+        .agg(min(col("doc_id")), max(col("doc_id"))).first() match {
+          case r => Array(r.getLong(0), r.getLong(1))
+        }
+      val mid = (minId + maxId) / 2
+      val flushUs = 1577836800000000L + maxId * 60000000L + 7200000000L
+      val flush = s.range(1).select(lit(-5L).as("doc_id"),
+        lit("__flush__").as("text"), lit(null).cast("string").as("lang"),
+        expr(s"timestamp_micros(${flushUs}L)").as("ingest_ts"))
+      val base = System.currentTimeMillis() / 1000L
+      writeMicroBatchFile(d.filter(col("doc_id") <= mid), staged, "b0", base)
+      writeMicroBatchFile(d.filter(col("doc_id") > mid), staged, "b1", base + 2)
+      writeMicroBatchFile(flush, staged, "b2", base + 4)
+      Files.createFile(Paths.get(s"$staged/_STAGED"))
+    }
+    staged
+  }
+
   /** DuckDB twin of Dedup.seededHash. */
   private def mh(seed: Int, v: String): String =
     s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
@@ -1189,6 +1229,116 @@ object TextOps extends QueryPack {
           pmod(start, ctx).as("seq_offset"))
         .orderBy(col("doc_id"), col("epoch"))
     }),
+    // STREAMING CURATION INGEST — the serving posture of the curation
+    // manifest (tp3 is the nightly batch; this is the gate a live pipeline
+    // runs as documents ARRIVE): the doc_id % 5 == 0 slice arrives on the
+    // synthetic ingest clock and each document is gated at ingest against
+    // the STANDING corpus (the % 5 != 0 docs) with the same first-cut
+    // precedence as tp3, restricted to the ingest-decidable gates —
+    //   exact_dup: the doc's canonical token-set key (Dedup.canonFpOf —
+    //     the dd_canon_groups key, identical arithmetic) is already a
+    //     standing canonical group (broadcast stream-static membership
+    //     join), OR an earlier arrival in the SAME 60-min ingest epoch
+    //     carried the key (the dd_stream_dedup_evict horizon gate, keyed
+    //     on the canonical fp instead of md5(text));
+    //   contaminated: the benchmark Bloom bitmap screens every arriving
+    //     doc IN-ROW (bloomGramProbePacked — one codegen'd loop, zero
+    //     state), and only the flagged few reach the exact gram join for
+    //     confirmation (the dd_bloom_confirmed screen-then-confirm
+    //     composition, here applied to the drained gate rows);
+    //   low_quality: the map-side Gopher gate (curationSignals — one
+    //     projection, the tp3 signal arithmetic verbatim).
+    // near_dup is deliberately NOT an ingest gate: cluster survivorship
+    // needs the corpus-wide pair stage (its ingest analog, LSH-vs-standing
+    // -bands, is judged separately as dd_stream_neardup). Two streaming
+    // legs, each in its honest posture: the per-doc gate leg is STATELESS
+    // (append, no watermark, all-zero state — the dd_stream_decontaminate
+    // shape), the horizon-dedup leg is the watermarked eviction aggregate
+    // (state bounded by the 60-min epoch + 45-min delay horizon, NEVER
+    // the corpus — StreamingSpec pins both sequences); the judged row
+    // composes the two drains. Deterministic regardless of micro-batching
+    // (shared-CTE oracle restates every gate over the batch tables). At
+    // 100 TB: the standing key set is a bucketed table instead of a
+    // broadcast, the Bloom bitmap broadcasts unchanged, and state still
+    // costs one row per distinct arriving key per horizon.
+    "tp5_stream_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = stagedCurateStream(s, dir)
+      val schemaFrom = s.read.parquet(s"$staged/b0.parquet")
+      val docs = table(s, dir, "documents")
+      val standing = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("lang"), Dedup.canonBucket.as("bucket"),
+          Dedup.canonFpOf(Dedup.canonToks).as("fp"))
+        .filter(!col("fp").startsWith("solo:"))
+        .distinct()
+        .withColumn("ex_standing", lit(true))
+      val bm = stagedBloomBitmap(s, dir)
+      val toksNorm = split(
+        graft.etl.functions.normalizeText(lower(col("text"))), " ")
+      val bloomPacked = graft.functions.StringExpressions
+        .bloomGramProbePacked(toksNorm, typedlit(bm.toSeq), 4, 1 << 16,
+          seed = 23)
+      // gate leg: stateless map-side signals + broadcast membership join
+      val stream = StreamOps.readEventStream(s, staged, schemaFrom)
+      val gated = graft.ops.Sampling.hashSplit(
+          graft.ops.TextAnalysis.curationSignals(stream,
+            carry = Seq("lang", "text")), idCol = "doc_id")
+        .withColumn("bucket", Dedup.canonBucket)
+        .withColumn("fp", Dedup.canonFpOf(Dedup.canonToks))
+        .withColumn("bloom_hits",
+          when(col("doc_id") % 11 =!= 0 && size(toksNorm) >= 4,
+            bloomPacked.bitwiseAND(lit(0xffffffffL))).otherwise(0L))
+        .join(broadcast(standing), Seq("lang", "bucket", "fp"), "left")
+        .select(col("doc_id"), col("lang"), col("bucket"), col("fp"),
+          coalesce(col("ex_standing"), lit(false)).as("ex_standing"),
+          col("bloom_hits"), col("keep").as("gopher_keep"), col("subset"))
+      val gateRows = StreamOps.drainToTable(gated,
+        s"tp5_gate$sf".replace(".", "_"), mode = "append")
+        .filter(col("doc_id") >= 0)
+      // dedup leg: the eviction-posture horizon gate on the canonical key
+      val dedup = StreamOps.readEventStream(s, staged, schemaFrom)
+        .withWatermark("ingest_ts", "45 minutes")
+        .withColumn("bucket", Dedup.canonBucket)
+        .withColumn("fp", Dedup.canonFpOf(Dedup.canonToks))
+        .groupBy(window(col("ingest_ts"), "60 minutes"),
+          col("lang"), col("bucket"), col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("window.start").as("win_start"), col("lang"),
+          col("bucket"), col("fp"), col("keep_id"))
+      val dedupRows = StreamOps.drainToTable(dedup,
+        s"tp5_dedup$sf".replace(".", "_"), mode = "append",
+        shufflePartitions = Some(8))
+        .filter(col("keep_id") >= 0)
+        .select(unix_micros(col("win_start")).as("ep_us"), col("lang"),
+          col("bucket"), col("fp"), col("keep_id"))
+      // exact confirmation for the Bloom-flagged few (batch composition
+      // over the drained gate rows — the dd_bloom_confirmed shape)
+      val flagged = gateRows.filter(col("bloom_hits") > 0)
+        .select(col("doc_id"))
+      val g = stagedGramHashes(s, dir)
+      val confirmed = Dedup.decontaminateFromGrams(
+          g.join(broadcast(flagged), "doc_id"),
+          g.filter(col("doc_id") % 11 === 0))
+        .select(col("doc_id"), lit(true).as("is_contam"))
+      val epUs = (lit(1577836800L) + expr("doc_id DIV 60") * 3600L) *
+        1000000L
+      val reason = when(col("ex_standing") ||
+          coalesce(col("keep_id"), col("doc_id")) < col("doc_id"),
+          "exact_dup")
+        .when(col("is_contam").isNotNull, "contaminated")
+        .when(!coalesce(col("gopher_keep"), lit(false)), "low_quality")
+        .otherwise("keep")
+      gateRows
+        .withColumn("ep_us", epUs)
+        .join(dedupRows, Seq("ep_us", "lang", "bucket", "fp"), "left")
+        .join(confirmed, Seq("doc_id"), "left")
+        .withColumn("reason", reason)
+        .select(col("doc_id"), (col("reason") === "keep").as("keep"),
+          col("reason"), col("subset"))
+        .orderBy(col("doc_id"))
+    }),
     // Sequence packing: per-shard prefix sums map documents onto fixed
     // 2048-token training windows (seq_id, seq_offset) with no global sort.
     "tp1_sequence_pack" -> ((s, dir) =>
@@ -1570,6 +1720,84 @@ object TextOps extends QueryPack {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** The canonical exact-dup group-key CTE pair (the dd_canon_groups /
+    * Dedup.canonFpOf key), name-parameterized like gramCtesNamed so the
+    * manifest chain and the streaming curation-ingest oracle ride ONE
+    * text: `$t` carries the sorted-distinct token set + bucket, `$k` the
+    * per-doc (lang, bucket, fp) canonical key. */
+  private def canonCtesNamed(t: String, k: String): String =
+    s"""$t AS (
+      |  SELECT doc_id, lang,
+      |    list_sort(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS toks,
+      |    CAST(len(string_split_regex(text, '\\s+')) // 10 AS BIGINT) AS bucket
+      |  FROM documents),
+      |$k AS (
+      |  SELECT doc_id, lang, bucket,
+      |    CASE WHEN lang IS NOT NULL AND len(toks) > 0
+      |         THEN sha256(array_to_string(toks, ' '))
+      |         ELSE 'solo:' || CAST(doc_id AS VARCHAR) END AS fp
+      |  FROM $t)""".stripMargin
+
+  /** The Gopher-gate CTE (tx_gopher_rules' integer-exact thresholds),
+    * name-parameterized for the same one-text sharing. */
+  private def gopherCteNamed(name: String): String =
+    s"""$name AS (
+      |  SELECT doc_id,
+      |    ((n_tokens >= 50 AND n_tokens <= 100000)
+      |     AND (sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10)
+      |     AND (n_alpha * 5 >= n_tokens * 4)
+      |     AND (n_sym * 10 <= len)
+      |     AND (n_stop >= 2)) AS keep
+      |  FROM (
+      |    SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      |      CAST(len(toks) AS BIGINT) AS n_tokens,
+      |      CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+      |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+      |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_sym,
+      |      CAST(len(list_distinct(list_filter(toks, x -> x IN ($stop)))) AS BIGINT) AS n_stop
+      |    FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
+      |          FROM documents) z) z2)""".stripMargin
+
+  /** tp5_stream_curate: every ingest gate restated over the batch tables —
+    * the canonical-key standing membership + the intra-epoch (doc_id//60,
+    * the 60-min ingest-clock window) first-arrival rule, the exact 4-gram
+    * contamination join (Bloom screen + exact confirm ≡ the exact join:
+    * no false negatives), the Gopher gate, and sp4's seed-41 split — with
+    * the SAME CTE texts as the tp3/tp4 manifest chain (canonCtesNamed /
+    * gramCtesNamed / gopherCteNamed), so the streamed gates provably apply
+    * the batch lifecycle's arithmetic. */
+  private lazy val streamCurateOracle: String =
+    s"""WITH ${canonCtesNamed("ct5", "ck5")},
+      |st5 AS (
+      |  SELECT DISTINCT lang, bucket, fp FROM ck5
+      |  WHERE doc_id % 5 != 0 AND fp NOT LIKE 'solo:%'),
+      |ar5 AS (
+      |  SELECT doc_id, lang, bucket, fp,
+      |    min(doc_id) OVER (PARTITION BY lang, bucket, fp, doc_id // 60)
+      |      AS ep_keep
+      |  FROM ck5 WHERE doc_id % 5 = 0),
+      |${gramCtesNamed("tg5", "gg5", "dg5", "bg5")},
+      |con5 AS (
+      |  SELECT dg5.doc_id FROM dg5 JOIN bg5 ON dg5.gh = bg5.gh
+      |  WHERE dg5.doc_id % 5 = 0 GROUP BY dg5.doc_id),
+      |${gopherCteNamed("gr5")},
+      |fin5 AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN st5.fp IS NOT NULL OR a.ep_keep < a.doc_id THEN 'exact_dup'
+      |         WHEN con5.doc_id IS NOT NULL THEN 'contaminated'
+      |         WHEN NOT coalesce(gr5.keep, false) THEN 'low_quality'
+      |         ELSE 'keep' END AS reason,
+      |    CASE WHEN ${mh(41, "CAST(a.doc_id AS VARCHAR)")} % 10000 < 9800 THEN 'train'
+      |         WHEN ${mh(41, "CAST(a.doc_id AS VARCHAR)")} % 10000 < 9900 THEN 'val'
+      |         ELSE 'test' END AS subset
+      |  FROM ar5 a
+      |  LEFT JOIN st5 ON a.lang = st5.lang AND a.bucket = st5.bucket
+      |    AND a.fp = st5.fp
+      |  LEFT JOIN con5 ON a.doc_id = con5.doc_id
+      |  LEFT JOIN gr5 ON a.doc_id = gr5.doc_id)
+      |SELECT doc_id, (reason = 'keep') AS keep, reason, subset
+      |FROM fin5 ORDER BY doc_id""".stripMargin
+
   /** tp3_corpus_manifest: the full curation lifecycle as ONE SQL — the
     * recursive cluster closure + survivor argmax (the dd_survivors text),
     * the canonical token-set groups (the dd_canon_groups text), the
@@ -1653,38 +1881,13 @@ object TextOps extends QueryPack {
       |    FROM mj) z WHERE rn = 1),
       |mns AS (SELECT mj.doc_id, msv.survivor_id
       |  FROM mj JOIN msv USING (cluster_id)),
-      |mct AS (
-      |  SELECT doc_id, lang,
-      |    list_sort(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS toks,
-      |    CAST(len(string_split_regex(text, '\\s+')) // 10 AS BIGINT) AS bucket
-      |  FROM documents),
-      |mck AS (
-      |  SELECT doc_id, lang, bucket,
-      |    CASE WHEN lang IS NOT NULL AND len(toks) > 0
-      |         THEN sha256(array_to_string(toks, ' '))
-      |         ELSE 'solo:' || CAST(doc_id AS VARCHAR) END AS fp
-      |  FROM mct),
+      |${canonCtesNamed("mct", "mck")},
       |mcg AS (
       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY lang, bucket, fp) AS rep
       |  FROM mck),
       |${gramCtesNamed("mgt", "mgg", "mgd", "mgb")},
       |mcon AS (SELECT DISTINCT mgd.doc_id FROM mgd JOIN mgb ON mgd.gh = mgb.gh),
-      |mgr AS (
-      |  SELECT doc_id,
-      |    ((n_tokens >= 50 AND n_tokens <= 100000)
-      |     AND (sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10)
-      |     AND (n_alpha * 5 >= n_tokens * 4)
-      |     AND (n_sym * 10 <= len)
-      |     AND (n_stop >= 2)) AS keep
-      |  FROM (
-      |    SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
-      |      CAST(len(toks) AS BIGINT) AS n_tokens,
-      |      CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
-      |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-      |      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_sym,
-      |      CAST(len(list_distinct(list_filter(toks, x -> x IN ($stop)))) AS BIGINT) AS n_stop
-      |    FROM (SELECT doc_id, text, string_split_regex(text, '\\s+') AS toks
-      |          FROM documents) z) z2),
+      |${gopherCteNamed("mgr")},
       |mwc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
       |mwz AS (SELECT sum(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,10))) AS z FROM mwc),
       |mw AS (SELECT source,
@@ -1709,6 +1912,7 @@ object TextOps extends QueryPack {
   val oracle: Map[String, String] = Map(
     "tp3_corpus_manifest" -> manifestOracle,
     "tp4_training_export" -> trainingExportOracle,
+    "tp5_stream_curate" -> streamCurateOracle,
     "dd_minhash_lsh" -> minhashOracle,
     "dd_minhash_verified" -> minhashVerifiedOracle,
     "dd_minhash_est" -> minhashEstOracle,

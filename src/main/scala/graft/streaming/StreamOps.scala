@@ -362,14 +362,22 @@ object StreamOps {
         java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_").toString
       else java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
     }
-    val q: StreamingQuery = df.writeStream
-      .format("parquet")
-      .option("path", path)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    try {
+      val q: StreamingQuery = df.writeStream
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      // a self-created checkpoint dies with the drain (the
+      // drainToParquetTracked contract); a caller-passed one is the
+      // caller's to keep — that's the durable-ingest path
+      if (checkpoint.isEmpty)
+        deleteRecursively(java.nio.file.Paths.get(ckpt))
+    }
   }
 
   /** Drain a streaming aggregate in UPDATE mode through a per-micro-batch

@@ -2057,4 +2057,44 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 1.0)))
     assert(got(4L) == ((4L, 1L, 1.0)))
   }
+
+  test("resplitCells: untouched cells pass through bit-identical, split " +
+    "cells land on member-seeded sub-cells, and the index still serves") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.queries.table(spark, dir, "embeddings")
+    val (cells, _) = Similarity.ivfIndexFrames(e)
+    val idx = cells.select($"vec_id", $"c_id")
+    val cap = Similarity.autoCentroidEvery(e.count()).toLong
+    val out = Similarity.resplitCells(idx, e, cap)
+    val before = rows(idx).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = rows(out).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet,
+      "re-split must keep exactly one row per vector")
+    val pops = before.groupBy(_._2).view.mapValues(_.size).toMap
+    val overCells = pops.filter(_._2 > cap).keySet
+    assert(overCells.nonEmpty, s"no cell above cap=$cap — vacuous test")
+    // 1. rows of non-split cells are untouched
+    val untouched = before.filter { case (_, c) => !overCells(c) }
+    assert(untouched.forall { case (v, c) => after(v) == c },
+      "a non-split cell's row changed")
+    // 2. every split-cell member lands on a sub-seed that was a MEMBER of
+    //    its own original cell (new ids = member vec_ids, globally fresh
+    //    except where a sub-seed id coincides with its own old cell id)
+    val moved = before.filter { case (_, c) => overCells(c) }
+    assert(moved.forall { case (v, c) => before(after(v)) == c },
+      "a member re-routed to a seed outside its own cell")
+    // 3. the offenders genuinely split (more cells than before) and the
+    //    max split-cell population dropped
+    val afterPops = moved.keys.groupBy(after).view.mapValues(_.size)
+    assert(afterPops.size > overCells.size,
+      "split produced no additional cells")
+    assert(afterPops.values.max < moved.groupBy(_._2).values.map(_.size).max,
+      "split did not reduce the worst population")
+    // 4. serving path: every new centroid is a corpus vector, so
+    //    corpus ⨝ distinct(c_id) reconstructs the full centroid table
+    val newIds = after.values.toSet
+    val corpusIds = rows(e.select($"vec_id")).map(_.getLong(0)).toSet
+    assert(newIds.subsetOf(corpusIds),
+      "a rebalanced cell id is not a corpus vector")
+  }
 }

@@ -324,6 +324,77 @@ class StreamingSpec extends SparkSpec {
     assert(after <= 4, s"compacted layout wider than its 4-file target: $after")
   }
 
+  test("tp5_stream_curate: the drained ingest gates equal the batch " +
+    "restatement; the gate leg commits ZERO state and the dedup leg evicts") {
+    val dir = "/root/testdata/sf0.001"
+    StreamOps.clearStateLog()
+    val streamed = graft.queries.TextOps.queries("tp5_stream_curate")(
+      spark, dir).collect().map(_.toSeq).toSeq
+    // Batch restatement of every ingest gate (the oracle's derivation in
+    // DataFrame form: standing cancanonical-key membership, intra-epoch
+    // first-arrival, exact gram contamination, Gopher, seed-41 split).
+    import graft.ops.{Dedup, Sampling, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.queries.table(spark, dir, "documents")
+    val keyed = docs.select($"doc_id", $"lang",
+      Dedup.canonBucket.as("bucket"),
+      Dedup.canonFpOf(Dedup.canonToks).as("fp"))
+    val standing = keyed
+      .filter($"doc_id" % 5 =!= 0 && !$"fp".startsWith("solo:"))
+      .select($"lang", $"bucket", $"fp").distinct()
+      .withColumn("ex_standing", lit(true))
+    val w = Window.partitionBy($"lang", $"bucket", $"fp",
+      expr("doc_id DIV 60"))
+    val g = Dedup.gramHashes(docs, 4).distinct()
+    val contam = g.filter($"doc_id" % 11 =!= 0)
+      .join(g.filter($"doc_id" % 11 === 0).select($"gh").distinct(), "gh")
+      .select($"doc_id").distinct().withColumn("is_contam", lit(true))
+    val sig = Sampling.hashSplit(TextAnalysis.curationSignals(docs),
+        idCol = "doc_id")
+      .select($"doc_id", $"keep".as("gopher_keep"), $"subset")
+    val batch = keyed.filter($"doc_id" % 5 === 0)
+      .withColumn("ep_keep", min($"doc_id").over(w))
+      .join(standing, Seq("lang", "bucket", "fp"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(sig, Seq("doc_id"))
+      .withColumn("reason",
+        when(coalesce($"ex_standing", lit(false)) ||
+            $"ep_keep" < $"doc_id", "exact_dup")
+          .when($"is_contam".isNotNull, "contaminated")
+          .when(!coalesce($"gopher_keep", lit(false)), "low_quality")
+          .otherwise("keep"))
+      .select($"doc_id", ($"reason" === "keep").as("keep"), $"reason",
+        $"subset")
+      .orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty, "curation ingest drained nothing")
+    assert(streamed == batch,
+      s"stream/batch gate divergence:\n stream=${streamed.take(5)}…" +
+        s"\n batch=${batch.take(5)}…")
+    // every gate must actually fire at this SF or the equality is vacuous
+    assert(streamed.map(_(2)).toSet ==
+      Set("exact_dup", "contaminated", "low_quality", "keep"),
+      s"gates not all exercised: ${streamed.map(_(2)).toSet}")
+    val state = StreamOps.stateLogSnapshot
+    val gate = state.collectFirst { case (k, v) if k.contains("tp5_gate") => v }
+      .getOrElse(fail("no state log for the gate leg"))
+    assert(gate.nonEmpty && gate.forall(_ == 0L),
+      s"the stateless gate leg committed state rows: $gate")
+    val dd = state.collectFirst { case (k, v) if k.contains("tp5_dedup") => v }
+      .getOrElse(fail("no state log for the dedup leg"))
+    // Eviction pin: the watermark advances only at micro-batch commits and
+    // the staging is two coarse data files, so the in-test bound is "one
+    // batch's arrivals + the previous batch's un-evicted 105-min tail" —
+    // strictly less than the full key space — and the flush must drain
+    // every real group (≤ the sentinel's own). The fine-grained horizon
+    // evidence is the f30 StateProbe sequence (the round protocol).
+    val nArr = docs.filter($"doc_id" % 5 === 0).count()
+    assert(dd.nonEmpty && dd.max < nArr,
+      s"dedup-leg state held all $nArr arriving keys — eviction not working: $dd")
+    assert(dd.last <= 1,
+      s"final watermark did not evict the dedup state: $dd")
+  }
+
   test("file-source stream over the parquet events table drains correctly") {
     val dir = "/root/testdata/sf0.001"
     val batchDf = graft.queries.table(spark, dir, "events")

@@ -59,10 +59,22 @@ def main():
         Only STAGE rows reject warm-tagged measurements (a warm stage row
         is a re-read, not a build); a warm-tagged QUERY row is the normal
         protocol — the stage walk paid the build, the query row measures
-        query cost — and must merge."""
+        query cost — and must merge. A stage row with NO tag comes from a
+        legacy (pre-r14) dump that can't distinguish warm from cold — fall
+        back to the old 0.05 s wall-clock screen for those rows only, so an
+        untagged warm ~0.0 s re-read can't overwrite a committed cold
+        anchor (r15 advice)."""
+
+        def ok(r, q):
+            if not q.startswith("stage:"):
+                return True
+            t = tag_of(r, q)
+            if t is None:
+                return r["queries"][q] >= 0.05
+            return t != "warm"
+
         vals = [(r["queries"][q], tag_of(r, q)) for r in rs
-                if q in r.get("queries", {})
-                and not (q.startswith("stage:") and tag_of(r, q) == "warm")]
+                if q in r.get("queries", {}) and ok(r, q)]
         if not vals:
             return None, None
         v, t = min(vals, key=lambda p: p[0])

@@ -22,7 +22,7 @@ import json
 import math
 import sys
 
-NOTE_KEY = "note_r15"  # bump per round — never silently clobber an older
+NOTE_KEY = "note_r16"  # bump per round — never silently clobber an older
                        # round's committed evidence note
 
 
