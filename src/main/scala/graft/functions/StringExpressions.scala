@@ -164,4 +164,66 @@ object StringExpressions {
                            seed: Int): Column =
     bridge.column(BloomGramProbePacked(bridge.expression(toks),
       bridge.expression(bitmap), n, mBits, seed))
+
+  /** Block-mean perceptual hash folded WITHIN one row: the EXACT
+    * arithmetic of Multimodal.phashTable's explode + two groupBys —
+    * char k of L maps to block (k·bits) DIV L, bit set iff the block's
+    * code-point sum exceeds its share of the total by integer
+    * cross-multiplication (s·L > total·n), bits packed into bits/16
+    * little-endian 16-bit subindex words — as ONE compiled loop per
+    * document (FunctionsSpec pins word-for-word equality on the real
+    * corpus). This is what lets a STREAMING ingest gate hash arriving
+    * media map-only: the batch build's per-character explode is a
+    * shuffle-backed aggregation, which in a stream would be a stateful
+    * operator; in-row it is zero-state per arrival. Empty text returns
+    * all-zero words (the batch build drops empty docs before this ever
+    * matters — callers filter length > 0 to match). */
+  def phashWords(text: UTF8String, bits: Int): ArrayData = {
+    val s = text.toString
+    val nWords = bits / 16
+    val out = new Array[Long](nWords)
+    var n = 0
+    var i = 0
+    while (i < s.length) { n += 1; i += Character.charCount(s.codePointAt(i)) }
+    if (n > 0) {
+      val sums = new Array[Long](bits)
+      val cnts = new Array[Long](bits)
+      var total = 0L
+      var p = 0L
+      i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val k = (p * bits / n).toInt
+        sums(k) += cp; cnts(k) += 1; total += cp
+        p += 1; i += Character.charCount(cp)
+      }
+      var k = 0
+      while (k < bits) {
+        if (sums(k) * n > total * cnts(k)) out(k >> 4) |= 1L << (k & 15)
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Codegen'd in-row perceptual hash (see [[phashWords]]). */
+  case class PhashWords(child: Expression, bits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)
+    override def prettyName: String = "phash_words"
+    override protected def nullSafeEval(t: Any): Any =
+      phashWords(t.asInstanceOf[UTF8String], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        t => s"graft.functions.StringExpressions.phashWords($t, $bits)")
+    override protected def withNewChildInternal(
+        newChild: Expression): PhashWords = copy(child = newChild)
+  }
+
+  def phashWords(text: Column, bits: Int): Column =
+    bridge.column(PhashWords(bridge.expression(text), bits))
 }

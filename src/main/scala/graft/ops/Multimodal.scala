@@ -261,9 +261,16 @@ object Multimodal {
     * membership join, and same-hash groups emit their intra pairs
     * (hamming 0) directly. Output is identical — expansion is the
     * inherent output size — while the expensive joins shrink r^2-fold.
-    * This is the shape crawl-scale phash dedup actually ships. */
-  def phashDedup(docs: DataFrame, maxHamming: Int = 12,
-                 bits: Int = 64): DataFrame = {
+    * This is the shape crawl-scale phash dedup actually ships.
+    *
+    * [[phashTable]] is the factored front half — the per-doc hash table
+    * (doc_id, b0..b{bits/16−1}) — shared with the standing index a
+    * STREAMING phash ingest gate probes (stage:phash). Not materialized
+    * inside phashTable: phashDedup materializes it in its own fan-out,
+    * the stage builder writes it to parquet.
+    * StringExpressions.phashWords is the in-row twin of its arithmetic
+    * (FunctionsSpec pins word-for-word equality). */
+  def phashTable(docs: DataFrame, bits: Int): DataFrame = {
     require(bits % 16 == 0, s"hash width $bits not a multiple of the 16-bit word")
     val nWords = bits / 16
     val cs = docs
@@ -290,13 +297,18 @@ object Multimodal {
     // word is semantically all-zero bits (no block mean exceeded).
     val bandCols = (0 until nWords).map(j =>
       coalesce(max(when(col("j") === j, col("band"))), lit(0L)).as(s"b$j"))
+    words.groupBy(col("doc_id")).agg(bandCols.head, bandCols.tail: _*)
+  }
+
+  def phashDedup(docs: DataFrame, maxHamming: Int = 12,
+                 bits: Int = 64): DataFrame = {
+    val nWords = bits / 16
     // Materialized BEFORE fan-out: the canonicalizing groupBy, the
     // membership join, and (transitively) every downstream consumer read
     // this table — an unmaterialized lineage would re-run the
     // per-character explode and two groupBys once per consumer (the
     // SimHash lineage-consumption defect, fixed the same way).
-    val ph = Dedup.materialize(words.groupBy(col("doc_id"))
-      .agg(bandCols.head, bandCols.tail: _*))
+    val ph = Dedup.materialize(phashTable(docs, bits))
     val bcols = (0 until nWords).map(j => col(s"b$j"))
     // Canonicalize: one row per distinct hash VALUE (exact group-by on the
     // full word tuple — no lossy re-hash that could alias two distinct

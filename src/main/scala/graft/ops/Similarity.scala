@@ -353,8 +353,13 @@ object Similarity {
       .unionByName(rerouted)
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
+  /** Probed-cell candidates scored per query — the shared front half of
+    * every IVF serving posture: (q_id, vec_id, sim) for every member of
+    * each query's `nprobe` nearest cells. [[ivfTopK]] is this plus the
+    * top-k cut; the filtered-search postures (predicate before the cut
+    * vs over-fetch-then-filter, judged by sim_filtered_topk) fork here. */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+                    centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
     val cent = centroids(corpus, centroidEvery)
     def scored(df: DataFrame, embCol: String, nrmCol: String): DataFrame =
       scoredAgainst(cent)(df, embCol, nrmCol)
@@ -384,8 +389,6 @@ object Similarity {
         .filter(col("c_rank") <= nprobe)
         .drop("c_emb", "c_nrm", "c_sim", "c_rank")
     }
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
     queryProbes.join(corpusAssigned, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -393,6 +396,13 @@ object Similarity {
           .as("sim"))
       // no distinct needed: each corpus vector lives in exactly one cell,
       // so a (q_id, vec_id) candidate arises from at most one probe
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Int = 50, nprobe: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    ivfCandidates(corpus, queries, centroidEvery, nprobe)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))

@@ -338,23 +338,50 @@ object Analytics extends QueryPack {
     // forms are computed directly). Deterministic total order via the
     // orderkey tiebreak; ntile follows the SQL-standard larger-groups-
     // first rule in both engines.
+    //
+    // TWO-LEVEL ranking, not a status-partitioned window: o_orderstatus
+    // has 3 values, so `Window.partitionBy(status)` funnels the whole
+    // table through 3 giant sort partitions — semantically forced only
+    // in APPEARANCE. Because the tiebreak (o_orderkey) is unique, every
+    // window function here is a pure function of the row's global
+    // position rn, and rn decomposes: bucket the sort key into fixed
+    // arithmetic price ranges (ties can't span buckets), rank LOCALLY
+    // within (status, bucket) — hundreds of bounded sort partitions —
+    // and add the bucket's offset from a tiny broadcast census.
+    // rank == row_number (unique tiebreak), cume/percent_rank are rn/n
+    // ppm ratios, and ntile(10) is closed-form from (rn, n) under the
+    // SQL-standard larger-groups-first rule: the first n%10 tiles carry
+    // ⌈n/10⌉ rows, the rest ⌊n/10⌋ (the ELSE branch divides by n DIV 10,
+    // which is only reachable when n ≥ 10 — CASE short-circuits the
+    // n < 10 corpus where every tile holds one row).
     "w7_percent_rank" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy($"o_orderstatus")
+      val o = table(s, dir, "orders")
+        .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+        .withColumn("bkt", floor($"o_totalprice" / 8192.0).cast("long"))
+      val census = o.groupBy($"o_orderstatus", $"bkt")
+        .agg(count(lit(1)).as("bn"))
+      val wOff = Window.partitionBy($"o_orderstatus").orderBy($"bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy($"o_orderstatus")
+      val offsets = census.select($"o_orderstatus", $"bkt",
+        coalesce(sum($"bn").over(wOff), lit(0L)).as("off"),
+        sum($"bn").over(wTot).as("n"))
+      val wLoc = Window.partitionBy($"o_orderstatus", $"bkt")
         .orderBy($"o_totalprice", $"o_orderkey")
-      val wAll = Window.partitionBy($"o_orderstatus")
-      table(s, dir, "orders")
-        .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
-          rank().over(w).as("rnk"), row_number().over(w).as("rn"),
-          count(lit(1)).over(wAll).as("n"), ntile(10).over(w).as("decile"))
+      o.join(broadcast(offsets), Seq("o_orderstatus", "bkt"))
+        .withColumn("rn", $"off" + row_number().over(wLoc))
         .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
           // single-row partition guard: percent_rank's defined value is 0
           // when n = 1 (the DIV would otherwise be x/0 -> NULL)
-          expr("CASE WHEN n > 1 THEN ((CAST(rnk AS BIGINT) - 1) * 1000000) DIV (n - 1) ELSE 0 END")
+          expr("CASE WHEN n > 1 THEN ((rn - 1) * 1000000) DIV (n - 1) ELSE 0 END")
             .as("pr_ppm"),
-          expr("(CAST(rn AS BIGINT) * 1000000) DIV n").as("cume_ppm"),
-          $"decile".cast("long").as("decile"))
+          expr("(rn * 1000000) DIV n").as("cume_ppm"),
+          expr("""CASE WHEN rn <= (n % 10) * (n DIV 10 + 1)
+                  THEN (rn - 1) DIV (n DIV 10 + 1) + 1
+                  ELSE (n % 10) + (rn - (n % 10) * (n DIV 10 + 1) - 1) DIV (n DIV 10) + 1
+                  END""").as("decile"))
         .orderBy($"o_orderstatus", $"o_orderkey")
     }),
 

@@ -57,6 +57,7 @@ object Stages {
     "stage:emb_stream"   -> ((s, d) => { Vectors.stagedEmbStream(s, d); () }),
     "stage:emb_evict"    -> ((s, d) => { Vectors.stagedEmbTimedBatches(s, d); () }),
     "stage:ivf_append"   -> ((s, d) => { Vectors.stagedIvfAppend(s, d); () }),
+    "stage:phash"        -> ((s, d) => { Vectors.stagedPhashIndex(s, d); () }),
     // ETL layout stages
     "stage:docs_by_lang" -> ((s, d) => { Etl.stagedDocsByLang(s, d); () }),
     "stage:schema_evo"   -> ((s, d) => { Etl.stagedSchemaEvo(s, d); () })

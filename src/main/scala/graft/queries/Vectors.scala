@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Multimodal, Similarity}
 
@@ -228,6 +229,64 @@ object Vectors extends QueryPack {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"), 6)
             .as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
+    // Filtered ANN serving audit: top-k under a metadata predicate (the
+    // production shape "nearest neighbors WHERE label ∈ …" — every RAG /
+    // curation retrieval filters by source, lang, or license). Two
+    // postures measured side by side against the exact filtered
+    // brute-force ranking, per query, on the SAME standing IVF index and
+    // routing (nprobe = 2, the sim_ivf_recall audit's setting):
+    //   in-probe (recall_probe): the predicate applies to probed-cell
+    //     members BEFORE the top-k cut — the posture when the metadata
+    //     column rides the index rows (zero extra fetches at 100 TB: the
+    //     label is one more bucketed index column). Given the routing,
+    //     this is the best achievable: its candidate set is every probed
+    //     member satisfying the predicate.
+    //   over-fetch post-filter (recall_shortlist): rank first, keep a
+    //     k·4 shortlist, THEN fetch metadata and filter — the posture
+    //     when metadata lives outside the index (one bounded join of
+    //     |queries|·4k rows, never the corpus). Recall ≤ in-probe by
+    //     construction (OpsSpec pins the dominance): predicate-passing
+    //     hits can fall off the unfiltered shortlist.
+    // The gap between the two columns is the measured price of keeping
+    // metadata out of the index; the routing ceiling itself is
+    // sim_ivf_recall's number. Predicate label % 5 = 2 (~20% slice) —
+    // selective enough that the shortlist posture visibly loses hits.
+    "sim_filtered_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = boundedQueries(e)
+      val pred = col("label") % 5 === 2
+      val labels = e.select(col("vec_id"), col("label"))
+      val brute = Similarity.bruteForceTopK(e.filter(pred), q, k = 5)
+        .select(col("q_id"), col("vec_id"))
+      val cand = Similarity.ivfCandidates(e, q,
+        Similarity.autoCentroidEvery(e.count()), nprobe = 2)
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val inProbe = cand.join(labels, "vec_id").filter(pred)
+        .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val postFilter = cand
+        .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 20)
+        .drop("rank")
+        .join(labels, "vec_id").filter(pred)
+        .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      def hitsOf(apx: org.apache.spark.sql.DataFrame, tag: String) =
+        brute.join(apx, Seq("q_id", "vec_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as(s"n_hits_$tag"))
+      brute.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+        .join(hitsOf(inProbe, "probe"), Seq("q_id"), "left")
+        .join(hitsOf(postFilter, "shortlist"), Seq("q_id"), "left")
+        .select(col("q_id"), col("k"),
+          coalesce(col("n_hits_probe"), lit(0L)).as("n_hits_probe"),
+          round(coalesce(col("n_hits_probe"), lit(0L)).cast("double")
+            / col("k"), 6).as("recall_probe"),
+          coalesce(col("n_hits_shortlist"), lit(0L)).as("n_hits_shortlist"),
+          round(coalesce(col("n_hits_shortlist"), lit(0L)).cast("double")
+            / col("k"), 6).as("recall_shortlist"))
         .orderBy(col("q_id"))
     }),
 
@@ -894,8 +953,94 @@ object Vectors extends QueryPack {
     // 16 — a longer hash adds subindices, never wider probes.
     "mm_phash_wide" -> ((s, dir) =>
       Multimodal.phashDedup(table(s, dir, "documents"), maxHamming = 48,
-        bits = 256))
+        bits = 256)),
+
+    // The phash near-dup gate AS A STREAM — image/asset dedup the way a
+    // crawl ingest actually runs it: each ARRIVING asset (the doc_id % 5
+    // = 0 slice, one file per micro-batch) is hashed IN-ROW by the native
+    // codegen'd twin of the batch block-mean arithmetic
+    // (StringExpressions.phashWords — the batch build's per-character
+    // explode + two groupBys would be stateful operators in a stream;
+    // in-row it is map-only, the sim_stream_index_ingest lesson), its 4
+    // subindex words expand to the 68 radius-1 MIH probe keys (two
+    // generators, still map-only), and ONE stream-static join against
+    // the standing index's rep-level subindex words (stage:phash —
+    // canonicalized: distinct hash values only, so a boilerplate-asset
+    // flood in the corpus cannot quadratically multiply probe
+    // collisions) yields candidates; the exact bit_count(xor) ≤ 12
+    // verify runs in-row against the rep's words joined statically.
+    // ZERO stateful operators — state [0,0,0,0] like the index-ingest
+    // row; multiplicity (a pair colliding in several subindices) is
+    // deduped post-drain, where the drained gate rows are output-bounded.
+    // Matched member COUNTS ride the rep row (cnt), and the group's min
+    // member IS its uid, so the judged rollup (n_matches, first_match
+    // per arriving doc) never touches the corpus again.
+    "mm_stream_phash" -> ((s, dir) => {
+      import graft.streaming.StreamOps
+      val sf = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val staged = stagedPhashIndex(s, dir)
+      val reps = s.read.parquet(s"$staged/reps.parquet")
+      val uw = s.read.parquet(s"$staged/uwords.parquet")
+        .select(col("uid"), col("j"), col("band").as("key"))
+      val docStream = TextOps.stagedDocStream(s, dir)
+      val stream = StreamOps.readEventStream(s, docStream,
+          s.read.parquet(docStream))
+        .filter(col("doc_id") % 5 === 0 && length(col("text")) > 0)
+        .select(col("doc_id").as("new_doc"),
+          graft.functions.StringExpressions.phashWords(col("text"), 64)
+            .as("aw"))
+      val probes = stream
+        .select(col("new_doc"), col("aw"),
+          posexplode(col("aw")).as(Seq("j", "band")))
+        .select(col("new_doc"), col("aw"), col("j"), col("band"),
+          explode(sequence(lit(0), lit(16))).as("f"))
+        .select(col("new_doc"), col("aw"), col("j"),
+          when(col("f") === 0, col("band"))
+            .otherwise(expr("band ^ shiftleft(1L, CAST(f - 1 AS INT))"))
+            .as("key"))
+      val verified = probes.join(uw, Seq("j", "key"))
+        .join(reps, Seq("uid"))
+        .withColumn("hamming", expr(
+          "CAST(bit_count(aw[0] ^ b0) + bit_count(aw[1] ^ b1) + " +
+            "bit_count(aw[2] ^ b2) + bit_count(aw[3] ^ b3) AS BIGINT)"))
+        .filter(col("hamming") <= 12)
+        .select(col("new_doc"), col("uid"), col("cnt"))
+      StreamOps.drainToTable(verified,
+          s"mm_stream_phash$sf".replace(".", "_"), mode = "append")
+        .distinct()
+        .groupBy(col("new_doc"))
+        .agg(sum(col("cnt")).as("n_matches"),
+          min(col("uid")).as("first_match"))
+        .orderBy(col("new_doc"))
+    })
   )
+
+  /** Standing phash MIH index over the corpus slice the streaming ingest
+    * gate probes (doc_id % 5 != 0 — the % 5 = 0 slice plays the arriving
+    * batch, the dd_incremental_lsh convention), CANONICALIZED: one rep
+    * row per distinct 64-bit hash value (uid = min member doc_id, cnt =
+    * member count — everything the gate's rollup needs: matched members
+    * count through cnt, and a group's min member IS its uid) plus the
+    * rep-level 16-bit subindex words the MIH probe join keys on. The
+    * index carries 4 longs + 2 longs per DISTINCT hash — never the text,
+    * never per-member rows. */
+  private[queries] def stagedPhashIndex(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): String = {
+    val staged = tmpStage(dir, "phash_v1")
+    ensureStaged(staged, "uwords.parquet/_SUCCESS") {
+      val bcols = (0 until 4).map(j => col(s"b$j"))
+      Multimodal.phashTable(
+          table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+          bits = 64)
+        .groupBy(bcols: _*)
+        .agg(min(col("doc_id")).as("uid"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$staged/reps.parquet")
+      s.read.parquet(s"$staged/reps.parquet")
+        .select(col("uid"), posexplode(array(bcols: _*)).as(Seq("j", "band")))
+        .write.mode("overwrite").parquet(s"$staged/uwords.parquet")
+    }
+    staged
+  }
 
   /** Embeddings staged as a 4-file parquet directory — the micro-batch
     * source for the streaming ANN ingest (the stagedDocStream convention:
@@ -1717,6 +1862,61 @@ object Vectors extends QueryPack {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The streaming phash ingest gate restated over the batch tables:
+    * phashOracle's hash-table CTEs verbatim, with the candidate join
+    * directed arriving (doc_id % 5 = 0) → standing (doc_id % 5 != 0)
+    * instead of the dedup's doc_a < doc_b self-join, and the final
+    * per-arrival rollup (n_matches, first_match). Empty docs drop out of
+    * `u` naturally (range(1,1) is empty) — the Spark side's length > 0
+    * filter mirrors that. */
+  private def phashStreamOracle(bits: Int, maxHamming: Int): String = {
+    val nWords = bits / 16
+    s"""WITH u AS (
+      |  SELECT doc_id, len(text) AS L, text,
+      |    unnest(range(1, len(text) + 1)) AS i
+      |  FROM documents),
+      |cs AS MATERIALIZED (
+      |  SELECT doc_id, ((i - 1) * $bits) // L AS k,
+      |    CAST(sum(ord(text[i])) AS BIGINT) AS s, count(*) AS n
+      |  FROM u GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+      |    CAST(sum(n) AS BIGINT) AS lt
+      |  FROM cs GROUP BY 1),
+      |words0 AS (
+      |  SELECT cs.doc_id, CAST(k // 16 AS BIGINT) AS j,
+      |    CAST(sum((CASE WHEN s * lt > total * n THEN 1 ELSE 0 END)
+      |             * (CAST(1 AS BIGINT) << CAST(k % 16 AS INT))) AS BIGINT) AS band
+      |  FROM cs JOIN tot USING (doc_id) GROUP BY 1, 2),
+      |words AS MATERIALIZED (
+      |  SELECT d.doc_id, jj.j, CAST(coalesce(w.band, 0) AS BIGINT) AS band
+      |  FROM (SELECT DISTINCT doc_id FROM words0) d
+      |  CROSS JOIN (SELECT unnest(range(0, $nWords)) AS j) jj
+      |  LEFT JOIN words0 w ON w.doc_id = d.doc_id AND w.j = jj.j),
+      |ph AS MATERIALIZED (
+      |  SELECT doc_id, list(band ORDER BY j) AS bl
+      |  FROM words GROUP BY doc_id),
+      |probes AS (
+      |  SELECT doc_id, j,
+      |    xor(band, CASE WHEN f = 0 THEN 0
+      |              ELSE (CAST(1 AS BIGINT) << CAST(f - 1 AS INT)) END) AS key
+      |  FROM words, (SELECT unnest(range(0, 17)) AS f)
+      |  WHERE doc_id % 5 = 0),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of
+      |  FROM probes a JOIN words b
+      |    ON a.j = b.j AND a.key = b.band AND b.doc_id % 5 != 0),
+      |ver AS (
+      |  SELECT new_doc, dup_of
+      |  FROM cand JOIN ph x ON cand.new_doc = x.doc_id
+      |            JOIN ph y ON cand.dup_of = y.doc_id
+      |  WHERE list_sum(list_transform(range(1, ${nWords + 1}),
+      |      t -> bit_count(xor(x.bl[CAST(t AS INT)], y.bl[CAST(t AS INT)])))) <= $maxHamming)
+      |SELECT new_doc, CAST(count(*) AS BIGINT) AS n_matches,
+      |  min(dup_of) AS first_match
+      |FROM ver GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def pqCtesOn(tbl: String): String = {
     def sl(v: String, m: String) =
       s"list_slice($v, CAST($m*8+1 AS INT), CAST($m*8+8 AS INT))"
@@ -2076,6 +2276,63 @@ object Vectors extends QueryPack {
         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / kq.k, 6) AS recall
         |FROM kq LEFT JOIN h USING (q_id) ORDER BY q_id""".stripMargin,
 
+    // sim_ivf_recall's brute + assignment/probe CTEs with (a) the label
+    // predicate pushed into the exact side, (b) the candidate set carrying
+    // label so both filtered postures restate over ONE iscored text.
+    "sim_filtered_topk" ->
+      s"""WITH qe AS (SELECT greatest(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS qevery FROM embeddings),
+        |bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % (SELECT qevery FROM qe) = 0),
+        |bscored AS (
+        |  SELECT bq.q_id, e.vec_id, ${cos("bq.q_emb", "e.embedding")} AS sim
+        |  FROM embeddings e CROSS JOIN bq
+        |  WHERE e.vec_id != bq.q_id AND e.label % 5 = 2),
+        |b AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) t WHERE rank <= 5),
+        |ce AS (
+        |  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS every FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT every FROM ce) = 0),
+        |ca AS (
+        |  SELECT vec_id, embedding, label, c_id FROM (
+        |    SELECT v.vec_id, v.embedding, v.label, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c) t WHERE rn = 1),
+        |qp AS (
+        |  SELECT q_id, q_emb, c_id FROM (
+        |    SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.c_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY ${cos("v.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+        |    FROM embeddings v CROSS JOIN cent c WHERE v.vec_id % (SELECT qevery FROM qe) = 0) t WHERE rn <= 2),
+        |iscored AS (
+        |  SELECT qp.q_id, ca.vec_id, ca.label, ${cos("qp.q_emb", "ca.embedding")} AS sim
+        |  FROM qp JOIN ca USING (c_id) WHERE ca.vec_id != qp.q_id),
+        |ip AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM iscored WHERE label % 5 = 2) t WHERE rank <= 5),
+        |sl AS (
+        |  SELECT q_id, vec_id, label, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM iscored) t WHERE rank <= 20),
+        |pf AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM sl WHERE label % 5 = 2) t WHERE rank <= 5),
+        |hp AS (SELECT b.q_id, count(*) AS n FROM b JOIN ip USING (q_id, vec_id) GROUP BY 1),
+        |hs AS (SELECT b.q_id, count(*) AS n FROM b JOIN pf USING (q_id, vec_id) GROUP BY 1),
+        |kq AS (SELECT q_id, count(*) AS k FROM b GROUP BY 1)
+        |SELECT kq.q_id, CAST(kq.k AS BIGINT) AS k,
+        |  CAST(coalesce(hp.n, 0) AS BIGINT) AS n_hits_probe,
+        |  round(CAST(coalesce(hp.n, 0) AS DOUBLE) / kq.k, 6) AS recall_probe,
+        |  CAST(coalesce(hs.n, 0) AS BIGINT) AS n_hits_shortlist,
+        |  round(CAST(coalesce(hs.n, 0) AS DOUBLE) / kq.k, 6) AS recall_shortlist
+        |FROM kq LEFT JOIN hp USING (q_id) LEFT JOIN hs USING (q_id)
+        |ORDER BY q_id""".stripMargin,
+
     "sim_pq_ref_recall" -> refPqRecallOracle,
     "sim_ivfpq_ref_recall" -> ivfPqRefRecallOracle,
     // proven-equal convention: the streaming ingest drain + re-rank equals
@@ -2359,6 +2616,7 @@ object Vectors extends QueryPack {
     // division via the exact (x - mod) / width pattern on both sides.
     "mm_phash_dedup" -> phashOracle(bits = 64, maxHamming = 12),
     "mm_phash_wide" -> phashOracle(bits = 256, maxHamming = 48),
+    "mm_stream_phash" -> phashStreamOracle(bits = 64, maxHamming = 12),
 
     "mm_shard_manifest" ->
       """WITH m AS (

@@ -224,4 +224,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got.exists(_.last.asInstanceOf[Long] > 0L),
       "corpus exercised no bloom hits — the pin is vacuous")
   }
+
+  test("phashWords: the in-row native hash equals the batch explode + " +
+    "groupBy build word for word on the real corpus") {
+    import graft.ops.Multimodal
+    import graft.functions.StringExpressions
+    val docs = graft.queries.table(spark, "/root/testdata/sf0.001", "documents")
+    val got = docs.filter(length($"text") > 0)
+      .select($"doc_id",
+        StringExpressions.phashWords($"text", 64).as("w"))
+      .select($"doc_id", $"w"(0).as("b0"), $"w"(1).as("b1"),
+        $"w"(2).as("b2"), $"w"(3).as("b3"))
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val want = Multimodal.phashTable(docs, bits = 64)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"in-row phash diverged from the batch build: ${got.take(2)} vs ${want.take(2)}")
+    assert(got.exists(_.drop(1).exists(_.asInstanceOf[Long] != 0L)),
+      "corpus produced only all-zero hashes — the pin is vacuous")
+  }
 }

@@ -323,6 +323,45 @@ class OpsSpec extends SparkSpec {
     info(f"recall@5 — signLSH(4 bits): $lshRecall%.2f, IVF(nprobe=4): $ivfRecall%.2f, IVF(auto m): $autoRecall%.2f")
   }
 
+  test("filtered search: in-probe filtering dominates over-fetch post-" +
+      "filtering per query; results honor the predicate") {
+    val e = graft.queries.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 20 === 0)
+    val pred = $"label" % 5 === 2
+    val labels = e.select($"vec_id", $"label")
+    val cand = Similarity.ivfCandidates(e, q, centroidEvery = 10, nprobe = 4)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"sim".desc, $"vec_id")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      rows(df).map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val inProbe = cand.join(labels, "vec_id").filter(pred)
+      .withColumn("rank", row_number().over(wq)).filter($"rank" <= 5)
+      .select($"q_id", $"vec_id")
+    val postFilter = cand
+      .withColumn("rank", row_number().over(wq)).filter($"rank" <= 20)
+      .drop("rank").join(labels, "vec_id").filter(pred)
+      .withColumn("rank", row_number().over(wq)).filter($"rank" <= 5)
+      .select($"q_id", $"vec_id")
+    val exact = pairs(Similarity.bruteForceTopK(e.filter(pred), q, k = 5))
+    val ip = pairs(inProbe); val pf = pairs(postFilter)
+    // every returned id satisfies the predicate
+    val okIds = rows(labels.filter(pred)).map(_.getLong(0)).toSet
+    assert((ip ++ pf).forall { case (_, v) => okIds(v) })
+    // the post-filter shortlist can only LOSE predicate-passing hits
+    // relative to filtering inside the probe — per query, not just
+    // in aggregate (its k results are a subset of in-probe's candidates)
+    val byQ = (ip ++ pf).groupBy(_._1).keySet
+    for (qid <- byQ) {
+      val hitsIp = (ip & exact).count(_._1 == qid)
+      val hitsPf = (pf & exact).count(_._1 == qid)
+      assert(hitsPf <= hitsIp,
+        s"q $qid: post-filter found $hitsPf exact hits, in-probe $hitsIp")
+    }
+    val ipRecall = (ip & exact).size.toDouble / exact.size
+    assert(ipRecall > 0.15, s"filtered in-probe recall collapsed: $ipRecall")
+    info(f"filtered recall@5 — in-probe: $ipRecall%.2f, over-fetch: ${(pf & exact).size.toDouble / exact.size}%.2f")
+  }
+
   test("ivf auto centroid spacing keeps m ~ sqrt(n) at any scale") {
     import graft.ops.Similarity.autoCentroidEvery
     // spacing ⌈√n⌉ ⇒ m = n/spacing ≈ √n, so a 100× corpus grows the

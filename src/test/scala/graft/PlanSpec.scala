@@ -870,11 +870,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
-  test("percent rank: all four window functions share one keyed exchange") {
+  test("percent rank: two-level ranking — row sort keyed by (status, price " +
+      "bucket), never status alone") {
     val p = plan("w7_percent_rank")
     assert(!p.contains("CartesianProduct"))
-    val exchanges = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
-    assert(exchanges == 1, s"expected 1 keyed exchange, saw $exchanges")
+    // the full-table window must partition by (status, bkt) — hundreds of
+    // bounded sorts — with the bucket census riding back as a broadcast;
+    // a status-only exchange on the ROW side would be the 3-giant-
+    // partitions shape this rewrite exists to remove (the census's own
+    // status-only window sorts ≤ #buckets rows, and its exchange sits
+    // above a HashAggregate, not the raw scan)
+    val exch = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toList
+    assert(exch.exists(_.contains("bkt")),
+      s"row ranking must partition by (status, bkt): $exch")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket-offset census must broadcast onto the rows")
   }
 
   test("q18: HAVING aggregate drives the joins; top-k is TakeOrdered") {

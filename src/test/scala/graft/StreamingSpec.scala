@@ -269,6 +269,47 @@ class StreamingSpec extends SparkSpec {
       "every arrived vector must land exactly one index row")
   }
 
+  test("mm_stream_phash: the streaming gate equals an independent batch " +
+    "MIH restatement and commits ZERO state-store rows") {
+    val dir = "/root/testdata/sf0.001"
+    StreamOps.clearStateLog()
+    val got = graft.queries.Vectors.queries("mm_stream_phash")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // Independent restatement: an MIH radius-1 candidate (SOME subindex
+    // word whose probe key collides) is EXACTLY a pair with per-word
+    // hamming ≤ 1 in some word — at sf0.001 the arriving × standing grid
+    // is small enough to test that predicate directly, with no probe
+    // enumeration and no canonicalization shared with the operator.
+    val ph = graft.ops.Multimodal.phashTable(
+      graft.queries.table(spark, dir, "documents"), bits = 64)
+    val a = ph.filter($"doc_id" % 5 === 0)
+      .select($"doc_id".as("new_doc"), $"b0".as("a0"), $"b1".as("a1"),
+        $"b2".as("a2"), $"b3".as("a3"))
+    val b = ph.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id".as("dup_of"), $"b0", $"b1", $"b2", $"b3")
+    val want = a.crossJoin(b)
+      .filter(expr(
+        "(bit_count(a0 ^ b0) <= 1 OR bit_count(a1 ^ b1) <= 1 OR " +
+          "bit_count(a2 ^ b2) <= 1 OR bit_count(a3 ^ b3) <= 1) AND " +
+          "(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)) <= 12"))
+      .groupBy($"new_doc")
+      .agg(count(lit(1)).as("n_matches"), min($"dup_of").as("first_match"))
+      .orderBy($"new_doc").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "phash gate drained no matches at sf0.001")
+    assert(got == want,
+      s"stream/batch phash-gate divergence:\n stream=${got.take(5)}…" +
+        s"\n batch=${want.take(5)}…")
+    // zero-state posture: hash + probe expansion are in-row, the index
+    // join is stream-static, the rollup is post-drain — nothing stateful
+    val state = StreamOps.stateLogSnapshot.collect {
+      case (n, s) if n.startsWith("mm_stream_phash") => s
+    }.flatten
+    assert(state.nonEmpty, "no progress captured for the phash gate drain")
+    assert(state.forall(_ == 0L),
+      s"phash gate committed state rows: $state")
+  }
+
   test("ev_stream_sessionize_evict: session_window eviction equals the " +
     "batch sessionizer while state stays horizon-bounded and drains to ≤ 1") {
     val dir = "/root/testdata/sf0.001"
