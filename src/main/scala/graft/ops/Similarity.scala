@@ -76,6 +76,22 @@ object Similarity {
     * rounded-then-ranked determinism as bruteForceTopK. */
   def rerankExact(shortlist: DataFrame, corpus: DataFrame,
                   queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    exactSims(shortlist, corpus, queries)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The exact-scoring half of [[rerankExact]] without the top-k cut:
+    * (q_id, vec_id, sim) with the library's rz(…, 6) cosine for every
+    * shortlist row. Exposed (r16 optimization) so an audit that re-ranks
+    * several nested shortlists (the frontier rows) can fetch + score the
+    * union ONCE and apply each cut as a window over the scored rows,
+    * instead of paying one corpus fetch-join per knob value. */
+  def exactSims(shortlist: DataFrame, corpus: DataFrame,
+                queries: DataFrame): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")))
@@ -83,15 +99,10 @@ object Similarity {
       .join(broadcast(shortlist.select(col("q_id"), col("vec_id"))), "vec_id")
       .select(col("q_id"), col("vec_id"), col("embedding"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
-    val scored = fetched.join(q, "q_id")
+    fetched.join(q, "q_id")
       .select(col("q_id"), col("vec_id"),
         rz(dotf(col("q_emb"), col("embedding")) / col("q_nrm") / col("nrm"), 6)
           .as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** Maximum-inner-product top-k (MIPS) — retrieval where score = q·x,
@@ -605,11 +616,18 @@ object Similarity {
       centroids(corpus, centroidEvery))
   }
 
-  /** IVF-PQ probe over a prebuilt index: (codebook, codes, cell
-    * assignment, centroids), all readable straight off parquet. */
-  def ivfPqTopKFrom(codebook: DataFrame, codes: DataFrame, cells: DataFrame,
-                    centTable: DataFrame, queries: DataFrame, k: Int,
-                    nprobe: Int = 2, subspaces: Int = 8): DataFrame = {
+  /** Scored ADC candidates with the probed cell's rank retained —
+    * the shared front half of every ivfPqTopKFrom-shaped probe and of the
+    * nprobe/shortlist frontier audits (r16 optimization: the audits used
+    * to re-run this scan once per knob value; `sim` is knob-independent
+    * and each vec_id lives in exactly ONE cell, so
+    * ivfPqTopKFrom(k, nprobe=np) ≡ this at maxProbe ≥ np, filtered to
+    * c_rank ≤ np, ranked by (sim desc, vec_id), cut at k — one ADC scan
+    * serves every (np ≤ maxProbe, k) pair). */
+  def ivfPqAdcCandidates(codebook: DataFrame, codes: DataFrame,
+                         cells: DataFrame, centTable: DataFrame,
+                         queries: DataFrame, maxProbe: Int,
+                         subspaces: Int = 8): DataFrame = {
     val (cb, s, subDim) = codebookMeta(codebook)
     // The 100 TB point: the standing index carries cell id + packed code,
     // never the embedding — only (vec_id, c_id) meets the 2-long codes
@@ -623,17 +641,27 @@ object Similarity {
         sqrt(dotf(col("embedding"), col("embedding"))).as("q_nrm")),
       "q_emb", "q_nrm")
       .withColumn("c_rank", row_number().over(wp))
-      .filter(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("c_id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+      .filter(col("c_rank") <= maxProbe)
+      .select(col("q_id"), col("c_id"), col("c_rank"))
     queryProbes.join(index, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .crossJoin(pqRn2(cb, s))
       .join(pqLut(queries, cb, s, subDim), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"),
+      .select(col("q_id"), col("vec_id"), col("c_rank"),
         rz(pqFold("lut", s, subspaces) / col("q_nrm")
           / sqrt(pqFold("rn2", s, subspaces)), 6).as("sim"))
+  }
+
+  /** IVF-PQ probe over a prebuilt index: (codebook, codes, cell
+    * assignment, centroids), all readable straight off parquet. */
+  def ivfPqTopKFrom(codebook: DataFrame, codes: DataFrame, cells: DataFrame,
+                    centTable: DataFrame, queries: DataFrame, k: Int,
+                    nprobe: Int = 2, subspaces: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    ivfPqAdcCandidates(codebook, codes, cells, centTable, queries,
+        nprobe, subspaces)
+      .select(col("q_id"), col("vec_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))

@@ -545,11 +545,26 @@ object TextAnalysis {
   def dsirWeights(docs: DataFrame, target: Column,
                   buckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val grams = docGramCounts(docs.withColumn("__t", target), 1, Seq("__t"))
-      .unionByName(docGramCounts(docs.withColumn("__t", target), 2, Seq("__t")))
-      .select(col("doc_id"), col("__t"),
-        pmod(Dedup.seededHash(29, col("g")), lit(buckets.toLong)).as("b"),
-        col("c"))
+    // r16 (guide §2.3/§2.4): the bucketed gram table feeds THREE consumers
+    // (raw bucket census, target bucket census, per-doc rollup), and
+    // docGramCounts is map-only — unmaterialized, each consumer re-ran the
+    // full tokenize + in-row sort + explode + seededHash over the corpus,
+    // twice (unigrams + bigrams): six corpus passes for one logical scan.
+    // Collapse per (doc, bucket) first (map-side partial agg — the gram
+    // stream is doc-contiguous from the scan), then checkpoint the narrow
+    // (doc_id, __t, b, c) rows once; every downstream aggregate is a sum,
+    // so pre-summing per (doc_id, b) is exact. Measured at sf0.1:
+    // stage:dsir 7.0–7.8 s → ~3.4 s (and the f30 cut drops ∝ the five
+    // removed corpus passes).
+    def bucketCounts(n: Int) =
+      docGramCounts(docs.withColumn("__t", target), n, Seq("__t"))
+        .select(col("doc_id"), col("__t"),
+          pmod(Dedup.seededHash(29, col("g")), lit(buckets.toLong)).as("b"),
+          col("c"))
+    val grams = Dedup.materialize(
+      bucketCounts(1).unionByName(bucketCounts(2))
+        .groupBy(col("doc_id"), col("__t"), col("b"))
+        .agg(sum(col("c")).as("c")))
     // Corpus-wide and target-slice bucket counts: two aggregates over the
     // same bounded key space, joined into one buckets-row score table.
     val raw = grams.groupBy(col("b")).agg(sum(col("c")).as("cr"))

@@ -1294,9 +1294,6 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("lang"), col("bucket"), col("fp"),
           coalesce(col("ex_standing"), lit(false)).as("ex_standing"),
           col("bloom_hits"), col("keep").as("gopher_keep"), col("subset"))
-      val gateRows = StreamOps.drainToTable(gated,
-        s"tp5_gate$sf".replace(".", "_"), mode = "append")
-        .filter(col("doc_id") >= 0)
       // dedup leg: the eviction-posture horizon gate on the canonical key
       val dedup = StreamOps.readEventStream(s, staged, schemaFrom)
         .withWatermark("ingest_ts", "45 minutes")
@@ -1307,9 +1304,20 @@ object TextOps extends QueryPack {
         .agg(min(col("doc_id")).as("keep_id"))
         .select(col("window.start").as("win_start"), col("lang"),
           col("bucket"), col("fp"), col("keep_id"))
-      val dedupRows = StreamOps.drainToTable(dedup,
-        s"tp5_dedup$sf".replace(".", "_"), mode = "append",
+      // the two legs are independent until composed — drained
+      // CONCURRENTLY (r16, guide §2.6) so the composed row pays the
+      // micro-batch engine's fixed costs once end-to-end, not twice;
+      // rows and per-leg state sequences are unchanged (batch order is
+      // per-query). shufflePartitions=8 is the STATEFUL dedup leg's state-
+      // store sizing; the gate leg is stateless map-only (projection +
+      // broadcast join, zero exchanges), so the shared value cannot
+      // change its rows.
+      val Seq(gateRaw, dedupRaw) = StreamOps.drainToTablesConcurrent(Seq(
+        (gated, s"tp5_gate$sf".replace(".", "_"), "append"),
+        (dedup, s"tp5_dedup$sf".replace(".", "_"), "append")),
         shufflePartitions = Some(8))
+      val gateRows = gateRaw.filter(col("doc_id") >= 0)
+      val dedupRows = dedupRaw
         .filter(col("keep_id") >= 0)
         .select(unix_micros(col("win_start")).as("ep_us"), col("lang"),
           col("bucket"), col("fp"), col("keep_id"))

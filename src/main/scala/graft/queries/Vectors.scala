@@ -609,6 +609,12 @@ object Vectors extends QueryPack {
                    codes: org.apache.spark.sql.DataFrame,
                    tag: String): org.apache.spark.sql.DataFrame = {
         val q = corpus.filter(col("vec_id") % stride === 0)
+        // NOT materialized (r16 measured both ways): the baseline feeds
+        // the hits join and the per-query k census, but both consumers
+        // sit in ONE executed plan, so ReuseExchange already computes the
+        // expensive sub-window corpus scan once; a localCheckpoint here
+        // only added an eager barrier + unknown-stats join planning
+        // (4.81 s → 6.05 s at sf0.1)
         val brute = Similarity.bruteForceTopK(corpus, q, k = 5)
           .select(col("q_id"), col("vec_id"))
         val approx = Similarity.pqTopKFrom(cb, codes, q, k = 5)
@@ -660,6 +666,14 @@ object Vectors extends QueryPack {
       val ref = stagedRefPq(s, dir)
       val cb = s.read.parquet(s"$ref/refcodebook.parquet")
       val stride = Similarity.queryStride(e.count())
+      // brute baselines deliberately NOT materialized (r16 measured both
+      // ways): the frozen and retrained legs contain IDENTICAL drifted-
+      // brute subtrees and each leg consumes its baseline twice (hits
+      // join + k census), but all of it sits in ONE executed plan, so
+      // ReuseExchange computes each distinct corpus scan once already; a
+      // localCheckpoint per baseline measured 9.2 s → 14.1 s at sf0.1
+      // (eager barriers + unknown-stats join planning), so the original
+      // single-plan shape is kept.
       def recallOf(corpus: org.apache.spark.sql.DataFrame,
                    codebook: org.apache.spark.sql.DataFrame,
                    codes: org.apache.spark.sql.DataFrame,
@@ -741,11 +755,33 @@ object Vectors extends QueryPack {
         .groupBy(col("nprobe"))
         .agg(sum(when(col("c_rank") <= col("nprobe"), col("csz"))
           .otherwise(0L)).as("probed_rows"))
+      // ONE ADC scan serves all four nprobe legs (r16, guide §2.4): sim is
+      // nprobe-independent and each vec_id lives in exactly one cell, so
+      // the nprobe=np shortlist is the (sim desc, vec_id) top-50 of the
+      // maxProbe=8 candidate set restricted to c_rank ≤ np — the scan that
+      // used to run 4× (probed fractions 0.047+0.092+0.185+0.363 of
+      // corpus×queries) now runs once at 0.363. Likewise the exact re-rank
+      // fetches + scores the UNION of the four shortlists once (≤ 200·|q|
+      // rows; a c_rank≤1 candidate can out-rank its np=8 rank, so the
+      // union is taken, not the np=8 set) and each leg's top-5 is a window
+      // over the scored rows.
+      val cand = graft.ops.Dedup.materialize(
+        Similarity.ivfPqAdcCandidates(cb, codes, cells, cent, q,
+          maxProbe = 8))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      def shortlistAt(np: Int) = cand.filter(col("c_rank") <= np)
+        .withColumn("rank", row_number().over(wAdc))
+        .filter(col("rank") <= 50)
+        .select(col("q_id"), col("vec_id"))
+      val union = Seq(1, 2, 4, 8).map(shortlistAt).reduce(_ unionByName _)
+        .distinct()
+      val scoredU = graft.ops.Dedup.materialize(
+        Similarity.exactSims(union, e, q))
       val hitRows = Seq(1, 2, 4, 8).map { np =>
-        val shortlist = Similarity.ivfPqTopKFrom(cb, codes, cells, cent,
-            q, k = 50, nprobe = np)
-          .select(col("q_id"), col("vec_id"))
-        val approx = Similarity.rerankExact(shortlist, e, q, k = 5)
+        val approx = scoredU.join(shortlistAt(np), Seq("q_id", "vec_id"))
+          .withColumn("rank", row_number().over(wAdc))
+          .filter(col("rank") <= 5)
           .select(col("q_id"), col("vec_id"))
         brute.join(approx, Seq("q_id", "vec_id"))
           .agg(count(lit(1)).as("n_hits"))
@@ -793,16 +829,30 @@ object Vectors extends QueryPack {
         Similarity.bruteForceTopK(e, q, k = 5)
           .select(col("q_id"), col("vec_id")))
       val nTrue = brute.agg(count(lit(1)).as("n_true"))
+      // ONE ADC scan serves all three shortlist widths (r16, guide §2.4):
+      // at fixed nprobe=8 the k=kk shortlist is exactly the ADC-rank ≤ kk
+      // prefix of the k=200 ranking, so the scan that used to run 3× runs
+      // once; the exact re-rank fetches + scores the k=200 superset once
+      // and each width's top-5 is a window over the scored rows restricted
+      // to its ADC-rank prefix. n_fetch stays the shortlist row count.
+      val ranked = graft.ops.Dedup.materialize(
+        Similarity.ivfPqTopKFrom(cb, codes, cells, cent,
+            q, k = 200, nprobe = 8)
+          .select(col("q_id"), col("vec_id"), col("rank")))
+      val scored200 = graft.ops.Dedup.materialize(
+        Similarity.exactSims(ranked, e, q)
+          .join(ranked, Seq("q_id", "vec_id")))
+      val wEx = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
       val hitRows = Seq(50, 100, 200).map { kk =>
-        val shortlist = graft.ops.Dedup.materialize(
-          Similarity.ivfPqTopKFrom(cb, codes, cells, cent,
-              q, k = kk, nprobe = 8)
-            .select(col("q_id"), col("vec_id")))
-        val approx = Similarity.rerankExact(shortlist, e, q, k = 5)
+        val approx = scored200.filter(col("rank") <= kk)
+          .withColumn("r2", row_number().over(wEx))
+          .filter(col("r2") <= 5)
           .select(col("q_id"), col("vec_id"))
         brute.join(approx, Seq("q_id", "vec_id"))
           .agg(count(lit(1)).as("n_hits"))
-          .crossJoin(broadcast(shortlist.agg(count(lit(1)).as("n_fetch"))))
+          .crossJoin(broadcast(ranked.filter(col("rank") <= kk)
+            .agg(count(lit(1)).as("n_fetch"))))
           .select(lit(kk.toLong).as("shortlist_k"), col("n_hits"),
             col("n_fetch"))
       }.reduce(_ unionByName _)

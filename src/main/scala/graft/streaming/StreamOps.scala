@@ -197,6 +197,82 @@ object StreamOps {
     out
   }
 
+  /** Drain several INDEPENDENT streaming legs CONCURRENTLY into memory
+    * tables (r16, guide §2.6: actions are sequential only because the
+    * driver awaits them sequentially — a composed posture with two drains
+    * over the same bounded source was paying the micro-batch engine's
+    * fixed costs twice end-to-end; starting both and awaiting both
+    * overlaps them, and each leg's result rows and per-batch state
+    * sequence are untouched, because batch order is per-query).
+    *
+    * One shared `shufflePartitions` value is held for the WHOLE drain
+    * (set before the first start, restored after the last termination):
+    * a per-leg value would race the legs' micro-batch threads, which read
+    * the session conf when they pin their state partitioning. Legs whose
+    * plans are stateless/map-only are partition-count-independent; pick
+    * the value the stateful leg needs. Per-leg state sequences land in
+    * the same state log drainToTable feeds. */
+  def drainToTablesConcurrent(legs: Seq[(DataFrame, String, String)],
+                              shufflePartitions: Option[Int] = None)
+      : Seq[DataFrame] = {
+    val spark = legs.head._1.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    shufflePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[(java.util.UUID, Long), Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        perBatch.put((e.progress.runId, e.progress.batchId),
+          e.progress.stateOperators.map(_.numRowsTotal).sum)
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    var ckpts: List[java.nio.file.Path] = Nil
+    try {
+      val started = legs.map { case (df, name, mode) =>
+        var w = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+        if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm)) {
+          val p = java.nio.file.Files.createTempDirectory(shm, "graft_ckpt_")
+          ckpts ::= p
+          w = w.option("checkpointLocation", p.toString)
+        }
+        val q = w.start()
+        logSink(name)
+        (q, name)
+      }
+      started.foreach(_._1.awaitTermination())
+      // listener events arrive on the async bus thread — wait (bounded)
+      // until each query's terminal batch progress has been delivered
+      import scala.jdk.CollectionConverters._
+      for ((q, name) <- started) {
+        val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+        while (lastBatch >= 0 && !perBatch.containsKey((q.runId, lastBatch)) &&
+               System.nanoTime < deadline) Thread.sleep(10)
+        val seq = perBatch.asScala.toSeq
+          .collect { case ((rid, batch), n) if rid == q.runId => (batch, n) }
+          .sortBy(_._1).map(_._2)
+        stateLog.synchronized { stateLog(name) = seq }
+      }
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ckpts.foreach(deleteRecursively)
+    }
+    legs.map { case (_, name, _) => spark.table(name) }
+  }
+
   /** drainToTable, additionally returning each committed micro-batch's
     * TOTAL state-store row count (sum over stateful operators, in commit
     * order) — the direct evidence for watermark-eviction claims: a
