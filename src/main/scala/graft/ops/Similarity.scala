@@ -231,16 +231,23 @@ object Similarity {
     * residual term). Flops are unchanged; the row stream is gone. */
   def ivfAssign(corpus: DataFrame, centroidEvery: Int): DataFrame = {
     import graft.functions.VectorExpressions.ivfRouteId
-    // fail at construction, not mid-job inside ivfRouteId's executor-side
-    // require: a corpus where no vec_id % centroidEvery == 0 (e.g. a
-    // filtered slice) yields ZERO centroids and every route would throw
-    // (the ivfPqStreamEncode limit(1) guard, applied to the batch route)
-    require(centroids(corpus, centroidEvery).limit(1).count() == 1,
-      s"ivfAssign: no centroids at spacing $centroidEvery " +
-        "(no vec_id % spacing == 0 in the corpus)")
+    // Fail loudly BEFORE any route runs on a corpus where no
+    // vec_id % centroidEvery == 0 (e.g. a filtered slice yields ZERO
+    // centroids and every ivfRouteId would throw its opaque executor-side
+    // require). r16: the check is an assert INSIDE the one-row broadcast
+    // aggregate rather than an eager limit(1).count() — the count was a
+    // whole extra Spark job per ivfAssign construction, paid on every
+    // ivf query path (sim_ivf_topk/recall/filtered) and stage build; the
+    // in-plan assert costs nothing and still surfaces the clear message
+    // when the broadcast builds, before any corpus row is routed.
     val centArr = broadcast(centroids(corpus, centroidEvery)
       .select(struct(col("c_id"), col("c_emb"), col("c_nrm")).as("c"))
-      .agg(array_sort(collect_list(col("c"))).as("cents")))
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+      .select(when(size(col("cents")) > 0, col("cents"))
+        .otherwise(raise_error(lit(
+          s"ivfAssign: no centroids at spacing $centroidEvery " +
+            "(no vec_id % spacing == 0 in the corpus)")))
+        .as("cents")))
     corpus.select(col("vec_id"), col("embedding"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nrm"))
       .crossJoin(centArr)
