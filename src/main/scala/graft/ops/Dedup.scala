@@ -44,8 +44,10 @@ object Dedup {
     * mBits=2¹⁶) over the staged benchmark grams. */
   val BloomStageTag = "bloombits16_v1"
   /** Fingerprints spanArrays (L-gram sweep, merge rule) at the minLen=25
-    * the ExactSubstr queries use. */
-  val SpanStageTag = "ddspans25_v1"
+    * the ExactSubstr queries use. v2: the r16 canonicalize-then-expand
+    * rewrite (distinct texts weighted by multiplicity) — output values are
+    * bit-identical to v1, bumped per the any-derivation-change rule. */
+  val SpanStageTag = "ddspans25_v2"
 
   /** Lineage barrier for iterative/self-joined intermediates: reliable
     * `checkpoint` when the session has a checkpoint dir configured (a real
@@ -1428,6 +1430,38 @@ object Dedup {
     * nothing here fans out pairs. */
   def spanArrays(docs: DataFrame, minLen: Int): DataFrame = {
     val n = length(col("text"))
+    val base = docs.filter(n >= minLen)
+    // CANONICALIZE-THEN-EXPAND (r16): exact-duplicate TEXTS have identical
+    // gram streams, hence identical corpus-wide occurrence counts at every
+    // position, hence identical span arrays — so the sweep runs over ONE
+    // row per distinct text, weighted by its multiplicity r (sum(r) over a
+    // gram's rep-position rows equals the raw per-position count exactly),
+    // and every member inherits its representative's spans through a
+    // metadata-keyed join at the end. On duplicate-dense corpora this is
+    // the difference between linear and replication-quadratic: the f100
+    // scale audit (100% exact-dup text mass — every replica has a rotation
+    // twin there) measured the raw form's counting window at 217 s where
+    // the canonical form sweeps only the distinct fraction; dd_containment
+    // and the pair stage made the same move in r15 for the same reason.
+    // The text fingerprint is INTERNAL (membership/grouping only, never in
+    // the result) and uses the gram hash's own collision arithmetic: two
+    // independent xxhash64 values = 128 bits, spurious text-merge
+    // probability ~corpora²/2^129.
+    val meta = base.select(col("doc_id"),
+      xxhash64(lit(2), col("text")).as("f1"),
+      xxhash64(lit(3), col("text")).as("f2"))
+    // (rep, r) per distinct text — metadata-sized rows (no text column);
+    // materialized: consumed by the membership join AND the rep-text fetch
+    val groups = materialize(meta.groupBy(col("f1"), col("f2"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("r")))
+    val members = meta
+      .join(groups.select(col("f1"), col("f2"), col("rep")), Seq("f1", "f2"))
+      .select(col("doc_id"), col("rep"))
+    // rep-text fetch: the ONLY join that moves text, and it moves each
+    // distinct text once (at driver SFs the tiny groups side broadcasts
+    // and nothing moves at all)
+    val repDocs = base.select(col("doc_id").as("rep"), col("text"))
+      .join(groups.select(col("rep"), col("r")), Seq("rep"))
     // The gram hash is INTERNAL (the oracle re-groups raw substrings, the
     // hash never reaches the result), so it needs width, not the
     // SQL-reproducible md5 family: two independent codegen'd xxhash64
@@ -1446,26 +1480,26 @@ object Dedup {
     // caller feeding multi-MB documents should pre-split them into
     // overlapping chunks (overlap minLen−1) BEFORE this operator, which
     // preserves the duplicated-span semantics per position.
-    val grams = docs.filter(n >= minLen)
-      .select(col("doc_id"), col("text"),
+    val grams = repDocs
+      .select(col("rep"), col("r"), col("text"),
         explode(sequence(lit(1L), (n - minLen + 1).cast("long"))).as("i"))
-      .select(col("doc_id"), col("i"),
+      .select(col("rep"), col("r"), col("i"),
         col("text").substr(col("i").cast("int"), lit(minLen)).as("g"))
-      .select(col("doc_id"), col("i"),
+      .select(col("rep"), col("r"), col("i"),
         xxhash64(col("g")).as("gh1"), xxhash64(lit(1), col("g")).as("gh2"))
     val dupPos = grams
-      .withColumn("c", count(lit(1))
+      .withColumn("c", sum(col("r"))
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("gh1"), col("gh2"))))
       .filter(col("c") >= 2)
-      .select(col("doc_id"), col("i"))
+      .select(col("rep"), col("i"))
     // positions -> maximal spans, in-row: a sorted fold that either grows
     // the open span (p within minLen of its end: overlap or abutment) or
     // opens a new one. Matches the oracle's lag-based break rule because
     // the open span's end is always (last merged position) + minLen.
-    dupPos.groupBy(col("doc_id"))
+    val repSpans = dupPos.groupBy(col("rep"))
       .agg(sort_array(collect_list(col("i"))).as("ps"))
-      .select(col("doc_id"), expr(s"""
+      .select(col("rep"), expr(s"""
         aggregate(ps,
           cast(array() as array<struct<s:bigint,e:bigint>>),
           (acc, p) -> CASE
@@ -1476,6 +1510,10 @@ object Dedup {
             ELSE concat(acc,
                  array(named_struct('s', p, 'e', p + CAST($minLen AS BIGINT))))
           END)""").as("spans"))
+    // EXPAND: members inherit their representative's spans (docs whose rep
+    // has no duplicated position are absent, exactly as in the raw form)
+    members.join(repSpans, Seq("rep"))
+      .select(col("doc_id"), col("spans"))
   }
 
   /** Span-level exact-substring dedup — the ExactSubstr pass of Lee et

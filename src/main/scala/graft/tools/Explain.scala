@@ -31,7 +31,9 @@ object Explain {
     val ops: Map[String, org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame] = Map(
       "op:dsir" -> (s => graft.ops.TextAnalysis.dsirWeights(
         graft.queries.table(s, sfDir, "documents"),
-        org.apache.spark.sql.functions.col("lang") === "en"))
+        org.apache.spark.sql.functions.col("lang") === "en")),
+      "op:spans" -> (s => graft.ops.Dedup.spanArrays(
+        graft.queries.table(s, sfDir, "documents"), minLen = 25))
     )
     for (name <- args) {
       val df =

@@ -119,6 +119,30 @@ class OpsSpec extends SparkSpec {
     assert(s3.forall { case (_, s, e) => e - s >= 10L })
   }
 
+  test("exact-substr spans: exact-duplicate texts collapse to one sweep row " +
+      "and every copy inherits full-document spans") {
+    // minLen=10. Docs 1-3 are byte-identical (r=3): every position is
+    // corpus-duplicated, so each copy's span array is the whole document
+    // — the case the r16 canonicalize-then-expand rewrite answers without
+    // sweeping the copies. Doc 4 is unique but shares a 20-char run with
+    // the triplet: its positions must count the triplet's full weight
+    // (1 + 3 ≥ 2), exactly as the raw per-position census would.
+    val t = "headerAAAAABBBBBCCCCCDDDDDfooter" // 32 chars
+    val in = Seq(
+      (1L, t), (2L, t), (3L, t),
+      (4L, s"zzzz${t.substring(6, 26)}qqqq"), // run at 1-based [5, 25)
+      (5L, "another entirely unique filler string with nothing shared")
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.spanArrays(in, minLen = 10))
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("spans")
+          .map(s => (s.getAs[Long]("s"), s.getAs[Long]("e"))).toSeq).toMap
+    for (d <- Seq(1L, 2L, 3L))
+      assert(got(d) == Seq((1L, 33L)), s"doc $d spans: ${got.get(d)}")
+    assert(got(4L) == Seq((5L, 25L)), s"doc 4 spans: ${got.get(4L)}")
+    assert(!got.contains(5L), "unique doc must stay silent")
+  }
+
   test("exact-substr redact: spans cut, gaps stitched, span-free docs verbatim") {
     val shared = "XXXXXXXXXXYYYYYYYYYYZZZZZZZZZZ" // 30 chars
     val unique = "a completely unique string with no repeats anywhere at all"

@@ -227,7 +227,8 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("exact-substr kernel: gram stream hashes in-row; one window, no join") {
+  test("exact-substr kernel: gram stream hashes in-row; counting stays a " +
+      "window; only canonical metadata joins") {
     // the judged queries read the staged span parquet, so the shape under
     // test is the kernel that builds it
     val p = graft.ops.Dedup.spanArrays(
@@ -236,12 +237,21 @@ class PlanSpec extends SparkSpec {
     // occurrence counting is the single corpus-wide stage: a window over
     // the gram hash — never a groupBy-then-join-back second pass
     assert(p.contains("Window"), "lost the partition-only counting window")
-    assert(!p.contains("Join"), s"regressed to a join formulation")
     // the substring never leaves the row that hashed it: no plan column
     // carries the gram text through an exchange
     val exchanges = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
       .mkString("\n")
     assert(exchanges.contains("gh1"), s"exchange not keyed on gram hash:\n$exchanges")
+    // r16 canonicalize-then-expand: the only joins are the canonical
+    // metadata joins (text-fingerprint membership, rep-text fetch, span
+    // expand) — never a join keyed on the gram hash (the
+    // groupBy-then-join-back counting regression this test exists to stop)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("gh1"),
+      s"occurrence counting regressed to a gram-hash join:\n$joinLines")
+    assert(p.contains("xxhash64(2,") || p.contains("xxhash64(2 "),
+      "lost the canonical text fingerprint — raw per-doc gram sweep " +
+        "multiplies the counting window by the exact-dup replication factor")
   }
 
   test("split leakage: eval bands broadcast; train side never self-joins") {
